@@ -1,0 +1,136 @@
+"""Tokenizers reproducing the reference lexer semantics.
+
+Reference: the ``Simple`` tokenizer is a Logos lexer where a token is a run
+of word-ish characters ``[\\w\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Cyrillic}
+\\p{Arabic}]+`` and **every other non-whitespace character is emitted as its
+own single-character token** (the lexer Error variant is not skipped) —
+``/root/reference/src/tokenizer.rs:204-259``, golden tests at
+``:294-324`` (``"example.com"`` → ``["example",".","com"]``, ``"c++"`` →
+``["c","+","+"]``).  The ``Normal`` analyzer is Simple → lowercase →
+optional stop-word removal (``src/tokenizer.rs:127-137``); ``Identity``
+keeps the whole string as one token (``:157-202``).
+
+Python's ``\\w`` (unicode by default) already contains Han / Hiragana /
+Katakana / Cyrillic / Arabic letters, so ``\\w+|[^\\w\\s]`` reproduces the
+reference token stream exactly: greedy word runs, then each remaining
+non-space char alone.
+
+Two extra analyzers exist for the code corpus (north star: "code-aware
+tokenizer: identifier splitting, lowercase, stoplist"):
+
+* ``ascii``  — same shape but with an explicit ASCII class, so the exact
+  same pattern is expressible in Spark SQL (Java regex) and DuckDB (RE2)
+  for the oracle-parity gate; unicode word chars outside ASCII are treated
+  as single-char tokens.
+* ``code``   — ascii tokens, then identifiers are split on ``_`` and
+  camelCase boundaries, lowercased, punctuation dropped, optional stoplist.
+
+Everything here is pure Python/regex on strings; the Spark entry points
+wrap these in Arrow-batched pandas UDFs (see
+``stractt_spark.operators.postings``) — no per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable
+
+# Reference-exact pattern (unicode \w covers Han/Hiragana/Katakana/
+# Cyrillic/Arabic, matching the Logos lexer classes).
+_SIMPLE_RE = re.compile(r"\w+|[^\w\s]")
+
+# Engine-agnostic ASCII variant; keep in sync with SQL_TOKEN_PATTERN.
+_ASCII_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+
+# The same pattern, as a string usable verbatim in Spark `regexp_extract_all`
+# (Java regex) and DuckDB `regexp_extract_all` (RE2). No escapes that differ
+# between the three engines.
+SQL_TOKEN_PATTERN = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r]"
+
+# camelCase boundaries: lower|digit → Upper, and ACRONYMWord ("HTTPServer"
+# → "HTTP" + "Server").
+_CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+
+
+def tokenize_simple(text: str) -> list[str]:
+    """Reference ``Simple`` tokenizer (tokenizer.rs:204-259). Case kept."""
+    return _SIMPLE_RE.findall(text)
+
+
+def tokenize_normal(text: str, stopwords: frozenset[str] = frozenset()) -> list[str]:
+    """Reference ``Normal`` analyzer: Simple → lowercase → stoplist
+    (tokenizer.rs:127-137)."""
+    toks = _SIMPLE_RE.findall(text.lower())
+    if stopwords:
+        toks = [t for t in toks if t not in stopwords]
+    return toks
+
+
+def tokenize_ascii(text: str) -> list[str]:
+    """ASCII-class variant of ``Normal`` (lowercased), chosen so the exact
+    same regex runs in Spark SQL and DuckDB for the oracle gate."""
+    return _ASCII_RE.findall(text.lower())
+
+
+def split_identifier(token: str) -> list[str]:
+    """Split one identifier on ``_`` and camelCase boundaries, lowercase.
+
+    ``parseHTTPResponse_fast`` → ``["parse","http","response","fast"]``.
+    """
+    parts: list[str] = []
+    for chunk in token.split("_"):
+        if not chunk:
+            continue
+        parts.extend(p.lower() for p in _CAMEL_RE.split(chunk) if p)
+    return parts
+
+
+def tokenize_code(text: str, stopwords: frozenset[str] = frozenset()) -> list[str]:
+    """Code-aware analyzer: ASCII word runs split as identifiers
+    (``_`` + camelCase), lowercased; punctuation tokens dropped; stoplist.
+    """
+    out: list[str] = []
+    for tok in _ASCII_RE.findall(text):
+        if len(tok) == 1 and not tok.isalnum() and tok != "_":
+            continue  # punctuation carries no signal for code search
+        for sub in split_identifier(tok):
+            if sub not in stopwords:
+                out.append(sub)
+    return out
+
+
+def tokenize_identity(text: str) -> list[str]:
+    """Reference ``Identity`` tokenizer (tokenizer.rs:157-202)."""
+    return [text]
+
+
+ANALYZERS = {
+    "simple": tokenize_simple,
+    "normal": tokenize_normal,
+    "ascii": tokenize_ascii,
+    "code": tokenize_code,
+    "identity": tokenize_identity,
+}
+
+
+def get_analyzer(name: str):
+    try:
+        return ANALYZERS[name]
+    except KeyError:  # pragma: no cover
+        raise ValueError(f"unknown analyzer {name!r}; one of {sorted(ANALYZERS)}")
+
+
+def term_freqs(tokens: Iterable[str]) -> dict[str, int]:
+    tf: dict[str, int] = {}
+    for t in tokens:
+        tf[t] = tf.get(t, 0) + 1
+    return tf
+
+
+def term_positions(tokens: Iterable[str]) -> dict[str, list[int]]:
+    """Token → positions (0-based), mirroring WithFreqsAndPositions
+    (reference src/schema.rs:117-122)."""
+    pos: dict[str, list[int]] = {}
+    for i, t in enumerate(tokens):
+        pos.setdefault(t, []).append(i)
+    return pos
