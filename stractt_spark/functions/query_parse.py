@@ -1,0 +1,64 @@
+"""Driver-side query parsing (reference src/query/parser.rs:280-322).
+
+The reference splits on whitespace, treats ``-term`` as MustNot
+(:100-109), analyzes every term with the field analyzer (a term that
+splits into several tokens — ``foo.bar`` → ``foo . bar`` — contributes all
+of them), and caps duplicate terms at ``MAX_SIMILAR_TERMS = 10``
+(src/query/mod.rs:35,104-115).  ``site:``-style field prefixes are parsed
+here but mapped onto column predicates by the caller.
+
+This is a tiny pure function on the driver — the reference's parser is
+likewise query-string-sized work, not a data-parallel op.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .tokenizer import get_analyzer
+
+MAX_SIMILAR_TERMS = 10
+
+_FIELD_PREFIXES = ("repo:", "path:", "lang:", "site:")
+
+
+@dataclass
+class ParsedQuery:
+    pos_terms: list[str] = field(default_factory=list)  # with multiplicity, capped
+    neg_terms: list[str] = field(default_factory=list)
+    filters: dict[str, str] = field(default_factory=dict)      # field -> value (Must)
+    anti_filters: dict[str, str] = field(default_factory=dict)  # field -> value (MustNot)
+
+    @property
+    def uniq_terms(self) -> list[str]:
+        return list(dict.fromkeys(self.pos_terms))
+
+    @property
+    def term_counts(self) -> dict[str, int]:
+        c: dict[str, int] = {}
+        for t in self.pos_terms:
+            c[t] = c.get(t, 0) + 1
+        return c
+
+
+def parse_query(query: str, analyzer: str = "ascii") -> ParsedQuery:
+    an = get_analyzer(analyzer)
+    out = ParsedQuery()
+    for raw in query.split():
+        neg = raw.startswith("-") and len(raw) > 1
+        body = raw[1:] if neg else raw
+        pref = next((p for p in _FIELD_PREFIXES if body.startswith(p)), None)
+        if pref and len(body) > len(pref):
+            fieldname, value = pref[:-1], body[len(pref):]
+            (out.anti_filters if neg else out.filters)[fieldname] = value
+            continue
+        (out.neg_terms if neg else out.pos_terms).extend(an(body))
+    # MAX_SIMILAR_TERMS cap
+    seen: dict[str, int] = {}
+    capped: list[str] = []
+    for t in out.pos_terms:
+        seen[t] = seen.get(t, 0) + 1
+        if seen[t] <= MAX_SIMILAR_TERMS:
+            capped.append(t)
+    out.pos_terms = capped
+    return out

@@ -85,14 +85,20 @@ class OracleIndex:
             return []
 
         avgdl = self.avgdl
+        # Canonical fp order: fold terms sorted alphabetically, duplicated
+        # query terms folded as count × score — must match the engine's
+        # summation order exactly (score.py) for last-ulp tie stability.
+        counts: dict[str, int] = {}
+        for t in pos_terms:
+            counts[t] = counts.get(t, 0) + 1
         scores: dict[int, float] = {d: 0.0 for d in cand}
-        for t in pos_terms:  # duplicated query terms score multiple times
+        for t in sorted(counts):
             plist = self.postings.get(t, {})
             n = len(plist)
             for d in cand:
                 tf = plist.get(d)
                 if tf is not None:
-                    scores[d] += float(
+                    scores[d] += counts[t] * float(
                         score_term(tf, self.doc_dl[d], avgdl, n, self.num_docs)
                     )
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
