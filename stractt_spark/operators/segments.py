@@ -1,0 +1,219 @@
+"""Segment build: postings → compressed per-segment posting blocks.
+
+Spark-first re-expression of the reference's segment writer + posting
+format ([tantivy contract]; usage /root/reference/src/inverted_index.rs:
+130-177, SURVEY.md §2.3):
+
+* a **segment** is a doc-id range (``segment_id = doc_id // docs_per_
+  segment``) holding the full posting lists for its docs — the same
+  addressing unit the reference searches per-thread and merges
+  (src/inverted_index.rs:54-76).  Doc-range segmentation also splits any
+  globally-hot term's postings across segments, which is exactly the
+  salting the north rule asks for — the shuffle key is (segment_id, term),
+  never a bare hot term.
+* posting lists are **128-doc blocks of delta-encoded, varint-packed doc
+  ids** plus varint tfs.  The delta chain is contiguous across blocks of
+  one (segment, term): block i's first delta is relative to block i-1's
+  last doc, and each block's absolute ``first_doc_id``/``last_doc_id``
+  live in its row, so (a) a full list decodes with ONE vectorized pass
+  over the concatenated bytes, and (b) any block subset decodes
+  independently (skip-friendly).
+* per block we keep **max_tf and min_norm_id** — the exact skip data
+  block-max WAND needs (max-tf-per-block is the tantivy skip-list payload
+  the reference's early termination relies on). A build-time
+  ``max_impact`` is NOT stored: idf/avgdl change under merge, so the query
+  computes bounds from (max_tf, min_norm_id) + current global stats.
+* fieldnorms are packed one byte per doc per segment
+  (``norm_bytes[local_id]``), mirroring the reference's fieldnorm cache
+  (src/fastfield_cache.rs).
+
+Shuffle accounting: exactly ONE wide exchange — the groupBy
+(segment_id, term) that brings each posting list together (the reference's
+pairwise index-merge fold, replaced by a single sort-merge shuffle,
+SURVEY.md §4).  Encoding is a narrow Arrow pass over grouped rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BLOCK_SIZE = 128  # docs per posting block [tantivy contract]
+
+SEGMENTS_SCHEMA = StructType(
+    [
+        StructField("segment_id", IntegerType(), False),
+        StructField("term", StringType(), False),
+        StructField("block_id", IntegerType(), False),
+        StructField("first_doc_id", LongType(), False),
+        StructField("last_doc_id", LongType(), False),
+        StructField("num_docs", IntegerType(), False),
+        StructField("id_bytes", BinaryType(), False),
+        StructField("tf_bytes", BinaryType(), False),
+        StructField("max_tf", IntegerType(), False),
+        StructField("min_norm_id", IntegerType(), False),
+    ]
+)
+
+NORMS_SCHEMA = StructType(
+    [
+        StructField("segment_id", IntegerType(), False),
+        StructField("base_doc_id", LongType(), False),
+        StructField("n_docs", IntegerType(), False),
+        StructField("norm_bytes", BinaryType(), False),
+    ]
+)
+
+
+def with_segment_id(postings: DataFrame, docs_per_segment: int) -> DataFrame:
+    return postings.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("int")
+    )
+
+
+def build_segments(postings: DataFrame, docs_per_segment: int) -> DataFrame:
+    """postings (doc_id, term, tf, norm_id) → block rows (SEGMENTS_SCHEMA).
+
+    One shuffle: groupBy(segment_id, term) with JVM-side sort_array, then a
+    vectorized Arrow encode pass (numpy varint over whole lists — no
+    per-posting Python).
+    """
+    from ..functions.codec import varint_encode
+
+    plists = (
+        with_segment_id(postings, docs_per_segment)
+        .groupBy("segment_id", "term")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "tf", "norm_id"))).alias("pl"))
+        .select(
+            "segment_id",
+            "term",
+            F.col("pl.doc_id").alias("doc_ids"),
+            F.col("pl.tf").alias("tfs"),
+            F.col("pl.norm_id").alias("norm_ids"),
+        )
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in SEGMENTS_SCHEMA.fields}
+            for seg, term, ids, tfs, norms in zip(
+                pdf["segment_id"].values,
+                pdf["term"].values,
+                pdf["doc_ids"].values,
+                pdf["tfs"].values,
+                pdf["norm_ids"].values,
+            ):
+                ids = np.asarray(ids, dtype=np.uint64)
+                tfs = np.asarray(tfs, dtype=np.uint64)
+                norms = np.asarray(norms, dtype=np.int64)
+                deltas = np.empty_like(ids)
+                deltas[0] = ids[0]
+                np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+                n_blocks = (len(ids) + BLOCK_SIZE - 1) // BLOCK_SIZE
+                for b in range(n_blocks):
+                    lo, hi = b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, len(ids))
+                    out["segment_id"].append(seg)
+                    out["term"].append(term)
+                    out["block_id"].append(b)
+                    out["first_doc_id"].append(int(ids[lo]))
+                    out["last_doc_id"].append(int(ids[hi - 1]))
+                    out["num_docs"].append(hi - lo)
+                    out["id_bytes"].append(varint_encode(deltas[lo:hi]))
+                    out["tf_bytes"].append(varint_encode(tfs[lo:hi]))
+                    out["max_tf"].append(int(tfs[lo:hi].max()))
+                    out["min_norm_id"].append(int(norms[lo:hi].min()))
+            yield pd.DataFrame(
+                {
+                    "segment_id": pd.Series(out["segment_id"], dtype="int32"),
+                    "term": pd.Series(out["term"], dtype="object"),
+                    "block_id": pd.Series(out["block_id"], dtype="int32"),
+                    "first_doc_id": pd.Series(out["first_doc_id"], dtype="int64"),
+                    "last_doc_id": pd.Series(out["last_doc_id"], dtype="int64"),
+                    "num_docs": pd.Series(out["num_docs"], dtype="int32"),
+                    "id_bytes": pd.Series(out["id_bytes"], dtype="object"),
+                    "tf_bytes": pd.Series(out["tf_bytes"], dtype="object"),
+                    "max_tf": pd.Series(out["max_tf"], dtype="int32"),
+                    "min_norm_id": pd.Series(out["min_norm_id"], dtype="int32"),
+                }
+            )
+
+    return plists.mapInPandas(encode, SEGMENTS_SCHEMA)
+
+
+def build_norms(doc_stats_df: DataFrame, docs_per_segment: int) -> DataFrame:
+    """doc_stats (doc_id, dl, norm_id) → one packed row per segment:
+    ``norm_bytes[doc_id - base_doc_id] = norm_id`` (0 for absent docs)."""
+
+    staged = doc_stats_df.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("int")
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(key[0])
+        base = seg * docs_per_segment
+        local = pdf["doc_id"].to_numpy(dtype=np.int64) - base
+        n = int(local.max()) + 1
+        arr = np.zeros(n, dtype=np.uint8)
+        arr[local] = pdf["norm_id"].to_numpy(dtype=np.int64).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "segment_id": pd.Series([seg], dtype="int32"),
+                "base_doc_id": pd.Series([base], dtype="int64"),
+                "n_docs": pd.Series([n], dtype="int32"),
+                "norm_bytes": pd.Series([arr.tobytes()], dtype="object"),
+            }
+        )
+
+    return staged.groupBy("segment_id").applyInPandas(pack, NORMS_SCHEMA)
+
+
+def decode_term_blocks(
+    block_pdf: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ALL blocks of one (segment, term) — rows must be the complete
+    contiguous block set sorted by block_id.  One vectorized varint pass
+    over the concatenated byte stream, then a single cumsum.
+
+    → (doc_ids uint64, tfs uint64)
+    """
+    from ..functions.codec import varint_decode
+
+    id_stream = b"".join(block_pdf["id_bytes"].values)
+    tf_stream = b"".join(block_pdf["tf_bytes"].values)
+    deltas = varint_decode(id_stream)
+    ids = np.cumsum(deltas, dtype=np.uint64)
+    return ids, varint_decode(tf_stream)
+
+
+def decode_block_subset(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Decode an arbitrary subset of blocks of one (segment, term).
+
+    Uses each block's absolute ``first_doc_id`` to re-anchor the delta
+    chain: ids = cumsum(deltas) - cumsum[start] + first_doc_id per block.
+    Vectorized: one decode + one repeat-based correction.
+    """
+    from ..functions.codec import varint_decode
+
+    id_stream = b"".join(rows["id_bytes"].values)
+    tf_stream = b"".join(rows["tf_bytes"].values)
+    deltas = varint_decode(id_stream)
+    raw = np.cumsum(deltas, dtype=np.uint64)
+    counts = rows["num_docs"].to_numpy(dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    firsts = rows["first_doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+    # correction so each block's first id equals its stored first_doc_id
+    corr = firsts - raw[starts]
+    ids = raw + np.repeat(corr, counts)
+    return ids, varint_decode(tf_stream)

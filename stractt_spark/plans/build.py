@@ -1,0 +1,276 @@
+"""Resumable index build: docs → postings → segments + norms + stats.
+
+Stage graph (each stage idempotent, checkpointed, skippable on resume):
+
+  1. ``postings``    docs → (doc_id, term, tf, dl, norm_id) parquet
+  2. ``segments``    postings → 128-doc compressed blocks parquet
+  3. ``norms``       postings → packed per-segment fieldnorm bytes parquet
+  4. ``term_stats``  postings → (term, df) parquet
+  5. ``stats``       N / total_tokens / avgdl → stats.json
+
+Checkpointing: every stage writes its output table plus an entry in
+``_manifest.json`` keyed by a fingerprint of the build parameters; a re-run
+with the same fingerprint skips completed stages (parquet directories stand
+in for Iceberg snapshot commits in this sandbox — on a real deployment each
+stage is an Iceberg table write and the manifest is the snapshot id, which
+gives the same resume semantics transactionally).
+
+Lineage: after stages 1-2 a per-partition metrics table is appended to
+``lineage.parquet`` — docs tokenized, postings emitted, bytes compressed,
+block counts per segment (north-rule requirement).  Metrics derive from the
+persisted outputs, so they are exact regardless of task retries.
+
+Stage outputs are written sorted (``segment_id, term, block_id``) so the
+query path gets parquet row-group pruning on both the term filter and the
+segment grouping.
+
+Mirrors: the reference's indexer lifecycle (SURVEY.md §3.1) — map =
+tokenize+segment-build, reduce = the term shuffle inside build_segments;
+its FrozenIndex shipping + pairwise fold disappears (segments live in
+shared storage; one sort-merge shuffle replaces the fold, strictly better).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.postings import build_postings, doc_stats
+from ..operators.segments import build_norms, build_segments, with_segment_id
+
+STAGES = ("postings", "segments", "norms", "term_stats", "stats")
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings.parquet")
+
+    @property
+    def segments(self) -> str:
+        return os.path.join(self.root, "segments.parquet")
+
+    @property
+    def norms(self) -> str:
+        return os.path.join(self.root, "norms.parquet")
+
+    @property
+    def term_stats(self) -> str:
+        return os.path.join(self.root, "term_stats.parquet")
+
+    @property
+    def stats(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+    @property
+    def lineage(self) -> str:
+        return os.path.join(self.root, "lineage.parquet")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+
+def _read_manifest(paths: IndexPaths) -> dict:
+    if os.path.exists(paths.manifest):
+        with open(paths.manifest) as f:
+            return json.load(f)
+    return {"stages": {}}
+
+
+def _write_manifest(paths: IndexPaths, manifest: dict) -> None:
+    tmp = paths.manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, paths.manifest)
+
+
+def _append_lineage(spark: SparkSession, paths: IndexPaths, rows: list[dict]) -> None:
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(r["stage"], int(r["partition_id"]), int(r.get("docs", 0)),
+          int(r.get("postings", 0)), int(r.get("bytes_compressed", 0)),
+          int(r.get("blocks", 0)), r["fingerprint"]) for r in rows],
+        "stage string, partition_id long, docs long, postings long, "
+        "bytes_compressed long, blocks long, fingerprint string",
+    )
+    df.write.mode("append").parquet(paths.lineage)
+
+
+class StageAborted(RuntimeError):
+    """Raised by the fail_after test hook to simulate a mid-build crash."""
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    analyzer: str = "ascii",
+    docs_per_segment: int = 4096,
+    fail_after: str | None = None,
+    log: bool = False,
+) -> IndexPaths:
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    fp = hashlib.sha256(
+        json.dumps(
+            {"analyzer": analyzer, "dps": docs_per_segment, "text": text_col,
+             "id": id_col, "v": 1},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:16]
+    manifest = _read_manifest(paths)
+
+    def done(stage: str) -> bool:
+        e = manifest["stages"].get(stage)
+        return bool(e and e.get("fingerprint") == fp and e.get("ok"))
+
+    def mark(stage: str, **extra) -> None:
+        manifest["stages"][stage] = {
+            "fingerprint": fp, "ok": True, "completed_at": time.time(), **extra,
+        }
+        _write_manifest(paths, manifest)
+        if log:
+            print(f"[build] stage {stage} done {extra}")
+        if fail_after == stage:
+            raise StageAborted(stage)
+
+    # -- 1. postings ------------------------------------------------------
+    if not done("postings"):
+        p = build_postings(docs, text_col, id_col, analyzer)
+        p.write.mode("overwrite").parquet(paths.postings)
+        n = spark.read.parquet(paths.postings).count()
+        mark("postings", rows=n)
+    postings = spark.read.parquet(paths.postings)
+
+    # -- 2. segments ------------------------------------------------------
+    if not done("segments"):
+        seg = build_segments(postings, docs_per_segment)
+        (
+            seg.repartitionByRange("segment_id", "term")
+            .sortWithinPartitions("segment_id", "term", "block_id")
+            .write.mode("overwrite")
+            .parquet(paths.segments)
+        )
+        segs = spark.read.parquet(paths.segments)
+        lin = (
+            segs.groupBy("segment_id")
+            .agg(
+                F.sum("num_docs").alias("postings"),
+                F.count("*").alias("blocks"),
+                F.sum(F.length("id_bytes") + F.length("tf_bytes")).alias("bytes"),
+            )
+            .collect()
+        )
+        _append_lineage(
+            spark, paths,
+            [
+                {"stage": "segments", "partition_id": r["segment_id"],
+                 "postings": r["postings"], "blocks": r["blocks"],
+                 "bytes_compressed": r["bytes"], "fingerprint": fp}
+                for r in lin
+            ],
+        )
+        mark("segments", segments=len(lin))
+
+    # -- 3. norms ---------------------------------------------------------
+    if not done("norms"):
+        ds = doc_stats(postings)
+        build_norms(ds, docs_per_segment).write.mode("overwrite").parquet(paths.norms)
+        lin = (
+            spark.read.parquet(paths.norms)
+            .select("segment_id", "n_docs")
+            .collect()
+        )
+        _append_lineage(
+            spark, paths,
+            [
+                {"stage": "norms", "partition_id": r["segment_id"],
+                 "docs": r["n_docs"], "fingerprint": fp}
+                for r in lin
+            ],
+        )
+        mark("norms", segments=len(lin))
+
+    # -- 4. term_stats ----------------------------------------------------
+    if not done("term_stats"):
+        (
+            postings.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .write.mode("overwrite")
+            .parquet(paths.term_stats)
+        )
+        mark("term_stats")
+
+    # -- 5. global stats --------------------------------------------------
+    if not done("stats"):
+        n_docs = docs.count()
+        total = doc_stats(postings).agg(F.sum("dl")).collect()[0][0] or 0
+        stats = {
+            "num_docs": int(n_docs),
+            "total_tokens": int(total),
+            "avgdl": (int(total) / n_docs) if n_docs else 0.0,
+            "analyzer": analyzer,
+            "docs_per_segment": docs_per_segment,
+            "fingerprint": fp,
+        }
+        tmp = paths.stats + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f, indent=2)
+        os.replace(tmp, paths.stats)
+        mark("stats", **{"num_docs": int(n_docs)})
+
+    return paths
+
+
+class SegmentIndex:
+    """Query handle over a persisted index directory."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        with open(self.paths.stats) as f:
+            self.stats = json.load(f)
+        self.segments = spark.read.parquet(self.paths.segments)
+        self.norms = spark.read.parquet(self.paths.norms)
+        self.term_stats = spark.read.parquet(self.paths.term_stats)
+        self.analyzer = self.stats["analyzer"]
+
+    def cache(self) -> "SegmentIndex":
+        self.segments = self.segments.cache()
+        self.norms = self.norms.cache()
+        self.segments.count(), self.norms.count()
+        return self
+
+    def term_df(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        rows = self.term_stats.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: r["df"] for r in rows}
+
+    def search(self, query: str, k: int = 10, mode: str = "must") -> DataFrame:
+        from ..functions.query_parse import parse_query
+        from ..operators.wand import wand_topk
+
+        pq = parse_query(query, self.analyzer)
+        tdf = self.term_df(pq.uniq_terms)
+        return wand_topk(
+            self.segments, self.norms, pq,
+            self.stats["num_docs"], self.stats["avgdl"], tdf,
+            k=k, mode=mode, analyzer=self.analyzer,
+        )
+
+    def search_list(self, query: str, k: int = 10, mode: str = "must"):
+        return [(r["doc_id"], r["score"]) for r in self.search(query, k, mode).collect()]
