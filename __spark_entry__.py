@@ -18,12 +18,48 @@ asc) before the top-k cut so the cut is deterministic in both engines.
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 SF0001 = "/root/testdata/sf0.001"
+
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ensure_workers_have_pkg(spark: SparkSession) -> None:
+    """Ship stractt_spark to executor Python workers via addPyFile — the
+    driver may run from any cwd, and UDF closures resolve the package by
+    module name on the worker side."""
+    if id(spark) in _PKG_SHIPPED:
+        return
+    pkg = os.path.join(_REPO, "stractt_spark")
+    zpath = "/tmp/stractt_spark_pkg.zip"
+    srcs = [os.path.join(r, f) for r, _, fs in os.walk(pkg) for f in fs if f.endswith(".py")]
+    newest = max(os.path.getmtime(p) for p in srcs)
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest:
+        with zipfile.ZipFile(zpath + ".tmp", "w") as z:
+            for p in srcs:
+                z.write(p, os.path.relpath(p, _REPO))
+        os.replace(zpath + ".tmp", zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _PKG_SHIPPED.add(id(spark))
+
+
+def _shipped(fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers_have_pkg(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 # exact-parity ASCII token pattern (Java regex == RE2 semantics here)
 TOKEN_RE = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r\\f\\v]"
@@ -71,6 +107,7 @@ def _engine(spark: SparkSession, sf_dir: str):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: top-20 BM25 for a two-term OR query + doc-store join."""
+    _ensure_workers_have_pkg(spark)
     docs = spark.read.parquet(f"{SF0001}/documents.parquet")
     eng = _engine(spark, SF0001)
     top = eng.search("merge sort", k=20, mode="should")
@@ -161,19 +198,255 @@ def _bm25_sql(terms: list[str], mode: str) -> str:
     )
 
 
+# ---------------------------------------- dedup / similarity / text stats
+
+_WAND_INDEX_CACHE: dict[str, object] = {}
+
+
+def _q_bm25_wand(terms: list[str], mode: str):
+    """BM25 through the FULL persisted pipeline: build segments index (once
+    per sf_dir), query via block-max WAND — gated against the same SQL
+    oracle as the exhaustive path (results must be identical)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from stractt_spark.plans.build import SegmentIndex, build_index
+
+        key = sf_dir
+        if key not in _WAND_INDEX_CACHE:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            out = f"/tmp/stractt_entry_idx_{abs(hash(sf_dir))}"
+            build_index(spark, docs, out, text_col="text", id_col="doc_id",
+                        analyzer="ascii", docs_per_segment=256)
+            _WAND_INDEX_CACHE[key] = SegmentIndex(spark, out)
+        idx = _WAND_INDEX_CACHE[key]
+        top = idx.search(" ".join(terms), k=10, mode=mode)
+        return top.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
+    return run
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup_groups(docs, "text", "doc_id").select(
+        "doc_id", "keep_id", "group_size"
+    )
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=1, threshold=0.8, max_shingle_freq=10**9
+    )
+
+
+def _q_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb, [float(x) for x in qvec], k=10, exclude_id=0)
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.textstats import token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_stats(docs, "text", "doc_id")
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(docs, "text", "doc_id")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.textstats import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs, "text", "doc_id")
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the gate: text bytes stand in for media
+    payloads; n_bytes is oracle-checkable, features are pipeline-internal."""
+    from stractt_spark.operators.multimodal import extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_features(media).select("media_id", "media_type", "n_bytes")
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with exact verification (rows-only driver check; the
+    hash family is not SQL-expressible — exactness is pytest-gated)."""
+    from stractt_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.dedup import simhash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash64(docs, "text", "doc_id")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.textstats import doc_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_fingerprint(docs, "text", "doc_id")
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_bucket_topk(
+        emb, [float(x) for x in qvec], k=10, n_planes=16, max_mismatch=16,
+        exclude_id=0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    qs = _raw_queries()
+    return {name: _shipped(fn) for name, fn in qs.items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # inverted index / BM25 core
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
         "term_df_idf": _q_term_df_idf,
         "bm25_top10_the": _bm25_query(["the"], "should"),
         "bm25_top10_and": _bm25_query(["merge", "sort"], "must"),
         "bm25_top10_or": _bm25_query(["hash", "join"], "should"),
+        "bm25_wand_and": _q_bm25_wand(["merge", "sort"], "must"),
+        "bm25_wand_or": _q_bm25_wand(["hash", "join"], "should"),
+        # dedup family
+        "exact_dedup": _q_exact_dedup,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash64": _q_simhash,
+        # similarity
+        "cosine_top10": _q_cosine_top10,
+        "ann_lsh_top10": _q_ann_lsh,
+        # text analysis
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        # multimodal plumbing
+        "multimodal_nbytes": _q_multimodal,
     }
 
 
+_STOPLIST_SQL = "['the','and','of','to','is','in','that','for']"
+
+_LANG_SETS_SQL = {
+    "en": "['the','and','of','to','is','in','that','for']",
+    "es": "['el','la','de','que','y','en','los','una']",
+    "de": "['der','die','das','und','ist','von','ein','mit']",
+    "fr": "['le','la','les','de','et','est','un','une']",
+}
+
+_COS_EXPR = (
+    "list_dot_product(CAST(v.embedding AS DOUBLE[]), q.e) / "
+    "(sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), "
+    "CAST(v.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.e, q.e)))"
+)
+
+_COSINE_SQL = (
+    "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+    "WHERE vec_id = 0) "
+    f"SELECT v.vec_id AS vec_id, round({_COS_EXPR}, 6) AS cos "
+    "FROM embeddings v, q WHERE v.vec_id <> 0 "
+    f"ORDER BY {_COS_EXPR} DESC, v.vec_id ASC LIMIT 10"
+)
+
+_TOKS_L_CTE = (
+    "toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE}') AS l FROM documents)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
+    lang_union = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, len(list_filter(l, x -> "
+        f"list_contains({stops}, x))) AS h FROM toks"
+        for lang, stops in sorted(_LANG_SETS_SQL.items())
+    )
     return {
+        "bm25_wand_and": _bm25_sql(["merge", "sort"], "must"),
+        "bm25_wand_or": _bm25_sql(["hash", "join"], "should"),
+        "exact_dedup": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id, "
+            "count(*) OVER (PARTITION BY sha256(text)) AS group_size FROM documents"
+        ),
+        "jaccard_pairs": (
+            f"WITH {_TOKS_L_CTE}, "
+            "grams AS (SELECT doc_id, unnest(list_distinct(l)) AS shingle FROM toks), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, "
+            "round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8"
+        ),
+        "cosine_top10": _COSINE_SQL,
+        "ann_lsh_top10": _COSINE_SQL,  # max_mismatch = n_planes ⇒ exact
+        "token_stats": (
+            f"WITH {_TOKS_L_CTE} "
+            "SELECT doc_id, len(l) AS n_tokens, len(list_distinct(l)) AS n_distinct, "
+            "round(len(list_distinct(l)) / CAST(greatest(len(l), 1) AS DOUBLE), 6) "
+            "AS distinct_ratio, "
+            "round(list_aggregate(list_transform(l, x -> length(x)), 'sum') / "
+            "CAST(greatest(len(l), 1) AS DOUBLE), 6) AS avg_token_len FROM toks"
+        ),
+        "quality_score": (
+            f"WITH {_TOKS_L_CTE} "
+            "SELECT doc_id, len(l) AS n_tokens, "
+            f"round(len(list_filter(l, x -> list_contains({_STOPLIST_SQL}, x))) / "
+            "CAST(greatest(len(l), 1) AS DOUBLE), 6) AS stopword_ratio, "
+            "round(0.4 * least(1.0, len(l) / 70.0) "
+            "+ 0.3 * (len(list_distinct(l)) / CAST(greatest(len(l), 1) AS DOUBLE)) "
+            f"+ 0.3 * least(1.0, (len(list_filter(l, x -> list_contains({_STOPLIST_SQL}, x))) / "
+            "CAST(greatest(len(l), 1) AS DOUBLE)) / 0.3), 6) AS quality FROM toks"
+        ),
+        "lang_id": (
+            f"WITH {_TOKS_L_CTE}, hits AS ({lang_union}), "
+            "r AS (SELECT doc_id, lang, h, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn FROM hits) "
+            "SELECT doc_id, lang AS lang_pred, h AS lang_hits FROM r WHERE rn = 1"
+        ),
+        "multimodal_nbytes": (
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type, "
+            "octet_length(encode(text)) AS n_bytes FROM documents"
+        ),
+        # NOTE: minhash_pairs / simhash64 / doc_fingerprint intentionally
+        # have NO oracle entry — their hash families are not expressible in
+        # SQL; the driver records a rows-only check and exactness is
+        # enforced by pytest (tests/test_dedup.py, test_textstats_*).
         "postings_tf": (
             f"WITH {_TOKS_CTE} SELECT term, doc_id, count(*) AS tf "
             "FROM toks GROUP BY term, doc_id"

@@ -66,7 +66,7 @@ def run(sf_dir: str, cpus: int, corpus_docs: int) -> dict:
     # Generation is NOT part of the measured build: the production input is
     # an Iceberg table that already exists — generate once to parquet
     # (cached across runs), then measure read → tokenize → postings.
-    cache_path = f"/tmp/stractt_bench_corpus_n{corpus_docs}_s42.parquet"
+    cache_path = f"/tmp/stractt_bench_corpus_v2_n{corpus_docs}_s42.parquet"
     if not os.path.isdir(cache_path):
         corpus_spark_df(spark, corpus_docs, partitions=max(cpus, 8)).write.mode(
             "overwrite"
@@ -78,9 +78,7 @@ def run(sf_dir: str, cpus: int, corpus_docs: int) -> dict:
     # split size; repartition so the tokenize stage actually uses the cores
     # (at production scale the table has thousands of natural splits).
     corpus = spark.read.parquet(cache_path).repartition(cpus * 2)
-    # doc_id for the throughput run: (repo,path,commit) is unique — hash to long
-    corpus_ids = corpus.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
-    cp = build_postings(corpus_ids, "content", "doc_id", analyzer="code")
+    cp = build_postings(corpus, "content", "doc_id", analyzer="code")
     n_cpost = cp.count()
     t_corpus = time.time() - t0
     out["corpus_docs"] = corpus_docs

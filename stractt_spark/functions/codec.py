@@ -22,11 +22,17 @@ _MASK = np.uint64(0x7F)
 _CONT = np.uint64(0x80)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (little-endian 7-bit groups)."""
+def varint_encode(
+    values: np.ndarray, return_lengths: bool = False
+) -> bytes | tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array (little-endian 7-bit groups).
+
+    With ``return_lengths=True`` also returns the per-value byte count —
+    lets a caller encode one long concatenated stream and slice it at
+    arbitrary value boundaries (the segment encoder slices per block)."""
     arr = np.ascontiguousarray(values, dtype=np.uint64)
     if arr.size == 0:
-        return b""
+        return (b"", np.zeros(0, dtype=np.int64)) if return_lengths else b""
     nbytes = np.ones(arr.shape, dtype=np.int64)
     v = arr >> _SEVEN
     while v.any():
@@ -41,7 +47,7 @@ def varint_encode(values: np.ndarray) -> bytes:
     payload = (vals >> (group.astype(np.uint64) * _SEVEN)) & _MASK
     is_last = group == np.repeat(nbytes - 1, nbytes)
     out = np.where(is_last, payload, payload | _CONT).astype(np.uint8)
-    return out.tobytes()
+    return (out.tobytes(), nbytes) if return_lengths else out.tobytes()
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -85,18 +85,20 @@ def split_identifier(token: str) -> list[str]:
     return parts
 
 
+# Single-pass code analyzer: acronym runs, capitalized segments, and
+# lower/digit runs match directly — underscores and punctuation fall out as
+# non-matches.  One findall per document (no per-token Python), canonical
+# semantics: "parseHTTPResponse_fast" → parse/HTTP/Response/fast,
+# "AB1c" → AB/1c (digit run after an acronym starts a new token).
+_CODE_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z0-9]+")
+
+
 def tokenize_code(text: str, stopwords: frozenset[str] = frozenset()) -> list[str]:
-    """Code-aware analyzer: ASCII word runs split as identifiers
-    (``_`` + camelCase), lowercased; punctuation tokens dropped; stoplist.
-    """
-    out: list[str] = []
-    for tok in _ASCII_RE.findall(text):
-        if len(tok) == 1 and not tok.isalnum() and tok != "_":
-            continue  # punctuation carries no signal for code search
-        for sub in split_identifier(tok):
-            if sub not in stopwords:
-                out.append(sub)
-    return out
+    """Code-aware analyzer: identifiers split on ``_`` and camelCase
+    boundaries, lowercased; punctuation dropped; stoplist applied."""
+    if stopwords:
+        return [t for m in _CODE_RE.findall(text) if (t := m.lower()) not in stopwords]
+    return [m.lower() for m in _CODE_RE.findall(text)]
 
 
 def tokenize_identity(text: str) -> list[str]:

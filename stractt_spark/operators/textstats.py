@@ -1,0 +1,153 @@
+"""Text analysis for training-data pipelines: token counts, quality
+scoring, language ID, document fingerprints.
+
+All formulas are deterministic and (where oracle-gated) expressible in
+both Spark SQL and DuckDB SQL; the heuristics follow the shape of the
+reference's text-quality machinery (stopword density / length thresholds
+of its JusText boilerplate pass, /root/reference/src/webpage/just_text.rs:
+27-32) re-targeted at corpus curation instead of HTML cleaning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import SQL_TOKEN_PATTERN
+
+# Tiny per-language stopword sets for the n-gram/stopword-ratio language
+# heuristic.  Deliberately small + fixed so the same lists inline into SQL.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "una"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "mit"),
+    "fr": ("le", "la", "les", "de", "et", "est", "un", "une"),
+}
+
+# JusText-inspired quality thresholds (just_text.rs:27-32)
+LENGTH_LOW = 70
+STOPWORDS_LOW = 0.30
+
+
+def _tokens_col(text_col: str) -> F.Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{SQL_TOKEN_PATTERN}', 0)")
+
+
+def token_stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """→ (doc_id, n_tokens, n_distinct, distinct_ratio, avg_token_len) —
+    pure JVM expressions (no UDF)."""
+    toks = _tokens_col(text_col)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t")
+    ).select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).cast("long").alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct("_t"))
+            / F.greatest(F.size("_t"), F.lit(1)).cast("double"),
+            6,
+        ).alias("distinct_ratio"),
+        F.round(
+            F.aggregate("_t", F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size("_t"), F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministic quality score in [0,1]:
+    0.4·min(1, n_tokens/LENGTH_LOW) + 0.3·distinct_ratio +
+    0.3·min(1, stopword_ratio/STOPWORDS_LOW) — length, lexical diversity
+    and stopword density, the JusText signal triple."""
+    stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    toks = _tokens_col(text_col)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t"))
+    n = F.greatest(F.size("_t"), F.lit(1)).cast("double")
+    stop_ratio = F.size(F.filter("_t", lambda t: F.array_contains(stops, t))) / n
+    distinct_ratio = F.size(F.array_distinct("_t")) / n
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), F.size("_t") / F.lit(float(LENGTH_LOW)))
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio / F.lit(STOPWORDS_LOW))
+    )
+    return base.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-overlap language heuristic: → (doc_id, lang_pred, lang_hits).
+
+    Picks the language whose stopword set has the most token hits
+    (ties → lexicographically LARGEST lang code, deterministic — matches
+    ``ORDER BY hits DESC, lang DESC LIMIT 1`` in SQL).  The reference used
+    whatlang with a 0.95 confidence gate (webpage/mod.rs:286-304); this is
+    the dependency-free analogue for corpora without a lang column."""
+    toks = _tokens_col(text_col)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t"))
+    hit_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter("_t", lambda t: F.array_contains(stops, t)))
+                .cast("long").alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # array_max on (hits, lang) structs: max hits, then max lang — to keep
+    # ties deterministic-lexicographic-SMALLEST we negate via sort instead
+    best = F.element_at(
+        F.reverse(F.array_sort(F.array(*hit_cols))), 1
+    )
+    return base.select(
+        "doc_id",
+        best["lang"].alias("lang_pred"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, text_col: str, id_col: str, analyzer: str = "ascii"
+) -> DataFrame:
+    """→ (doc_id, fingerprint long): polynomial rolling hash over the token
+    stream (order-sensitive, whitespace-insensitive) — the cheap
+    content-identity for incremental re-crawls.  Vectorized numpy horner
+    loop over token hashes."""
+    from ..functions.tokenizer import get_analyzer
+
+    from .dedup import _hash64
+
+    tokenize = get_analyzer(analyzer)
+    src = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_t"))
+    P = np.uint64(1099511628211)  # FNV prime
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["_t"].values):
+                toks = tokenize(text or "")
+                if toks:
+                    h = _hash64(toks)
+                    acc = np.uint64(14695981039346656037)
+                    # horner: acc = acc*P ^ h[i] — short loop over tokens,
+                    # numpy scalar ops (order-sensitive by construction)
+                    for v in h:
+                        acc = (acc * P) ^ v
+                else:
+                    acc = np.uint64(0)
+                ids.append(doc_id)
+                fps.append(np.int64(acc.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "fingerprint": pd.Series(fps, dtype="int64")})
+
+    return src.mapInPandas(emit, "doc_id long, fingerprint long")

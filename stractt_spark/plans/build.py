@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from ..operators.postings import build_postings, doc_stats
 from ..operators.segments import build_norms, build_segments, with_segment_id
 
-STAGES = ("postings", "segments", "norms", "term_stats", "stats")
+STAGES = ("postings", "doc_stats", "segments", "norms", "term_stats", "stats")
 
 
 @dataclass
@@ -54,6 +54,10 @@ class IndexPaths:
     @property
     def postings(self) -> str:
         return os.path.join(self.root, "postings.parquet")
+
+    @property
+    def doc_stats(self) -> str:
+        return os.path.join(self.root, "doc_stats.parquet")
 
     @property
     def segments(self) -> str:
@@ -137,13 +141,18 @@ def build_index(
         e = manifest["stages"].get(stage)
         return bool(e and e.get("fingerprint") == fp and e.get("ok"))
 
+    _t_last = [time.time()]
+
     def mark(stage: str, **extra) -> None:
+        elapsed = round(time.time() - _t_last[0], 2)
+        _t_last[0] = time.time()
         manifest["stages"][stage] = {
-            "fingerprint": fp, "ok": True, "completed_at": time.time(), **extra,
+            "fingerprint": fp, "ok": True, "completed_at": time.time(),
+            "elapsed_sec": elapsed, **extra,
         }
         _write_manifest(paths, manifest)
         if log:
-            print(f"[build] stage {stage} done {extra}")
+            print(f"[build] stage {stage} done in {elapsed}s {extra}")
         if fail_after == stage:
             raise StageAborted(stage)
 
@@ -155,12 +164,23 @@ def build_index(
         mark("postings", rows=n)
     postings = spark.read.parquet(paths.postings)
 
+    # -- 1.5 doc_stats — materialized ONCE (norms + global stats both need
+    # the per-doc (dl, norm_id) reduction; recomputing it per stage doubled
+    # the largest groupBy in the build) -----------------------------------
+    if not done("doc_stats"):
+        doc_stats(postings).write.mode("overwrite").parquet(paths.doc_stats)
+        mark("doc_stats")
+    doc_stats_df = spark.read.parquet(paths.doc_stats)
+
     # -- 2. segments ------------------------------------------------------
     if not done("segments"):
         seg = build_segments(postings, docs_per_segment)
+        # build_segments already shuffled by (segment_id, term); a
+        # repartitionByRange here would run the encode TWICE (range-sampling
+        # pass + real pass).  sortWithinPartitions is shuffle-free and gives
+        # the same parquet row-group locality for term/segment pruning.
         (
-            seg.repartitionByRange("segment_id", "term")
-            .sortWithinPartitions("segment_id", "term", "block_id")
+            seg.sortWithinPartitions("segment_id", "term", "block_id")
             .write.mode("overwrite")
             .parquet(paths.segments)
         )
@@ -187,8 +207,9 @@ def build_index(
 
     # -- 3. norms ---------------------------------------------------------
     if not done("norms"):
-        ds = doc_stats(postings)
-        build_norms(ds, docs_per_segment).write.mode("overwrite").parquet(paths.norms)
+        build_norms(doc_stats_df, docs_per_segment).write.mode("overwrite").parquet(
+            paths.norms
+        )
         lin = (
             spark.read.parquet(paths.norms)
             .select("segment_id", "n_docs")
@@ -217,7 +238,7 @@ def build_index(
     # -- 5. global stats --------------------------------------------------
     if not done("stats"):
         n_docs = docs.count()
-        total = doc_stats(postings).agg(F.sum("dl")).collect()[0][0] or 0
+        total = doc_stats_df.agg(F.sum("dl")).collect()[0][0] or 0
         stats = {
             "num_docs": int(n_docs),
             "total_tokens": int(total),

@@ -29,10 +29,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # autoBroadcastJoinThreshold default 10 MB is right for our dims
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = ONE shared heap for all task threads; concurrent
+        # collect_list aggregations GC-thrash under a small heap (measured:
+        # segment encode anti-scaled 8→32 cores at 8g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
     for k, v in (extra_conf or {}).items():

@@ -110,16 +110,21 @@ def make_corpus(n: int, seed: int = 42, n_repos: int = 20) -> list[dict[str, str
 def corpus_spark_df(spark, n: int, seed: int = 42, n_repos: int = 20, partitions: int = 8):
     """Distributed generation: rows are a pure function of the index, so we
     parallelize the index range and map partitions — no driver-side
-    materialization at scale."""
-    from pyspark.sql.types import StringType, StructField, StructType
+    materialization at scale.  ``doc_id`` = generation index: dense,
+    deterministic, partition-count-independent (for external corpora
+    without stable ids, use ``operators.postings.assign_doc_ids``)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    schema = StructType([StructField(c, StringType(), False)
-                         for c in ("repo", "path", "commit", "lang", "content")])
+    schema = StructType(
+        [StructField("doc_id", LongType(), False)]
+        + [StructField(c, StringType(), False)
+           for c in ("repo", "path", "commit", "lang", "content")]
+    )
 
     def gen(idx_iter):
         for i in idx_iter:
             r = make_row(i, seed, n_repos)
-            yield (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+            yield (i, r["repo"], r["path"], r["commit"], r["lang"], r["content"])
 
     rdd = spark.sparkContext.parallelize(range(n), partitions).mapPartitions(
         lambda it: gen(it)

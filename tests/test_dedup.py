@@ -1,0 +1,102 @@
+"""Dedup family: exact, n-gram Jaccard, MinHash+LSH, SimHash."""
+
+import itertools
+
+import pytest
+
+from stractt_spark.functions.tokenizer import tokenize_ascii
+from stractt_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+
+
+def _jaccard(a: str, b: str, n: int = 3) -> float:
+    ta, tb = tokenize_ascii(a), tokenize_ascii(b)
+    sa = {" ".join(ta[i:i + n]) for i in range(len(ta) - n + 1)}
+    sb = {" ".join(tb[i:i + n]) for i in range(len(tb) - n + 1)}
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    variant = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    other = "completely different content about spark segment posting compression"
+    rows = [
+        (0, base), (1, base),              # exact dups
+        (2, variant),                      # near dup of 0/1
+        (3, other), (4, other + " extra"),  # near pair
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def test_exact_dedup(dup_docs):
+    docs, _ = dup_docs
+    pdf = exact_dedup_groups(docs, "text", "doc_id").toPandas()
+    g = pdf.set_index("doc_id")
+    assert g.loc[0, "keep_id"] == 0 and g.loc[1, "keep_id"] == 0
+    assert g.loc[0, "group_size"] == 2
+    assert g.loc[2, "group_size"] == 1
+
+
+def test_ngram_jaccard_pairs_exact(dup_docs):
+    docs, rows = dup_docs
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3,
+                                     max_shingle_freq=10**6).collect()
+    }
+    expected = {}
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        jac = _jaccard(a, b)
+        if jac >= 0.3:
+            expected[(i, j)] = round(jac, 6)
+    assert got == expected
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+
+
+def test_minhash_lsh_recall_and_verify(dup_docs):
+    docs, rows = dup_docs
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    # exact-dup and high-sim pairs must be found and exactly verified
+    assert verified[(0, 1)] == 1.0
+    assert (0, 2) in verified and (1, 2) in verified
+    # every reported jaccard is the true one (verification is exact)
+    for (a, b), j in verified.items():
+        assert abs(_jaccard(rows[a][1], rows[b][1]) - j) < 1e-6
+
+
+def test_minhash_identical_docs_identical_sigs(dup_docs):
+    docs, _ = dup_docs
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in
+            minhash_signatures(docs, "text", "doc_id").collect()}
+    assert sigs[0] == sigs[1]
+    assert len(sigs[0]) == 64
+    # LSH candidates include the identical pair
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             lsh_candidate_pairs(minhash_signatures(docs, "text", "doc_id")).collect()}
+    assert (0, 1) in pairs
+
+
+def test_simhash_near_pairs(dup_docs):
+    docs, _ = dup_docs
+    sim = simhash64(docs, "text", "doc_id")
+    h = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert h[0] == h[1]  # identical text → identical simhash
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_near_pairs(sim, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs  # one-token change → small hamming
+    # exact hamming matches popcount of xor
+    for (a, b), ham in pairs.items():
+        assert bin((h[a] ^ h[b]) & ((1 << 64) - 1)).count("1") == ham

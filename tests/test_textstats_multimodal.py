@@ -1,0 +1,99 @@
+"""Text analysis + multimodal plumbing."""
+
+import numpy as np
+import pytest
+
+from stractt_spark.functions.tokenizer import tokenize_ascii
+from stractt_spark.operators.multimodal import (
+    FEATURE_DIM,
+    DeterministicFakeDecoder,
+    LibraryDecoder,
+    extract_features,
+    frame_sample_plan,
+)
+from stractt_spark.operators.textstats import (
+    LANG_STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox and the lazy dog for the win in that case"),
+        (1, "el perro y el gato en la casa de los vecinos con una mesa"),
+        (2, "der hund und die katze ist von einem haus mit der tür"),
+        (3, "x " * 200),  # long, zero diversity, no stopwords
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def test_token_stats(docs):
+    df, rows = docs
+    got = {r["doc_id"]: r for r in token_stats(df, "text", "doc_id").collect()}
+    for i, text in rows:
+        toks = tokenize_ascii(text)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["n_distinct"] == len(set(toks))
+    assert got[4]["n_tokens"] == 0
+
+
+def test_quality_score_ordering(docs):
+    df, _ = docs
+    q = {r["doc_id"]: r["quality"] for r in quality_score(df, "text", "doc_id").collect()}
+    # english prose beats the repeated-x doc and the empty doc
+    assert q[0] > q[3] > q[4]
+    assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+
+
+def test_language_id(docs):
+    df, _ = docs
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(df, "text", "doc_id").collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "de"
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "gamma beta alpha"),
+         (3, "alpha  beta\tgamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in
+          doc_fingerprint(df, "text", "doc_id").collect()}
+    assert fp[0] == fp[1]        # identical
+    assert fp[0] != fp[2]        # order-sensitive
+    assert fp[0] == fp[3]        # whitespace-insensitive
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [(i, "image" if i % 2 == 0 else "audio",
+             bytes([i] * (10 + i))) for i in range(6)] + [(6, "image", None)]
+    media = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    out = extract_features(media).toPandas().set_index("media_id")
+    assert len(out) == 7
+    assert all(len(f) == FEATURE_DIM for f in out["feature"])
+    assert out.loc[6, "n_bytes"] == 0
+    # deterministic: same payload+type → same feature; type changes feature
+    dec = DeterministicFakeDecoder()
+    f_img = dec.decode_batch([bytes([0] * 10)], "image")
+    assert np.allclose(np.asarray(out.loc[0, "feature"]), f_img[0], atol=1e-6)
+    f_aud = dec.decode_batch([bytes([0] * 10)], "audio")
+    assert not np.allclose(f_img, f_aud)
+
+
+def test_library_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        LibraryDecoder().decode_batch([b"x"], "image")
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame([(0, 25), (1, 3), (2, 0)], "media_id long, n_frames long")
+    got = {(r["media_id"], r["frame_no"]) for r in
+           frame_sample_plan(media, every_n=10).collect()}
+    assert got == {(0, 0), (0, 10), (0, 20), (1, 0), (2, 0)}
