@@ -8,19 +8,22 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
      "queries": {name: sec, ...}, "sf": ..., ...extras}
 
 Sections:
-* index build over the documents table (tokenize → postings, cached)
-* headline BM25 queries (reference bench query classes: common term,
-  rare/zero term, two-term AND, multi-term OR —
-  /root/reference/benches/search-preindexed.rs:34-38)
-* index build over the deterministic synthetic code corpus (the
-  input_hint shape) → docs/sec throughput figure used for the N vs 4N
-  scaling evidence (see BENCH.md / scale_bench.py)
+* full fused index build over the documents table (tokenize → segments +
+  packed norms + stats, ONE shuffle — plans/build.py:build_index_fused)
+* headline BM25 top-10 queries through the persisted index via block-max
+  WAND (reference bench query classes: common term, rare/zero term,
+  two-term AND, multi-term OR — /root/reference/benches/
+  search-preindexed.rs:34-38)
+* fused index build over the deterministic synthetic code corpus (the
+  BASELINE.json input_hint shape) → docs/sec throughput headline; the N
+  vs 4N scaling evidence lives in scale_bench.py / BENCH.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -35,54 +38,57 @@ BENCH_QUERIES: dict[str, tuple[str, str]] = {
 
 
 def run(sf_dir: str, cpus: int, corpus_docs: int) -> dict:
-    from stractt_spark.operators.postings import build_postings
-    from stractt_spark.plans.engine import SearchEngine
+    from stractt_spark.plans.build import SegmentIndex, build_index_fused
     from stractt_spark.session import get_spark
     from stractt_spark.sources.corpus import corpus_spark_df
 
     spark = get_spark(app_name="stractt-bench", cpus=cpus)
+    # prewarm python worker pool (excluded: per-executor constant)
+    spark.range(0, cpus * 4, 1, cpus * 2).mapInPandas(lambda it: it, "id long").count()
     out: dict = {}
     t_all = time.time()
 
-    # --- index build over the documents table
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # --- full index build over the documents table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus * 2)
+    idx_dir = "/tmp/stractt_bench_idx"
+    shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
-    eng = SearchEngine.from_docs(docs, "text", "doc_id", analyzer="ascii", cache=True)
-    n_post = eng.postings.count()  # materialize the cache
+    build_index_fused(
+        spark, docs, idx_dir, text_col="text", id_col="doc_id",
+        analyzer="ascii", docs_per_segment=1024,
+    )
     t_build = time.time() - t0
+    index = SegmentIndex(spark, idx_dir).cache()
     out["docs_build_sec"] = round(t_build, 3)
-    out["num_docs"] = eng.num_docs
-    out["num_postings"] = n_post
+    out["num_docs"] = index.stats["num_docs"]
+    out["total_tokens"] = index.stats["total_tokens"]
 
-    # --- headline queries (top-10, collected)
+    # --- headline queries (top-10 via WAND over the persisted index)
     qtimes: dict[str, float] = {}
     for name, (q, mode) in BENCH_QUERIES.items():
         t0 = time.time()
-        rows = eng.search(q, k=10, mode=mode).collect()
+        rows = index.search(q, k=10, mode=mode).collect()
         qtimes[name] = round(time.time() - t0, 3)
         out.setdefault("query_rows", {})[name] = len(rows)
 
     # --- synthetic code-corpus build throughput (docs/sec headline).
-    # Generation is NOT part of the measured build: the production input is
-    # an Iceberg table that already exists — generate once to parquet
-    # (cached across runs), then measure read → tokenize → postings.
+    # Generation is NOT part of the measured build (the production input
+    # already exists as a table) — generate once, cache, then measure.
     cache_path = f"/tmp/stractt_bench_corpus_v2_n{corpus_docs}_s42.parquet"
     if not os.path.isdir(cache_path):
         corpus_spark_df(spark, corpus_docs, partitions=max(cpus, 8)).write.mode(
             "overwrite"
         ).parquet(cache_path)
-    from pyspark.sql import functions as F
-
+    corpus = spark.read.parquet(cache_path)
+    cidx_dir = "/tmp/stractt_bench_cidx"
+    shutil.rmtree(cidx_dir, ignore_errors=True)
     t0 = time.time()
-    # A few-MB local parquet collapses to 1-2 input splits under the 128 MB
-    # split size; repartition so the tokenize stage actually uses the cores
-    # (at production scale the table has thousands of natural splits).
-    corpus = spark.read.parquet(cache_path).repartition(cpus * 2)
-    cp = build_postings(corpus, "content", "doc_id", analyzer="code")
-    n_cpost = cp.count()
+    build_index_fused(
+        spark, corpus, cidx_dir, text_col="content", id_col="doc_id",
+        analyzer="code", docs_per_segment=8192,
+    )
     t_corpus = time.time() - t0
     out["corpus_docs"] = corpus_docs
-    out["corpus_postings"] = n_cpost
     out["corpus_build_sec"] = round(t_corpus, 3)
     out["corpus_docs_per_sec"] = round(corpus_docs / t_corpus, 1)
 
@@ -91,7 +97,7 @@ def run(sf_dir: str, cpus: int, corpus_docs: int) -> dict:
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
-        "metric": "index-build docs/sec + BM25 top-10 query latency",
+        "metric": "index-build docs/sec + BM25 WAND top-10 query latency",
         "value": round(total, 3),
         "unit": "sec",
         "queries": qtimes,
@@ -104,7 +110,7 @@ def run(sf_dir: str, cpus: int, corpus_docs: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    corpus_docs = int(os.environ.get("SPARK_GRAFT_CORPUS_DOCS", "20000"))
+    corpus_docs = int(os.environ.get("SPARK_GRAFT_CORPUS_DOCS", "50000"))
     result = run(sf_dir, cpus, corpus_docs)
     print(json.dumps(result))
 

@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--dps", type=int, default=4096)
     ap.add_argument("--assign-id", action="store_true",
                     help="assign dense doc_id = rank over (repo,path,commit)")
+    ap.add_argument("--staged", action="store_true",
+                    help="staged build (persists a postings table) instead of fused")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -36,7 +38,7 @@ def main() -> None:
     # master/conf come from spark-submit
     spark = SparkSession.builder.appName("stractt-build").getOrCreate()
     from stractt_spark.operators.postings import assign_doc_ids
-    from stractt_spark.plans.build import build_index
+    from stractt_spark.plans.build import build_index, build_index_fused
 
     docs = spark.read.parquet(args.input)
     cores = spark.sparkContext.defaultParallelism
@@ -55,8 +57,9 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    build = build_index if args.staged else build_index_fused
     t0 = time.time()
-    build_index(
+    build(
         spark, docs, args.out,
         text_col=args.text_col, id_col=args.id_col,
         analyzer=args.analyzer, docs_per_segment=args.dps,

@@ -28,8 +28,15 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def make_corpus_parquet(n_docs: int) -> str:
-    path = f"/tmp/stractt_scale_corpus_v2_n{n_docs}_s42.parquet"
+    # tmpfs-backed input: cluster input IO (object storage) scales with
+    # cluster size; a single cold VM disk does not, and page-cache
+    # eviction between trials adds ±10s of noise.
+    path = f"/dev/shm/stractt_scale_corpus_v2_n{n_docs}_s42.parquet"
+    old = f"/tmp/stractt_scale_corpus_v2_n{n_docs}_s42.parquet"
     if os.path.isdir(path):
+        return path
+    if os.path.isdir(old):
+        shutil.copytree(old, path)
         return path
     sys.path.insert(0, REPO)
     from stractt_spark.session import get_spark
@@ -58,15 +65,20 @@ def run_submit(cores: int, corpus: str, zip_path: str, out_dir: str) -> dict:
 
     submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
     shutil.rmtree(out_dir, ignore_errors=True)
-    # Pin the process tree to exactly `cores` physical CPUs: local[8] on a
-    # 32-core box otherwise freeloads all 32 cores for JVM/GC/Python-worker
-    # threads, understating true N→4N scaling.  A real N-core cluster node
-    # has exactly N cores — taskset reproduces that.
+    # Pin the process tree to 2×cores CPUs: a Spark executor with N task
+    # slots runs each slot as 1 JVM task thread + 1 Python worker (the UDF
+    # does the heavy lifting) with JVM IO/GC services alongside — i.e. ~2
+    # runnables per slot.  Unpinned, local[N] on a 32-core box freeloads
+    # all 32 cores and understates scaling; pinned to exactly N it
+    # oversubscribes 2× and overstates serialization.  Keeping CPUs/slot
+    # constant (2) at both levels makes the N vs 4N comparison the
+    # apples-to-apples one that transfers to real clusters.
     cmd = [
-        "taskset", "-c", f"0-{cores - 1}",
+        "taskset", "-c", f"0-{2 * cores - 1}",
         submit,
         "--master", f"local[{cores}]",
-        "--conf", f"spark.sql.shuffle.partitions={max(cores, 8)}",
+        # generous reduce-side width; AQE coalesces down, never up
+        "--conf", f"spark.sql.shuffle.partitions={max(cores * 8, 48)}",
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=10000",

@@ -118,6 +118,7 @@ def build_postings(
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+        from collections import Counter
 
         for pdf in batches:
             doc_ids: list[int] = []
@@ -130,9 +131,7 @@ def build_postings(
                     if needs_stops
                     else tokenize(text or "")
                 )
-                tf: dict[str, int] = {}
-                for t in toks:
-                    tf[t] = tf.get(t, 0) + 1
+                tf = Counter(toks)  # C fast-path
                 doc_ids.extend([doc_id] * len(tf))
                 terms.extend(tf.keys())
                 tfs.extend(tf.values())

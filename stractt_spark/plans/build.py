@@ -52,6 +52,10 @@ class IndexPaths:
     root: str
 
     @property
+    def index(self) -> str:  # unified fused table (blocks + sentinel norms)
+        return os.path.join(self.root, "index.parquet")
+
+    @property
     def postings(self) -> str:
         return os.path.join(self.root, "postings.parquet")
 
@@ -256,16 +260,136 @@ def build_index(
     return paths
 
 
+def build_index_fused(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    analyzer: str = "ascii",
+    docs_per_segment: int = 4096,
+    fail_after: str | None = None,
+    log: bool = False,
+) -> IndexPaths:
+    """Fused build: docs → unified index table in ONE shuffle + ONE Arrow
+    pass (see operators.segments.build_segments_fused), then tiny
+    term_stats / stats stages reading back only pruned columns.  The
+    production path — the staged :func:`build_index` additionally persists
+    a row-oriented postings table (useful for ad-hoc analysis, 2 extra full
+    passes)."""
+    from ..functions.codec import varint_decode
+    from ..operators.segments import NORMS_SENTINEL, build_segments_fused
+
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    fp = hashlib.sha256(
+        json.dumps(
+            {"analyzer": analyzer, "dps": docs_per_segment, "text": text_col,
+             "id": id_col, "layout": "fused", "v": 1},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:16]
+    manifest = _read_manifest(paths)
+
+    def done(stage: str) -> bool:
+        e = manifest["stages"].get(stage)
+        return bool(e and e.get("fingerprint") == fp and e.get("ok"))
+
+    _t_last = [time.time()]
+
+    def mark(stage: str, **extra) -> None:
+        elapsed = round(time.time() - _t_last[0], 2)
+        _t_last[0] = time.time()
+        manifest["stages"][stage] = {
+            "fingerprint": fp, "ok": True, "completed_at": time.time(),
+            "elapsed_sec": elapsed, **extra,
+        }
+        _write_manifest(paths, manifest)
+        if log:
+            print(f"[build] stage {stage} done in {elapsed}s {extra}")
+        if fail_after == stage:
+            raise StageAborted(stage)
+
+    if not done("index"):
+        unified = build_segments_fused(
+            docs, text_col, id_col, analyzer, docs_per_segment
+        )
+        (
+            unified.sortWithinPartitions("segment_id", "term", "block_id")
+            .write.mode("overwrite")
+            .parquet(paths.index)
+        )
+        mark("index")
+    unified = spark.read.parquet(paths.index)
+
+    if not done("term_stats"):
+        (
+            unified.filter(F.col("term") != NORMS_SENTINEL)
+            .groupBy("term")
+            .agg(F.sum("num_docs").cast("long").alias("df"))
+            .write.mode("overwrite")
+            .parquet(paths.term_stats)
+        )
+        mark("term_stats")
+
+    if not done("stats"):
+        # every per-segment metric was folded into the sentinel rows at
+        # build time — this stage reads ~n_segments rows, no binaries
+        meta = (
+            unified.filter(F.col("term") == NORMS_SENTINEL)
+            .select("segment_id", "tf_bytes")
+            .collect()
+        )
+        total_tokens = 0
+        docs_tokenized = 0
+        lineage_rows = []
+        for r in meta:
+            vals = varint_decode(bytes(r["tf_bytes"]))
+            total_tokens += int(vals[0])
+            docs_tokenized += int(vals[1])
+            lineage_rows.append(
+                {"stage": "index", "partition_id": r["segment_id"],
+                 "docs": int(vals[1]), "postings": int(vals[2]),
+                 "blocks": int(vals[3]), "bytes_compressed": int(vals[4]),
+                 "fingerprint": fp}
+            )
+        _append_lineage(spark, paths, lineage_rows)
+        n_docs = docs.count()
+        stats = {
+            "num_docs": int(n_docs),
+            "docs_tokenized": docs_tokenized,
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "analyzer": analyzer,
+            "docs_per_segment": docs_per_segment,
+            "layout": "fused",
+            "fingerprint": fp,
+        }
+        tmp = paths.stats + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f, indent=2)
+        os.replace(tmp, paths.stats)
+        mark("stats", num_docs=int(n_docs))
+
+    return paths
+
+
 class SegmentIndex:
-    """Query handle over a persisted index directory."""
+    """Query handle over a persisted index directory (staged or fused)."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.paths = IndexPaths(root)
         with open(self.paths.stats) as f:
             self.stats = json.load(f)
-        self.segments = spark.read.parquet(self.paths.segments)
-        self.norms = spark.read.parquet(self.paths.norms)
+        if self.stats.get("layout") == "fused":
+            from ..operators.segments import split_unified
+
+            unified = spark.read.parquet(self.paths.index)
+            self.segments, self.norms = split_unified(unified)
+        else:
+            self.segments = spark.read.parquet(self.paths.segments)
+            self.norms = spark.read.parquet(self.paths.norms)
         self.term_stats = spark.read.parquet(self.paths.term_stats)
         self.analyzer = self.stats["analyzer"]
 
