@@ -26,6 +26,10 @@ _FIELD_PREFIXES = ("repo:", "path:", "lang:", "site:")
 class ParsedQuery:
     pos_terms: list[str] = field(default_factory=list)  # with multiplicity, capped
     neg_terms: list[str] = field(default_factory=list)
+    # phrase groups: a whitespace unit whose analyzer output is >1 tokens
+    # becomes a PhraseQuery in the reference (src/query/parser.rs:228-236);
+    # populated only when parse_query(..., phrase=True)
+    phrases: list[list[str]] = field(default_factory=list)
     filters: dict[str, str] = field(default_factory=dict)      # field -> value (Must)
     anti_filters: dict[str, str] = field(default_factory=dict)  # field -> value (MustNot)
 
@@ -40,8 +44,16 @@ class ParsedQuery:
             c[t] = c.get(t, 0) + 1
         return c
 
+    @property
+    def all_match_terms(self) -> list[str]:
+        """Every positive term the engine must look up (single + phrase)."""
+        out = list(self.pos_terms)
+        for p in self.phrases:
+            out.extend(p)
+        return list(dict.fromkeys(out))
 
-def parse_query(query: str, analyzer: str = "ascii") -> ParsedQuery:
+
+def parse_query(query: str, analyzer: str = "ascii", phrase: bool = False) -> ParsedQuery:
     an = get_analyzer(analyzer)
     out = ParsedQuery()
     for raw in query.split():
@@ -52,7 +64,13 @@ def parse_query(query: str, analyzer: str = "ascii") -> ParsedQuery:
             fieldname, value = pref[:-1], body[len(pref):]
             (out.anti_filters if neg else out.filters)[fieldname] = value
             continue
-        (out.neg_terms if neg else out.pos_terms).extend(an(body))
+        toks = an(body)
+        if neg:
+            out.neg_terms.extend(toks)
+        elif phrase and len(toks) > 1:
+            out.phrases.append(toks)
+        else:
+            out.pos_terms.extend(toks)
     # MAX_SIMILAR_TERMS cap
     seen: dict[str, int] = {}
     capped: list[str] = []

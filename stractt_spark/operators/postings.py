@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -46,6 +47,11 @@ POSTINGS_SCHEMA = StructType(
         StructField("dl", IntegerType(), False),
         StructField("norm_id", IntegerType(), False),
     ]
+)
+
+POSTINGS_POS_SCHEMA = StructType(
+    POSTINGS_SCHEMA.fields
+    + [StructField("positions", ArrayType(IntegerType(), False), False)]
 )
 
 
@@ -101,8 +107,14 @@ def build_postings(
     id_col: str = "doc_id",
     analyzer: str = "ascii",
     stopwords: frozenset[str] = frozenset(),
+    include_positions: bool = False,
 ) -> DataFrame:
-    """docs → postings ``(doc_id, term, tf, dl, norm_id)``, one Arrow pass.
+    """docs → postings ``(doc_id, term, tf, dl, norm_id [, positions])``,
+    one Arrow pass.
+
+    ``include_positions`` mirrors the reference's per-field
+    ``IndexRecordOption::WithFreqsAndPositions`` (schema.rs:117-122) —
+    needed for PhraseQuery / proximity, ~doubles posting size.
 
     Narrow transformation: Catalyst prunes the scan to (id_col, text_col)
     (``ReadSchema`` shows only those two), and no shuffle happens here.
@@ -125,30 +137,43 @@ def build_postings(
             terms: list[str] = []
             tfs: list[int] = []
             dls: list[int] = []
+            poss: list[list[int]] = []
             for doc_id, text in zip(pdf["doc_id"].values, pdf["_text"].values):
                 toks = (
                     tokenize(text or "", stopwords)
                     if needs_stops
                     else tokenize(text or "")
                 )
-                tf = Counter(toks)  # C fast-path
-                doc_ids.extend([doc_id] * len(tf))
-                terms.extend(tf.keys())
-                tfs.extend(tf.values())
-                dls.extend([len(toks)] * len(tf))
+                if include_positions:
+                    pos: dict[str, list[int]] = {}
+                    for i, t in enumerate(toks):
+                        pos.setdefault(t, []).append(i)
+                    doc_ids.extend([doc_id] * len(pos))
+                    terms.extend(pos.keys())
+                    tfs.extend(len(v) for v in pos.values())
+                    poss.extend(pos.values())
+                    dls.extend([len(toks)] * len(pos))
+                else:
+                    tf = Counter(toks)  # C fast-path
+                    doc_ids.extend([doc_id] * len(tf))
+                    terms.extend(tf.keys())
+                    tfs.extend(tf.values())
+                    dls.extend([len(toks)] * len(tf))
             dl_arr = np.asarray(dls, dtype=np.int64)
             norm_ids = fieldnorm_to_id(dl_arr) if len(dls) else dl_arr
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(doc_ids, dtype="int64"),
-                    "term": pd.Series(terms, dtype="object"),
-                    "tf": pd.Series(tfs, dtype="int32"),
-                    "dl": pd.Series(dl_arr, dtype="int32"),
-                    "norm_id": pd.Series(norm_ids, dtype="int32"),
-                }
-            )
+            out = {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "term": pd.Series(terms, dtype="object"),
+                "tf": pd.Series(tfs, dtype="int32"),
+                "dl": pd.Series(dl_arr, dtype="int32"),
+                "norm_id": pd.Series(norm_ids, dtype="int32"),
+            }
+            if include_positions:
+                out["positions"] = pd.Series(poss, dtype="object")
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(emit, POSTINGS_SCHEMA)
+    schema = POSTINGS_POS_SCHEMA if include_positions else POSTINGS_SCHEMA
+    return src.mapInPandas(emit, schema)
 
 
 def doc_stats(postings: DataFrame) -> DataFrame:

@@ -60,46 +60,114 @@ def bm25_topk(
     k: int = 10,
     mode: str = "must",
     analyzer: str = "ascii",
+    phrase: bool = False,
 ) -> DataFrame:
-    """→ DataFrame (doc_id, score) of the top-k, score desc / doc_id asc."""
-    pq = parse_query(query, analyzer) if isinstance(query, str) else query
+    """→ DataFrame (doc_id, score) of the top-k, score desc / doc_id asc.
+
+    Query units are single terms and (with ``phrase=True`` parsing or an
+    explicit ParsedQuery) phrase groups.  Phrase matching is pure JVM:
+    ``tf_phrase = size(array_intersect(pos₀, shift(pos₁,−1), …))`` — the
+    intersection of shifted position arrays IS the set of phrase start
+    positions; scored as BM25 with tf = phrase count and weight = Σ
+    member idf (reference PhraseQuery semantics, query/parser.rs:228-236,
+    bm25.rs:66-90).  Requires postings built with include_positions."""
+    pq = (
+        parse_query(query, analyzer, phrase=phrase)
+        if isinstance(query, str)
+        else query
+    )
     uniq = pq.uniq_terms
     spark = postings.sparkSession
-    if not uniq:
+    match_terms = pq.all_match_terms
+    if not match_terms:
         return spark.createDataFrame([], "doc_id long, score double")
 
-    matched = postings.filter(F.col("term").isin(uniq)).select(
-        "doc_id", "term", "tf", "norm_id"
-    )
-    # document frequency per query term — tiny agg over filtered postings
-    df_t = matched.groupBy("term").agg(F.count("*").alias("df_t"))
-    # per-term multiplicity in the query (duplicated terms score repeatedly)
+    matched = postings.filter(F.col("term").isin(match_terms))
+    # global document frequency per involved term (tiny: ≤ #terms rows)
+    dfs = {
+        r["term"]: r["c"]
+        for r in matched.groupBy("term").agg(F.count("*").alias("c")).collect()
+    }
+    from ..functions.bm25 import idf as idf_fn
+
+    if mode == "must" and (
+        any(dfs.get(t, 0) == 0 for t in uniq)
+        or any(dfs.get(t, 0) == 0 for ph in pq.phrases for t in ph)
+    ):
+        return spark.createDataFrame([], "doc_id long, score double")
+
     counts = pq.term_counts
-    qcount = F.create_map(
-        *[x for t in uniq for x in (F.lit(t), F.lit(float(counts[t])))]
-    )
-    scored = (
-        matched.join(F.broadcast(df_t), "term")
-        .withColumn(
-            "_s",
-            qcount[F.col("term")]
-            * bm25_score_col(
-                F.col("tf"),
-                decoded_dl(F.col("norm_id")),
-                avgdl,
-                F.col("df_t").cast("double"),
-                num_docs,
-            ),
+    unit_frames = []
+    n_units = 0
+    if uniq:
+        # weight literal per term (constant-folded), count-folded like the
+        # reference's duplicated-term scoring
+        wmap = F.create_map(
+            *[
+                x
+                for t in uniq
+                for x in (
+                    F.lit(t),
+                    F.lit(
+                        counts[t] * idf_fn(dfs.get(t, 0), num_docs) * (K1 + 1.0)
+                    ),
+                )
+            ]
         )
-        .groupBy("doc_id")
-        # Deterministic fp summation: fold per-term contributions in term
-        # order (array_sort on the struct sorts by term first).  A plain
-        # sum() adds in partition arrival order, which flips last-ulp ties
-        # between runs — rank-identity requires a canonical order, and the
-        # oracle sums in the same one.  ≤ #query-terms elements per doc.
+        tf = F.col("tf").cast("double")
+        norm = F.lit(K1) * (
+            F.lit(1.0 - B) + F.lit(B) * decoded_dl(F.col("norm_id")) / F.lit(float(avgdl))
+        )
+        unit_frames.append(
+            matched.filter(F.col("term").isin(uniq)).select(
+                "doc_id",
+                F.lit(0).alias("_kind"),
+                F.col("term").alias("_key"),
+                (wmap[F.col("term")] * tf / (tf + norm)).alias("_s"),
+            )
+        )
+        n_units += len(uniq)
+
+    for pi, ph in enumerate(pq.phrases):
+        w_ph = sum(idf_fn(dfs.get(t, 0), num_docs) for t in ph) * (K1 + 1.0)
+        base = matched.filter(F.col("term") == ph[0]).select(
+            "doc_id", F.col("positions").alias("_p"), "norm_id"
+        )
+        for j, t in enumerate(ph[1:], start=1):
+            nxt = matched.filter(F.col("term") == t).select(
+                "doc_id",
+                F.transform("positions", lambda x: x - j).alias(f"_p{j}"),
+            )
+            base = base.join(nxt, "doc_id").withColumn(
+                "_p", F.array_intersect("_p", f"_p{j}")
+            ).drop(f"_p{j}")
+        tfp = F.size("_p").cast("double")
+        norm = F.lit(K1) * (
+            F.lit(1.0 - B) + F.lit(B) * decoded_dl(F.col("norm_id")) / F.lit(float(avgdl))
+        )
+        unit_frames.append(
+            base.filter(F.size("_p") > 0).select(
+                "doc_id",
+                F.lit(1).alias("_kind"),
+                F.lit(" ".join(ph) + f"\x00{pi}").alias("_key"),
+                (F.lit(w_ph) * tfp / (tfp + norm)).alias("_s"),
+            )
+        )
+        n_units += 1
+
+    units = unit_frames[0]
+    for f_ in unit_frames[1:]:
+        units = units.unionByName(f_)
+
+    scored = (
+        units.groupBy("doc_id")
+        # Deterministic fp summation: fold unit contributions in canonical
+        # order — single terms (kind 0) sorted by term, then phrases (kind
+        # 1) sorted by text; matches the oracle exactly so last-ulp ties
+        # break identically.
         .agg(
             F.aggregate(
-                F.array_sort(F.collect_list(F.struct("term", "_s"))),
+                F.array_sort(F.collect_list(F.struct("_kind", "_key", "_s"))),
                 F.lit(0.0),
                 lambda acc, x: acc + x["_s"],
             ).alias("score"),
@@ -107,7 +175,7 @@ def bm25_topk(
         )
     )
     if mode == "must":
-        scored = scored.filter(F.col("_nmatch") == F.lit(len(uniq)))
+        scored = scored.filter(F.col("_nmatch") == F.lit(n_units))
     scored = scored.drop("_nmatch")
 
     if pq.neg_terms:

@@ -62,6 +62,9 @@ SEGMENTS_SCHEMA = StructType(
         StructField("num_docs", IntegerType(), False),
         StructField("id_bytes", BinaryType(), False),
         StructField("tf_bytes", BinaryType(), False),
+        # per-block position stream (delta+varint, chain reset per doc) —
+        # present when the index is built WithFreqsAndPositions, else null
+        StructField("pos_bytes", BinaryType(), True),
         StructField("max_tf", IntegerType(), False),
         StructField("min_norm_id", IntegerType(), False),
     ]
@@ -90,6 +93,7 @@ def encode_segment_arrays(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     norm_ids: np.ndarray,
+    positions_flat: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Encode ONE segment's postings (already sorted by (term_code,
     doc_id); ``term_codes`` index into sorted ``uniq_terms``) into block
@@ -137,6 +141,29 @@ def encode_segment_arrays(
     id_bytes = [id_stream[id_off[s]:id_off[e]] for s, e in zip(block_starts, block_ends)]
     tf_bytes = [tf_stream[tf_off[s]:tf_off[e]] for s, e in zip(block_starts, block_ends)]
 
+    if positions_flat is not None:
+        # positions delta-encoded with chain reset per posting row; block
+        # byte ranges derived from cumulative tf (value space) + per-value
+        # byte lengths — same one-pass-encode / slice-at-boundaries trick
+        pos = positions_flat.astype(np.uint64)
+        cumtf = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs, out=cumtf[1:])
+        pdeltas = np.empty(len(pos), dtype=np.uint64)
+        if len(pos):
+            pdeltas[0] = pos[0]
+            np.subtract(pos[1:], pos[:-1], out=pdeltas[1:])
+            row_starts_v = cumtf[:-1][tfs > 0]
+            pdeltas[row_starts_v] = pos[row_starts_v]
+        pos_stream, pos_nbytes = varint_encode(pdeltas, return_lengths=True)
+        pos_off = np.zeros(len(pos) + 1, dtype=np.int64)
+        np.cumsum(pos_nbytes, out=pos_off[1:])
+        pos_bytes = [
+            pos_stream[pos_off[cumtf[s]]:pos_off[cumtf[e]]]
+            for s, e in zip(block_starts, block_ends)
+        ]
+    else:
+        pos_bytes = [None] * total_blocks
+
     return pd.DataFrame(
         {
             "segment_id": pd.Series(np.full(total_blocks, seg), dtype="int32"),
@@ -149,6 +176,7 @@ def encode_segment_arrays(
             "num_docs": pd.Series(block_ends - block_starts, dtype="int32"),
             "id_bytes": pd.Series(id_bytes, dtype="object"),
             "tf_bytes": pd.Series(tf_bytes, dtype="object"),
+            "pos_bytes": pd.Series(pos_bytes, dtype="object"),
             "max_tf": pd.Series(max_tf, dtype="int32"),
             "min_norm_id": pd.Series(min_norm, dtype="int32"),
         }
@@ -173,13 +201,23 @@ def build_segments(postings: DataFrame, docs_per_segment: int) -> DataFrame:
         codes, uniq = pd.factorize(pdf["term"], sort=True)
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         order = np.lexsort((ids, codes))
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
+        positions_flat = None
+        if "positions" in pdf.columns:
+            pos_obj = pdf["positions"].to_numpy(dtype=object)[order]
+            positions_flat = np.fromiter(
+                (v for sub in pos_obj for v in sub),
+                dtype=np.int64,
+                count=int(tfs.sum()),
+            )
         return encode_segment_arrays(
             int(key[0]),
             codes[order],
             np.asarray(uniq, dtype=object),
             ids[order],
-            pdf["tf"].to_numpy(dtype=np.int64)[order],
+            tfs,
             pdf["norm_id"].to_numpy(dtype=np.int64)[order],
+            positions_flat,
         )
 
     return (
@@ -194,6 +232,18 @@ def build_segments(postings: DataFrame, docs_per_segment: int) -> DataFrame:
 # the packed norm bytes + exact token totals of its segment.
 NORMS_SENTINEL = "\x00__seg_meta__"
 
+# Reserved namespace for attribute filter terms: the reference implements
+# site:/domain: filters as term queries on identity-tokenized fields
+# (site_no_tokenizer, src/query/parser.rs:193-216, tokenizer.rs:157-202);
+# here attribute values become "\x01field:value" terms — they flow through
+# posting lists, intersection and pruning like any term, carry tf=1, and
+# are excluded from dl/fieldnorms and scoring.
+ATTR_PREFIX = "\x01"
+
+
+def attr_term(fieldname: str, value: str) -> str:
+    return f"{ATTR_PREFIX}{fieldname}:{value}"
+
 
 def build_segments_fused(
     docs: DataFrame,
@@ -202,8 +252,14 @@ def build_segments_fused(
     analyzer: str,
     docs_per_segment: int,
     stopwords: frozenset[str] = frozenset(),
+    include_positions: bool = False,
+    attr_cols: list[str] | None = None,
 ) -> DataFrame:
     """Docs → unified index rows in ONE shuffle + ONE Arrow pass.
+
+    ``attr_cols``: document attribute columns (e.g. repo, lang) indexed as
+    identity filter terms ``\\x01col:value`` (see :func:`attr_term`) —
+    tf=1, excluded from dl/norm stats, usable as Must/MustNot filters.
 
     This is the reference's build shape verbatim re-expressed: each task
     receives a complete doc-range segment and builds its full posting
@@ -225,9 +281,11 @@ def build_segments_fused(
 
     tokenize = get_analyzer(analyzer)
     needs_stops = analyzer in ("normal", "code")
+    attr_cols = attr_cols or []
     src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("_text"),
+        *[F.col(c).cast("string").alias(f"_a_{c}") for c in attr_cols],
     ).withColumn("segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("int"))
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -235,10 +293,12 @@ def build_segments_fused(
         base = seg * docs_per_segment
         doc_ids_in = pdf["doc_id"].to_numpy(dtype=np.int64)
         texts = pdf["_text"].values
+        attr_vals = {c: pdf[f"_a_{c}"].values for c in attr_cols}
         # tokenize + tf per doc (dict counting is C-speed), flatten
         all_terms: list[str] = []
         all_docs: list[np.ndarray] = []
         all_tfs: list[list[int]] = []
+        all_pos: list[list[int]] = []  # per posting row, when positions on
         dls = np.zeros(len(texts), dtype=np.int64)
         from collections import Counter
 
@@ -247,10 +307,28 @@ def build_segments_fused(
                 tokenize(text or "", stopwords) if needs_stops else tokenize(text or "")
             )
             dls[i] = len(toks)
-            tf = Counter(toks)  # C fast-path, ~2× the dict.get loop
-            all_terms.extend(tf.keys())
-            all_tfs.append(list(tf.values()))
-            all_docs.append(np.full(len(tf), doc_ids_in[i], dtype=np.int64))
+            atoks = [
+                attr_term(c, attr_vals[c][i])
+                for c in attr_cols
+                if attr_vals[c][i] is not None
+            ]
+            if include_positions:
+                pos: dict[str, list[int]] = {}
+                for j, t in enumerate(toks):
+                    pos.setdefault(t, []).append(j)
+                for at in atoks:
+                    pos.setdefault(at, []).append(0)
+                all_terms.extend(pos.keys())
+                all_tfs.append([len(v) for v in pos.values()])
+                all_pos.extend(pos.values())
+                all_docs.append(np.full(len(pos), doc_ids_in[i], dtype=np.int64))
+            else:
+                tf = Counter(toks)  # C fast-path, ~2× the dict.get loop
+                for at in atoks:
+                    tf[at] = 1
+                all_terms.extend(tf.keys())
+                all_tfs.append(list(tf.values()))
+                all_docs.append(np.full(len(tf), doc_ids_in[i], dtype=np.int64))
         norm_ids = fieldnorm_to_id(dls)
         # packed norms row
         local = doc_ids_in - base
@@ -276,6 +354,7 @@ def build_segments_fused(
                     "num_docs": pd.Series([span], dtype="int32"),
                     "id_bytes": pd.Series([narr.tobytes()], dtype="object"),
                     "tf_bytes": pd.Series([varint_encode(stats_vals)], dtype="object"),
+                    "pos_bytes": pd.Series([None], dtype="object"),
                     "max_tf": pd.Series([0], dtype="int32"),
                     "min_norm_id": pd.Series([0], dtype="int32"),
                 }
@@ -291,6 +370,16 @@ def build_segments_fused(
         norms_per_posting = np.repeat(norm_ids, [len(x) for x in all_tfs])
         codes, uniq = pd.factorize(terms_arr, sort=True)
         order = np.lexsort((ids_arr, codes))
+        positions_flat = None
+        if include_positions:
+            pos_obj = np.empty(len(all_pos), dtype=object)
+            pos_obj[:] = all_pos
+            pos_obj = pos_obj[order]
+            positions_flat = np.fromiter(
+                (v for sub in pos_obj for v in sub),
+                dtype=np.int64,
+                count=int(tfs_arr.sum()),
+            )
         blocks = encode_segment_arrays(
             seg,
             codes[order],
@@ -298,6 +387,7 @@ def build_segments_fused(
             ids_arr[order],
             tfs_arr[order],
             norms_per_posting[order],
+            positions_flat,
         )
         nbytes = int(
             blocks["id_bytes"].str.len().sum() + blocks["tf_bytes"].str.len().sum()
@@ -387,3 +477,29 @@ def decode_block_subset(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     corr = firsts - raw[starts]
     ids = raw + np.repeat(corr, counts)
     return ids, varint_decode(tf_stream)
+
+
+def decode_subset_positions(
+    rows: pd.DataFrame, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the position streams of a block subset (any contiguity —
+    the delta chain resets at every posting row, so blocks are
+    independent).  ``tfs`` must be the subset's decoded tf array.
+
+    → (positions_flat, row_offsets) where row r's positions are
+    ``positions_flat[row_offsets[r]:row_offsets[r+1]]``.
+    """
+    from ..functions.codec import varint_decode
+
+    pos_stream = b"".join(rows["pos_bytes"].values)
+    deltas = varint_decode(pos_stream)
+    raw = np.cumsum(deltas, dtype=np.uint64)
+    offsets = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs.astype(np.int64), out=offsets[1:])
+    if len(raw):
+        row_starts = offsets[:-1]  # every posting row has tf ≥ 1
+        corr = raw[row_starts] - deltas[row_starts]
+        pos = raw - np.repeat(corr, tfs.astype(np.int64))
+    else:
+        pos = raw
+    return pos.astype(np.int64), offsets

@@ -44,7 +44,11 @@ from pyspark.sql import functions as F
 from ..functions.bm25 import B, K1, weight
 from ..functions.fieldnorm import FIELD_NORMS_TABLE
 from ..functions.query_parse import ParsedQuery, parse_query
-from .segments import decode_block_subset, decode_term_blocks
+from .segments import (
+    decode_block_subset,
+    decode_subset_positions,
+    decode_term_blocks,
+)
 
 _RESULT_SCHEMA = "segment_id int, doc_id long, score double"
 
@@ -53,6 +57,49 @@ def _tf_comp(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     norm = K1 * (1.0 - B + B * (dl / avgdl))
     tf = tf.astype(np.float64)
     return tf / (tf + norm)
+
+
+def _blocks_for_candidates(g: pd.DataFrame, cand: np.ndarray) -> pd.DataFrame | None:
+    """Block skip: keep only blocks whose [first,last] doc range contains a
+    candidate (searchsorted on the sorted candidate ids)."""
+    firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
+    lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
+    lo = np.searchsorted(cand, firsts, side="left")
+    hi = np.searchsorted(cand, lasts, side="right")
+    keep = hi > lo
+    return g[keep] if keep.any() else None
+
+
+def _phrase_freqs(
+    by_term: dict[str, pd.DataFrame], ph: list[str], cand: np.ndarray
+) -> np.ndarray:
+    """Exact-adjacency phrase frequency per candidate doc (slop 0) from the
+    compressed position streams — decodes only candidate-intersecting
+    blocks of each member term.  Candidates are the AND survivors, so the
+    per-doc loop is short by construction."""
+    member = []
+    for t in ph:
+        g = by_term.get(t)
+        sub = _blocks_for_candidates(g.sort_values("block_id"), cand) if g is not None else None
+        if sub is None:
+            return np.zeros(len(cand), dtype=np.int64)
+        ids, tfs = decode_block_subset(sub)
+        pos, offs = decode_subset_positions(sub, tfs)
+        member.append((ids.astype(np.int64), pos, offs))
+    pf = np.zeros(len(cand), dtype=np.int64)
+    for ci, d in enumerate(cand):
+        starts: np.ndarray | None = None
+        for i, (ids, pos, offs) in enumerate(member):
+            j = int(np.searchsorted(ids, d))
+            if j >= len(ids) or ids[j] != d:
+                starts = None
+                break
+            p = pos[offs[j]:offs[j + 1]] - i
+            starts = p if starts is None else np.intersect1d(starts, p, assume_unique=True)
+            if starts.size == 0:
+                break
+        pf[ci] = 0 if starts is None else starts.size
+    return pf
 
 
 def _segment_topk_kernel(
@@ -64,7 +111,19 @@ def _segment_topk_kernel(
     mode: str,
     seg_blocks: pd.DataFrame,
     norm_row: pd.DataFrame,
+    phrases: list[list[str]] | None = None,
+    pweights: list[float] | None = None,
+    filter_terms: list[str] | None = None,
+    max_docs: int | None = None,
 ) -> pd.DataFrame:
+    """``max_docs``: early-termination quota — consider at most this many
+    docs of the driving posting list per segment (the reference's
+    total_docs/num_segments cap, src/collector.rs:39-42,116-127; there it
+    is sound because segments are sorted by precomputed score — here it is
+    an explicit recall/latency trade exposed as a knob)."""
+    phrases = phrases or []
+    pweights = pweights or []
+    filter_terms = filter_terms or []
     empty = pd.DataFrame(
         {"segment_id": pd.Series([], dtype="int32"),
          "doc_id": pd.Series([], dtype="int64"),
@@ -87,49 +146,83 @@ def _segment_topk_kernel(
         if ex:
             excluded = np.unique(np.concatenate(ex))
     present = [t for t in terms if t in by_term]
-    if mode == "must" and len(present) < len(terms):
+    phrase_ok = all(all(t in by_term for t in ph) for ph in phrases)
+    # Must-filters (attr terms): a segment lacking the filter term has no
+    # matching docs at all
+    if any(ft not in by_term for ft in filter_terms):
         return empty
-    if not present:
+    if mode == "must" and (len(present) < len(terms) or not phrase_ok):
+        return empty
+    if not present and not (phrases and phrase_ok):
         return empty
 
     def dl_of(ids: np.ndarray) -> np.ndarray:
         return dl_table[norms[(ids - base).astype(np.int64)]]
 
+    def intersect_terms(required: list[str], track: list[str]):
+        """Rarest-first block-skip leapfrog AND over ``required`` terms;
+        returns (ids, {t: aligned tf array for t in track}) or None."""
+        order_ = sorted(required, key=lambda t: int(by_term[t]["num_docs"].sum()))
+        first = order_[0]
+        ids_, tfs_ = decode_term_blocks(by_term[first])
+        ids_ = ids_.astype(np.int64)
+        if max_docs is not None and ids_.size > max_docs:
+            ids_, tfs_ = ids_[:max_docs], tfs_[:max_docs]
+        tracked: dict[str, np.ndarray] = {}
+        if first in track:
+            tracked[first] = tfs_
+        for t in order_[1:]:
+            if ids_.size == 0:
+                return None
+            sub = _blocks_for_candidates(by_term[t], ids_)
+            if sub is None:
+                return None
+            t_ids, t_tfs = decode_block_subset(sub)
+            t_ids = t_ids.astype(np.int64)
+            pos = np.searchsorted(t_ids, ids_)
+            pos_c = np.minimum(pos, t_ids.size - 1)
+            match = t_ids[pos_c] == ids_
+            ids_ = ids_[match]
+            sel = pos_c[match]
+            for prev in tracked:
+                tracked[prev] = tracked[prev][match]
+            if t in track:
+                tracked[t] = t_tfs[sel]
+        return (ids_, tracked) if ids_.size else None
+
+    # canonical phrase order: sorted by joined text (stable → query order
+    # for equal text), matching the oracle and the exhaustive path
+    ph_order = sorted(range(len(phrases)), key=lambda i: " ".join(phrases[i]))
+
     if mode == "must":
-        # rarest-first: fewest postings (by stored num_docs sum) drives
-        order = sorted(present, key=lambda t: int(by_term[t]["num_docs"].sum()))
-        ids, tfs = decode_term_blocks(by_term[order[0]])
-        ids = ids.astype(np.int64)
-        cand_tfs: dict[str, np.ndarray] = {order[0]: tfs}
-        for t in order[1:]:
-            if ids.size == 0:
-                return empty
-            g = by_term[t]
-            firsts = g["first_doc_id"].to_numpy(dtype=np.int64)
-            lasts = g["last_doc_id"].to_numpy(dtype=np.int64)
-            # block skip: keep blocks whose [first,last] contains a candidate
-            lo = np.searchsorted(ids, firsts, side="left")
-            hi = np.searchsorted(ids, lasts, side="right")
-            keep = hi > lo
+        required = list(dict.fromkeys(
+            present + [t for ph in phrases for t in ph] + filter_terms
+        ))
+        res = intersect_terms(required, track=present)
+        if res is None:
+            return empty
+        ids, cand_tfs = res
+        # phrase adjacency verification narrows candidates further
+        pfs: list[np.ndarray] = [np.zeros(0)] * len(phrases)
+        for i in range(len(phrases)):
+            pf = _phrase_freqs(by_term, phrases[i], ids)
+            keep = pf > 0
             if not keep.any():
                 return empty
-            t_ids, t_tfs = decode_block_subset(g[keep])
-            t_ids = t_ids.astype(np.int64)
-            # align candidates to this term (drop non-matching — AND)
-            pos = np.searchsorted(t_ids, ids)
-            pos_c = np.minimum(pos, t_ids.size - 1)
-            match = t_ids[pos_c] == ids
-            ids = ids[match]
-            sel = pos_c[match]
+            ids = ids[keep]
             for prev in cand_tfs:
-                cand_tfs[prev] = cand_tfs[prev][match]
-            cand_tfs[t] = t_tfs[sel]
+                cand_tfs[prev] = cand_tfs[prev][keep]
+            for j in range(i):
+                pfs[j] = pfs[j][keep]
+            pfs[i] = pf[keep]
         if ids.size == 0:
             return empty
         dls = dl_of(ids)
         score = np.zeros(ids.size, dtype=np.float64)
-        for t in sorted(present):  # canonical fp order
+        for t in sorted(present):  # canonical fp order: terms first
             score += qweights[t] * _tf_comp(cand_tfs[t].astype(np.float64), dls, avgdl)
+        for i in ph_order:  # then phrases by text
+            score += pweights[i] * _tf_comp(pfs[i].astype(np.float64), dls, avgdl)
     else:
         # exact TAAT: dense accumulator over the segment's doc range
         n = norms.size
@@ -137,6 +230,8 @@ def _segment_topk_kernel(
         per_term: list[tuple[str, np.ndarray, np.ndarray]] = []
         for t in present:
             t_ids, t_tfs = decode_term_blocks(by_term[t])
+            if max_docs is not None and t_ids.size > max_docs:
+                t_ids, t_tfs = t_ids[:max_docs], t_tfs[:max_docs]
             local = (t_ids - np.uint64(base)).astype(np.int64)
             per_term.append((t, local, t_tfs))
             touched[local] = True
@@ -146,6 +241,30 @@ def _segment_topk_kernel(
             score_dense[local] += qweights[t] * _tf_comp(
                 t_tfs.astype(np.float64), dls_dense[local], avgdl
             )
+        for i in ph_order:
+            ph = phrases[i]
+            if not all(t in by_term for t in ph):
+                continue
+            res = intersect_terms(list(dict.fromkeys(ph)), track=[])
+            if res is None:
+                continue
+            ph_ids, _ = res
+            pf = _phrase_freqs(by_term, ph, ph_ids)
+            hit = pf > 0
+            if not hit.any():
+                continue
+            local = (ph_ids[hit] - base).astype(np.int64)
+            touched[local] = True
+            score_dense[local] += pweights[i] * _tf_comp(
+                pf[hit].astype(np.float64), dls_dense[local], avgdl
+            )
+        # Must-filters restrict the union: keep only docs present in every
+        # filter term's posting list
+        for ft in filter_terms:
+            f_ids, _ = decode_term_blocks(by_term[ft])
+            allowed = np.zeros(n, dtype=bool)
+            allowed[(f_ids - np.uint64(base)).astype(np.int64)] = True
+            touched &= allowed
         idx = np.flatnonzero(touched)
         ids = idx + base
         score = score_dense[idx]
@@ -178,6 +297,7 @@ def wand_topk(
     k: int = 10,
     mode: str = "must",
     analyzer: str = "ascii",
+    max_docs_per_segment: int | None = None,
 ) -> DataFrame:
     """→ (doc_id, score) global top-k from the segment index.
 
@@ -187,20 +307,42 @@ def wand_topk(
     spark = segments.sparkSession
     pq = parse_query(query, analyzer) if isinstance(query, str) else query
     uniq = pq.uniq_terms
-    if not uniq or (mode == "must" and any(term_df.get(t, 0) == 0 for t in uniq)):
+    phrases = pq.phrases
+    all_terms = pq.all_match_terms
+    if not all_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if mode == "must" and any(term_df.get(t, 0) == 0 for t in all_terms):
         return spark.createDataFrame([], "doc_id long, score double")
     counts = pq.term_counts
     qweights = {
         t: counts[t] * weight(term_df.get(t, 0), num_docs) for t in uniq
     }
-    neg = sorted(set(pq.neg_terms))
+    # PhraseQuery weight = Σ member idf × (K1+1) (bm25.rs:66-90)
+    from ..functions.bm25 import idf as idf_fn
 
-    # scan pruned to the query's pos+neg terms (pushed to parquet)
-    seg_filtered = segments.filter(F.col("term").isin(uniq + neg))
+    pweights = [
+        sum(idf_fn(term_df.get(t, 0), num_docs) for t in ph) * (K1 + 1.0)
+        for ph in phrases
+    ]
+    from .segments import attr_term
+
+    # attribute filters → reserved-namespace filter terms (Must) and extra
+    # MustNot terms (site:/-site: semantics, parser.rs:193-216)
+    filter_terms = sorted(attr_term(f_, v) for f_, v in pq.filters.items())
+    neg = sorted(
+        set(pq.neg_terms)
+        | {attr_term(f_, v) for f_, v in pq.anti_filters.items()}
+    )
+
+    # scan pruned to the query's pos+neg+filter terms (pushed to parquet)
+    seg_filtered = segments.filter(
+        F.col("term").isin(all_terms + neg + filter_terms)
+    )
 
     def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_topk_kernel(
-            uniq, neg, qweights, avgdl, k, mode, blocks_pdf, norms_pdf
+            uniq, neg, qweights, avgdl, k, mode, blocks_pdf, norms_pdf,
+            phrases, pweights, filter_terms, max_docs_per_segment,
         )
 
     return (

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .functions.bm25 import score_term
+from .functions.bm25 import K1, idf, score_term, tf_component
 from .functions.fieldnorm import quantize_length
 from .functions.tokenizer import get_analyzer, term_freqs
 
@@ -27,6 +27,8 @@ class OracleIndex:
     total_tokens: int = 0
     # term -> {doc_id: tf}
     postings: dict[str, dict[int, int]] = field(default_factory=dict)
+    # term -> {doc_id: [positions]} (WithFreqsAndPositions, schema.rs:117-122)
+    positions: dict[str, dict[int, list[int]]] = field(default_factory=dict)
     # doc_id -> quantized dl
     doc_dl: dict[int, int] = field(default_factory=dict)
 
@@ -42,55 +44,69 @@ class OracleIndex:
         self.doc_dl[doc_id] = int(quantize_length(len(tokens)))
         for term, tf in term_freqs(tokens).items():
             self.postings.setdefault(term, {})[doc_id] = tf
+        for i, t in enumerate(tokens):
+            self.positions.setdefault(t, {}).setdefault(doc_id, []).append(i)
+
+    def phrase_freq(self, tokens: list[str], doc_id: int) -> int:
+        """Number of exact-adjacency phrase matches in doc (slop 0) —
+        start positions p with tokens[i] at p+i for all i."""
+        starts = set(self.positions.get(tokens[0], {}).get(doc_id, []))
+        for i, t in enumerate(tokens[1:], start=1):
+            nxt = self.positions.get(t, {}).get(doc_id, [])
+            starts &= {p - i for p in nxt}
+            if not starts:
+                return 0
+        return len(starts)
 
     def doc_freq(self, term: str) -> int:
         return len(self.postings.get(term, {}))
 
     def search(
-        self, query: str, k: int = 10, mode: str = "must"
+        self, query: str, k: int = 10, mode: str = "must", phrase: bool = False
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score). ``mode``: 'must' = AND over positive
-        terms (reference default: every simple term is Occur::Must,
+        units (reference default: every simple term is Occur::Must,
         query/parser.rs:54-91); 'should' = OR (union scoring).
-        ``-term`` prefixes are MustNot in either mode."""
-        pos_terms, neg_terms = [], []
-        analyzer = get_analyzer(self.analyzer)
-        for raw in query.split():
-            if raw.startswith("-") and len(raw) > 1:
-                neg_terms.extend(analyzer(raw[1:]))
-            else:
-                pos_terms.extend(analyzer(raw))
-        # duplicate-term cap MAX_SIMILAR_TERMS=10 (query/mod.rs:35,104-115)
-        capped: list[str] = []
-        seen: dict[str, int] = {}
-        for t in pos_terms:
-            seen[t] = seen.get(t, 0) + 1
-            if seen[t] <= 10:
-                capped.append(t)
-        pos_terms = capped
-        if not pos_terms:
+        ``-term`` prefixes are MustNot in either mode.
+
+        ``phrase=True``: a whitespace unit whose analyzer output is >1
+        tokens becomes a PhraseQuery (parser.rs:228-236) — matched by
+        exact adjacency, scored as BM25 with tf = phrase count and weight
+        = Σ member-term idf (the multi-term Bm25Weight, bm25.rs:66-90)."""
+        from .functions.query_parse import parse_query
+
+        pq = parse_query(query, self.analyzer, phrase=phrase)
+        pos_terms, neg_terms, phrases = pq.pos_terms, pq.neg_terms, pq.phrases
+        if not pos_terms and not phrases:
             return []
 
         uniq = list(dict.fromkeys(pos_terms))
         doc_sets = [set(self.postings.get(t, {})) for t in uniq]
+        phrase_docs: list[dict[int, int]] = []
+        for ph in phrases:
+            # AND of member terms, then adjacency verification
+            member_sets = [set(self.postings.get(t, {})) for t in ph]
+            cand_ph = set.intersection(*member_sets) if all(member_sets) else set()
+            pf = {d: self.phrase_freq(ph, d) for d in cand_ph}
+            phrase_docs.append({d: f for d, f in pf.items() if f > 0})
         if mode == "must":
-            if any(not s for s in doc_sets):
+            sets = doc_sets + [set(p) for p in phrase_docs]
+            if not sets or any(not s for s in sets):
                 return []
-            cand = set.intersection(*doc_sets)
+            cand = set.intersection(*sets)
         else:
-            cand = set.union(*doc_sets)
+            sets = doc_sets + [set(p) for p in phrase_docs]
+            cand = set.union(*sets) if sets else set()
         for t in neg_terms:
             cand -= set(self.postings.get(t, {}))
         if not cand:
             return []
 
         avgdl = self.avgdl
-        # Canonical fp order: fold terms sorted alphabetically, duplicated
-        # query terms folded as count × score — must match the engine's
-        # summation order exactly (score.py) for last-ulp tie stability.
-        counts: dict[str, int] = {}
-        for t in pos_terms:
-            counts[t] = counts.get(t, 0) + 1
+        # Canonical fp order: single terms sorted alphabetically (count-
+        # folded), then phrases sorted by joined text — must match the
+        # engine's summation order exactly for last-ulp tie stability.
+        counts = pq.term_counts
         scores: dict[int, float] = {d: 0.0 for d in cand}
         for t in sorted(counts):
             plist = self.postings.get(t, {})
@@ -100,6 +116,18 @@ class OracleIndex:
                 if tf is not None:
                     scores[d] += counts[t] * float(
                         score_term(tf, self.doc_dl[d], avgdl, n, self.num_docs)
+                    )
+        for ph, pdocs in sorted(
+            zip(phrases, phrase_docs), key=lambda x: " ".join(x[0])
+        ):
+            w = sum(
+                idf(len(self.postings.get(t, {})), self.num_docs) for t in ph
+            ) * (K1 + 1.0)
+            for d in cand:
+                pf = pdocs.get(d)
+                if pf:
+                    scores[d] += w * float(
+                        tf_component(pf, self.doc_dl[d], avgdl)
                     )
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]

@@ -127,6 +127,7 @@ def build_index(
     id_col: str = "doc_id",
     analyzer: str = "ascii",
     docs_per_segment: int = 4096,
+    positions: bool = False,
     fail_after: str | None = None,
     log: bool = False,
 ) -> IndexPaths:
@@ -135,7 +136,7 @@ def build_index(
     fp = hashlib.sha256(
         json.dumps(
             {"analyzer": analyzer, "dps": docs_per_segment, "text": text_col,
-             "id": id_col, "v": 1},
+             "id": id_col, "positions": positions, "v": 1},
             sort_keys=True,
         ).encode()
     ).hexdigest()[:16]
@@ -162,7 +163,8 @@ def build_index(
 
     # -- 1. postings ------------------------------------------------------
     if not done("postings"):
-        p = build_postings(docs, text_col, id_col, analyzer)
+        p = build_postings(docs, text_col, id_col, analyzer,
+                           include_positions=positions)
         p.write.mode("overwrite").parquet(paths.postings)
         n = spark.read.parquet(paths.postings).count()
         mark("postings", rows=n)
@@ -249,6 +251,7 @@ def build_index(
             "avgdl": (int(total) / n_docs) if n_docs else 0.0,
             "analyzer": analyzer,
             "docs_per_segment": docs_per_segment,
+            "positions": positions,
             "fingerprint": fp,
         }
         tmp = paths.stats + ".tmp"
@@ -268,6 +271,8 @@ def build_index_fused(
     id_col: str = "doc_id",
     analyzer: str = "ascii",
     docs_per_segment: int = 4096,
+    positions: bool = False,
+    attr_cols: list[str] | None = None,
     fail_after: str | None = None,
     log: bool = False,
 ) -> IndexPaths:
@@ -285,7 +290,8 @@ def build_index_fused(
     fp = hashlib.sha256(
         json.dumps(
             {"analyzer": analyzer, "dps": docs_per_segment, "text": text_col,
-             "id": id_col, "layout": "fused", "v": 1},
+             "id": id_col, "layout": "fused", "positions": positions,
+             "attrs": sorted(attr_cols or []), "v": 1},
             sort_keys=True,
         ).encode()
     ).hexdigest()[:16]
@@ -312,7 +318,8 @@ def build_index_fused(
 
     if not done("index"):
         unified = build_segments_fused(
-            docs, text_col, id_col, analyzer, docs_per_segment
+            docs, text_col, id_col, analyzer, docs_per_segment,
+            include_positions=positions, attr_cols=attr_cols,
         )
         (
             unified.sortWithinPartitions("segment_id", "term", "block_id")
@@ -363,6 +370,8 @@ def build_index_fused(
             "analyzer": analyzer,
             "docs_per_segment": docs_per_segment,
             "layout": "fused",
+            "positions": positions,
+            "attr_cols": sorted(attr_cols or []),
             "fingerprint": fp,
         }
         tmp = paths.stats + ".tmp"
@@ -405,17 +414,86 @@ class SegmentIndex:
         rows = self.term_stats.filter(F.col("term").isin(terms)).collect()
         return {r["term"]: r["df"] for r in rows}
 
-    def search(self, query: str, k: int = 10, mode: str = "must") -> DataFrame:
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "must",
+        phrase: bool = False,
+        offset: int = 0,
+        max_docs_per_segment: int | None = None,
+    ) -> DataFrame:
+        """Top-(k+offset) DataFrame; paging slices on the driver
+        (reference: top_n = page_size + offset, collector.rs:145-157)."""
         from ..functions.query_parse import parse_query
         from ..operators.wand import wand_topk
 
-        pq = parse_query(query, self.analyzer)
-        tdf = self.term_df(pq.uniq_terms)
+        if phrase and not self.stats.get("positions"):
+            raise ValueError(
+                "phrase queries need an index built with positions=True"
+            )
+        pq = parse_query(query, self.analyzer, phrase=phrase)
+        tdf = self.term_df(pq.all_match_terms)
         return wand_topk(
             self.segments, self.norms, pq,
             self.stats["num_docs"], self.stats["avgdl"], tdf,
-            k=k, mode=mode, analyzer=self.analyzer,
+            k=k + offset, mode=mode, analyzer=self.analyzer,
+            max_docs_per_segment=max_docs_per_segment,
         )
 
-    def search_list(self, query: str, k: int = 10, mode: str = "must"):
-        return [(r["doc_id"], r["score"]) for r in self.search(query, k, mode).collect()]
+    def search_list(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "must",
+        phrase: bool = False,
+        offset: int = 0,
+        max_docs_per_segment: int | None = None,
+    ):
+        from ..operators.collector import page
+
+        rows = [
+            (r["doc_id"], r["score"])
+            for r in self.search(
+                query, k, mode, phrase, offset, max_docs_per_segment
+            ).collect()
+        ]
+        return page(rows, k, offset)
+
+    def search_diverse(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "must",
+        key_fns=None,
+        scales=None,
+        overfetch: int = 3,
+    ):
+        """Top-k with result-diversity re-ranking (collector.rs:247-343):
+        collect overfetch×k candidates, apply the multiplicative same-key
+        penalty on the driver.  Default key: segment (our repo-range
+        analogue of the site hash)."""
+        from ..operators.collector import DEFAULT_SCALES, rerank_diverse
+
+        dps = self.stats["docs_per_segment"]
+        key_fns = key_fns or [lambda d: d // dps]
+        scales = scales or DEFAULT_SCALES[: len(key_fns)]
+        rows = [
+            (r["doc_id"], r["score"])
+            for r in self.search(query, k * overfetch, mode).collect()
+        ]
+        return rerank_diverse(rows, key_fns, scales, k)
+
+    def spell_checker(self, dict_size: int = 100_000):
+        """Broadcastable top-N term dictionary → SpellChecker
+        (reference src/spell/dictionary.rs:135-149)."""
+        from ..functions.spell import SpellChecker
+
+        rows = (
+            self.term_stats.filter(~F.col("term").startswith("\x00"))
+            .filter(~F.col("term").startswith("\x01"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(dict_size)
+            .collect()
+        )
+        return SpellChecker({r["term"]: r["df"] for r in rows}, dict_size)

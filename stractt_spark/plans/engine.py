@@ -37,21 +37,29 @@ class SearchEngine:
         analyzer: str = "ascii",
         stopwords: frozenset[str] = frozenset(),
         cache: bool = True,
+        positions: bool = False,
     ) -> "SearchEngine":
-        postings = build_postings(docs, text_col, id_col, analyzer, stopwords)
+        postings = build_postings(
+            docs, text_col, id_col, analyzer, stopwords, include_positions=positions
+        )
         if cache:
             postings = postings.cache()
         stats = global_stats(docs, postings, id_col)
         return cls(postings, stats["num_docs"], stats["avgdl"], analyzer)
 
-    def search(self, query: str, k: int = 10, mode: str = "must") -> DataFrame:
-        pq = parse_query(query, self.analyzer)
+    def search(
+        self, query: str, k: int = 10, mode: str = "must", phrase: bool = False
+    ) -> DataFrame:
+        pq = parse_query(query, self.analyzer, phrase=phrase)
         return bm25_topk(
             self.postings, pq, self.num_docs, self.avgdl, k=k, mode=mode
         )
 
-    def search_list(self, query: str, k: int = 10, mode: str = "must"):
+    def search_list(
+        self, query: str, k: int = 10, mode: str = "must", phrase: bool = False
+    ):
         """Driver-side list of (doc_id, score) — test/bench convenience."""
         return [
-            (r["doc_id"], r["score"]) for r in self.search(query, k, mode).collect()
+            (r["doc_id"], r["score"])
+            for r in self.search(query, k, mode, phrase).collect()
         ]

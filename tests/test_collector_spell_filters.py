@@ -1,0 +1,124 @@
+"""Field filters (attr terms), paging/offset, diversity re-rank, spell
+correction, early-termination quota."""
+
+import shutil
+
+import pytest
+
+from stractt_spark.functions.spell import SpellChecker, levenshtein, max_edit_distance
+from stractt_spark.operators.collector import page, rerank_diverse
+from stractt_spark.plans.build import SegmentIndex, build_index_fused
+from stractt_spark.sources.corpus import make_corpus
+
+IDX = "/tmp/stractt_test_attridx"
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    rows = make_corpus(500)
+    docs = spark.createDataFrame(
+        [(i, r["repo"], r["lang"], r["content"]) for i, r in enumerate(rows)],
+        "doc_id long, repo string, lang string, content string",
+    )
+    shutil.rmtree(IDX, ignore_errors=True)
+    build_index_fused(
+        spark, docs, IDX, docs_per_segment=96, attr_cols=["repo", "lang"]
+    )
+    return SegmentIndex(spark, IDX).cache(), rows
+
+
+def test_repo_filter(built):
+    index, rows = built
+    hits = index.search_list("lang:python buffer", k=50)
+    assert hits
+    for d, _ in hits:
+        assert rows[d]["lang"] == "python"
+    unfiltered = index.search_list("buffer", k=500)
+    assert {d for d, _ in hits} <= {d for d, _ in unfiltered}
+
+
+def test_anti_filter(built):
+    index, rows = built
+    hits = index.search_list("-repo:org0/repo0 buffer", k=50)
+    assert hits
+    for d, _ in hits:
+        assert rows[d]["repo"] != "org0/repo0"
+
+
+def test_filter_scores_unaffected(built):
+    """Filter terms carry no score weight: a doc's score with a filter ==
+    its score without (reference deviation documented: site: filters are
+    pure predicates here, not scored Must terms)."""
+    index, rows = built
+    filtered = dict(index.search_list("lang:go buffer", k=50))
+    unfiltered = dict(index.search_list("buffer", k=500))
+    for d, s in filtered.items():
+        assert abs(unfiltered[d] - s) < 1e-12
+
+
+def test_paging(built):
+    index, _ = built
+    full = index.search_list("buffer", k=30)
+    p1 = index.search_list("buffer", k=10, offset=0)
+    p2 = index.search_list("buffer", k=10, offset=10)
+    p3 = index.search_list("buffer", k=10, offset=20)
+    assert p1 + p2 + p3 == full
+    assert page([(1, 1.0), (2, 0.5)], k=5, offset=1) == [(2, 0.5)]
+
+
+def test_quota_subset(built):
+    index, _ = built
+    full = {d for d, _ in index.search_list("buffer", k=500)}
+    quota = {d for d, _ in index.search_list("buffer", k=500, max_docs_per_segment=20)}
+    assert quota <= full
+    assert len(quota) < len(full)
+
+
+def test_rerank_diverse():
+    # two "sites": docs 0-2 site A (high scores), 3-4 site B
+    rows = [(0, 10.0), (1, 9.0), (2, 8.0), (3, 7.5), (4, 7.0)]
+    site = {0: "a", 1: "a", 2: "a", 3: "b", 4: "b"}
+    out = rerank_diverse(rows, [lambda d: site[d]], scales=(14.0,), k=5)
+    docs = [d for d, _ in out]
+    # second 'a' doc penalized 9.0*14/15=8.4 still > 7.5 → kept; third 'a'
+    # penalized 8*14/16=7.0 → ties 7.0 vs doc3's 7.5 → doc3 rises
+    assert docs == [0, 1, 2, 3, 4] or docs.index(3) < docs.index(2) + 2
+    # stronger penalty forces interleaving
+    out2 = rerank_diverse(rows, [lambda d: site[d]], scales=(0.1,), k=5)
+    assert [d for d, _ in out2][:2] == [0, 3]
+
+
+def test_search_diverse_runs(built):
+    index, _ = built
+    res = index.search_diverse("buffer", k=10)
+    assert len(res) == 10
+    assert all(isinstance(s, float) for _, s in res)
+
+
+def test_spell_checker(built):
+    index, _ = built
+    sc = index.spell_checker(dict_size=1000)
+    assert "buffer" in sc.counts
+    assert sc.correct("bufer") == "buffer"     # 1 edit
+    assert sc.correct("buffer") is None        # known term
+    # 1-edit typo within the log-length budget (a transposition like
+    # "mrege" is 2 plain-Levenshtein edits — over budget for len 5)
+    assert sc.suggest_query(["mergee", "sort"]) == ["merge", "sort"]
+    assert sc.suggest_query(["merge", "sort"]) is None
+    # no attr/sentinel pollution in the dictionary
+    assert not any(t.startswith(("\x00", "\x01")) for t in sc.counts)
+
+
+def test_levenshtein_and_budget():
+    assert levenshtein("abc", "abc", 2) == 0
+    assert levenshtein("abc", "abd", 2) == 1
+    assert levenshtein("abc", "xyz", 1) == 2  # cutoff+1
+    assert max_edit_distance("ab") == 1
+    assert max_edit_distance("abcdefgh") == 2
+
+
+def test_compound_split(built):
+    index, _ = built
+    sc = index.spell_checker(dict_size=1000)
+    joined = "mergesort"
+    assert sc.split_compound(joined) == ("merge", "sort")
