@@ -312,6 +312,20 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(docs, "text", "doc_id")
 
 
+def _q_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region/subdomain-counting analogue (SURVEY §2.7): per-source doc
+    and char totals."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select("source", F.col("n_docs").cast("long").alias("n_docs"), "total_chars")
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stractt_spark.operators.similarity import lsh_bucket_topk
 
@@ -347,6 +361,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "cosine_top10": _q_cosine_top10,
         "ann_lsh_top10": _q_ann_lsh,
+        # aggregations (§2.7 counting analogues)
+        "source_counts": _q_source_counts,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -437,6 +453,11 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, lang, h, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn FROM hits) "
             "SELECT doc_id, lang AS lang_pred, h AS lang_hits FROM r WHERE rn = 1"
+        ),
+        "source_counts": (
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY source"
         ),
         "multimodal_nbytes": (
             "SELECT doc_id AS media_id, "

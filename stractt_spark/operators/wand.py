@@ -70,6 +70,44 @@ def _blocks_for_candidates(g: pd.DataFrame, cand: np.ndarray) -> pd.DataFrame | 
     return g[keep] if keep.any() else None
 
 
+def sloppy_chain_count(pos_lists: list[np.ndarray], slop: int) -> int:
+    """In-order chain matches with per-step gap ≤ slop+1: greedy count of
+    chains p0<p1<…  with p_{i+1} − p_i ∈ [1, slop+1].  slop=0 ⇒ exact
+    adjacency (the reference's proximity-ladder phrase semantics,
+    query/mod.rs:45-93; goggles intersection_with_slop treats slop=1 as
+    adjacent — we keep 0-based slop and document it)."""
+    count = 0
+    for p0 in pos_lists[0]:
+        prev = int(p0)
+        ok = True
+        for nxt in pos_lists[1:]:
+            j = int(np.searchsorted(nxt, prev + 1))
+            if j >= len(nxt) or int(nxt[j]) > prev + slop + 1:
+                ok = False
+                break
+            prev = int(nxt[j])
+        count += ok
+    return count
+
+
+def _candidate_positions(
+    by_term: dict[str, pd.DataFrame], terms: list[str], cand: np.ndarray
+):
+    """Decode candidate-intersecting blocks of each term WITH positions →
+    per term (sorted doc ids, positions flat, row offsets), or None if a
+    term is absent."""
+    out = []
+    for t in terms:
+        g = by_term.get(t)
+        sub = _blocks_for_candidates(g.sort_values("block_id"), cand) if g is not None else None
+        if sub is None:
+            return None
+        ids, tfs = decode_block_subset(sub)
+        pos, offs = decode_subset_positions(sub, tfs)
+        out.append((ids.astype(np.int64), pos, offs))
+    return out
+
+
 def _phrase_freqs(
     by_term: dict[str, pd.DataFrame], ph: list[str], cand: np.ndarray
 ) -> np.ndarray:
@@ -77,15 +115,9 @@ def _phrase_freqs(
     compressed position streams — decodes only candidate-intersecting
     blocks of each member term.  Candidates are the AND survivors, so the
     per-doc loop is short by construction."""
-    member = []
-    for t in ph:
-        g = by_term.get(t)
-        sub = _blocks_for_candidates(g.sort_values("block_id"), cand) if g is not None else None
-        if sub is None:
-            return np.zeros(len(cand), dtype=np.int64)
-        ids, tfs = decode_block_subset(sub)
-        pos, offs = decode_subset_positions(sub, tfs)
-        member.append((ids.astype(np.int64), pos, offs))
+    member = _candidate_positions(by_term, ph, cand)
+    if member is None:
+        return np.zeros(len(cand), dtype=np.int64)
     pf = np.zeros(len(cand), dtype=np.int64)
     for ci, d in enumerate(cand):
         starts: np.ndarray | None = None
@@ -100,6 +132,41 @@ def _phrase_freqs(
                 break
         pf[ci] = 0 if starts is None else starts.size
     return pf
+
+
+# the reference's proximity ladder: Should-phrases over all query terms at
+# (boost, slop) pairs (src/query/mod.rs:45-93)
+PROXIMITY_LADDER: tuple[tuple[float, int], ...] = (
+    (6.0, 0), (5.0, 1), (4.0, 2), (3.0, 4), (2.0, 16), (1.0, 32),
+)
+
+
+def _ladder_freqs(
+    by_term: dict[str, pd.DataFrame],
+    terms: list[str],
+    cand: np.ndarray,
+    slops: list[int],
+) -> np.ndarray:
+    """(len(cand) × len(slops)) sloppy-chain counts for the full query-term
+    sequence — ONE positions decode shared by every rung."""
+    member = _candidate_positions(by_term, terms, cand)
+    out = np.zeros((len(cand), len(slops)), dtype=np.int64)
+    if member is None:
+        return out
+    for ci, d in enumerate(cand):
+        pos_lists = []
+        present = True
+        for ids, pos, offs in member:
+            j = int(np.searchsorted(ids, d))
+            if j >= len(ids) or ids[j] != d:
+                present = False
+                break
+            pos_lists.append(pos[offs[j]:offs[j + 1]])
+        if not present:
+            continue
+        for si, slop in enumerate(slops):
+            out[ci, si] = sloppy_chain_count(pos_lists, slop)
+    return out
 
 
 def _segment_topk_kernel(
@@ -353,6 +420,85 @@ def wand_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def proximity_rescore(
+    segments: DataFrame,
+    norms: DataFrame,
+    query_terms: list[str],
+    base_rows: list[tuple[int, float]],
+    num_docs: int,
+    avgdl: float,
+    term_df: dict[str, int],
+    docs_per_segment: int,
+    k: int = 10,
+    ladder: tuple[tuple[float, int], ...] = PROXIMITY_LADDER,
+) -> list[tuple[int, float]]:
+    """Phase-2 proximity ladder over first-phase candidates (the
+    reference's Should-phrases at (boost, slop) rungs, query/mod.rs:45-93):
+
+        score' = base + Σ_rungs boost × w_phrase × tf_comp(sloppy_freq)
+
+    Candidates (≤ overfetched k) are grouped by segment and shipped into a
+    cogrouped Arrow kernel that decodes each term's positions ONCE for all
+    rungs.  Returns the re-sorted top-k (doc_id, score')."""
+    from ..functions.bm25 import idf as idf_fn
+
+    if len(query_terms) < 2 or not base_rows:
+        return sorted(base_rows, key=lambda r: (-r[1], r[0]))[:k]
+    w_phrase = sum(idf_fn(term_df.get(t, 0), num_docs) for t in query_terms) * (
+        K1 + 1.0
+    )
+    by_seg: dict[int, list[int]] = {}
+    for d, _ in base_rows:
+        by_seg.setdefault(d // docs_per_segment, []).append(d)
+    slops = [s for _, s in ladder]
+    boosts = [b for b, _ in ladder]
+    seg_ids = sorted(by_seg)
+
+    seg_filtered = segments.filter(
+        F.col("term").isin(query_terms) & F.col("segment_id").isin(seg_ids)
+    )
+    norms_f = norms.filter(F.col("segment_id").isin(seg_ids))
+
+    def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"segment_id": pd.Series([], dtype="int32"),
+             "doc_id": pd.Series([], dtype="int64"),
+             "score": pd.Series([], dtype="float64")}
+        )
+        if len(blocks_pdf) == 0 or len(norms_pdf) == 0:
+            return empty
+        seg = int(blocks_pdf["segment_id"].iloc[0])
+        cand = np.array(sorted(by_seg.get(seg, [])), dtype=np.int64)
+        if cand.size == 0:
+            return empty
+        base = int(norms_pdf["base_doc_id"].iloc[0])
+        narr = np.frombuffer(norms_pdf["norm_bytes"].iloc[0], dtype=np.uint8)
+        dls = FIELD_NORMS_TABLE.astype(np.float64)[narr[(cand - base)]]
+        by_term = {t: g for t, g in blocks_pdf.groupby("term")}
+        freqs = _ladder_freqs(by_term, query_terms, cand, slops)
+        bonus = np.zeros(cand.size, dtype=np.float64)
+        for si, b in enumerate(boosts):
+            bonus += b * w_phrase * _tf_comp(
+                freqs[:, si].astype(np.float64), dls, avgdl
+            )
+        return pd.DataFrame(
+            {"segment_id": pd.Series(np.full(cand.size, seg), dtype="int32"),
+             "doc_id": pd.Series(cand, dtype="int64"),
+             "score": pd.Series(bonus, dtype="float64")}
+        )
+
+    bonus_rows = (
+        seg_filtered.groupBy("segment_id")
+        .cogroup(norms_f.groupBy("segment_id"))
+        .applyInPandas(run, _RESULT_SCHEMA)
+        .collect()
+    )
+    bonus = {r["doc_id"]: r["score"] for r in bonus_rows}
+    rescored = [(d, s + bonus.get(d, 0.0)) for d, s in base_rows]
+    rescored.sort(key=lambda r: (-r[1], r[0]))
+    return rescored[:k]
 
 
 def decode_doc_ids(blocks: DataFrame) -> DataFrame:

@@ -484,6 +484,29 @@ class SegmentIndex:
         ]
         return rerank_diverse(rows, key_fns, scales, k)
 
+    def search_proximity(
+        self, query: str, k: int = 10, mode: str = "must", overfetch: int = 4
+    ):
+        """Two-phase retrieval: WAND top-(k×overfetch) then the proximity
+        ladder rescoring (reference query/mod.rs:45-93).  Requires a
+        positions=True index."""
+        from ..functions.query_parse import parse_query
+        from ..operators.wand import proximity_rescore
+
+        if not self.stats.get("positions"):
+            raise ValueError("proximity needs an index built with positions=True")
+        pq = parse_query(query, self.analyzer)
+        base = [
+            (r["doc_id"], r["score"])
+            for r in self.search(query, k * overfetch, mode).collect()
+        ]
+        tdf = self.term_df(pq.uniq_terms)
+        return proximity_rescore(
+            self.segments, self.norms, pq.uniq_terms, base,
+            self.stats["num_docs"], self.stats["avgdl"], tdf,
+            self.stats["docs_per_segment"], k=k,
+        )
+
     def spell_checker(self, dict_size: int = 100_000):
         """Broadcastable top-N term dictionary → SpellChecker
         (reference src/spell/dictionary.rs:135-149)."""
