@@ -45,53 +45,66 @@ def lpt_buckets(sizes: list[int], n_buckets: int) -> list[int]:
     return out
 
 
-def decode_postings(segments: DataFrame, norms: DataFrame, doc_offset: int = 0) -> DataFrame:
+def decode_postings(
+    segments: DataFrame,
+    norms: DataFrame,
+    doc_offset: int = 0,
+    include_positions: bool = False,
+) -> DataFrame:
     """segments + packed norms → postings rows
-    ``(doc_id [+offset], term, tf, dl, norm_id)`` — the exact inverse of
-    the segment encode, so build/merge roundtrips are testable.
+    ``(doc_id [+offset], term, tf, dl, norm_id [, positions])`` — the exact
+    inverse of the segment encode, so build/merge roundtrips are testable
+    and merged indexes keep phrase capability.
 
     ``dl`` is the *quantized* decode of norm_id (the exact dl is not stored
     in the index; it is only used for avgdl, which merge takes from the
     source stats sums — matching the reference, where merged avgdl is
     likewise the sum of per-segment totals)."""
     from ..functions.fieldnorm import FIELD_NORMS_TABLE
-    from .postings import POSTINGS_SCHEMA
+    from .postings import POSTINGS_POS_SCHEMA, POSTINGS_SCHEMA
+    from .segments import decode_subset_positions
 
     def run(key, seg_pdf: pd.DataFrame, norm_pdf: pd.DataFrame):
+        cols = {"doc_id": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int32"),
+                "dl": pd.Series([], dtype="int32"),
+                "norm_id": pd.Series([], dtype="int32")}
+        if include_positions:
+            cols["positions"] = pd.Series([], dtype="object")
         if len(seg_pdf) == 0 or len(norm_pdf) == 0:
-            return pd.DataFrame(
-                {"doc_id": pd.Series([], dtype="int64"),
-                 "term": pd.Series([], dtype="object"),
-                 "tf": pd.Series([], dtype="int32"),
-                 "dl": pd.Series([], dtype="int32"),
-                 "norm_id": pd.Series([], dtype="int32")}
-            )
+            return pd.DataFrame(cols)
         base = int(norm_pdf["base_doc_id"].iloc[0])
         narr = np.frombuffer(norm_pdf["norm_bytes"].iloc[0], dtype=np.uint8)
         outs = []
         for term, g in seg_pdf.groupby("term"):
-            ids, tfs = decode_term_blocks(g.sort_values("block_id"))
+            g = g.sort_values("block_id")
+            ids, tfs = decode_term_blocks(g)
             ids = ids.astype(np.int64)
             nid = narr[ids - base].astype(np.int32)
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": pd.Series(ids + doc_offset, dtype="int64"),
-                        "term": pd.Series([term] * len(ids), dtype="object"),
-                        "tf": pd.Series(tfs.astype(np.int32), dtype="int32"),
-                        "dl": pd.Series(
-                            FIELD_NORMS_TABLE[nid].astype(np.int32), dtype="int32"
-                        ),
-                        "norm_id": pd.Series(nid, dtype="int32"),
-                    }
+            out = {
+                "doc_id": pd.Series(ids + doc_offset, dtype="int64"),
+                "term": pd.Series([term] * len(ids), dtype="object"),
+                "tf": pd.Series(tfs.astype(np.int32), dtype="int32"),
+                "dl": pd.Series(
+                    FIELD_NORMS_TABLE[nid].astype(np.int32), dtype="int32"
+                ),
+                "norm_id": pd.Series(nid, dtype="int32"),
+            }
+            if include_positions:
+                pos, offs = decode_subset_positions(g, tfs)
+                out["positions"] = pd.Series(
+                    [pos[offs[i]:offs[i + 1]].tolist() for i in range(len(ids))],
+                    dtype="object",
                 )
-            )
+            outs.append(pd.DataFrame(out))
         return pd.concat(outs, ignore_index=True)
 
+    schema = POSTINGS_POS_SCHEMA if include_positions else POSTINGS_SCHEMA
     return (
         segments.groupBy("segment_id")
         .cogroup(norms.groupBy("segment_id"))
-        .applyInPandas(run, POSTINGS_SCHEMA)
+        .applyInPandas(run, schema)
     )
 
 
@@ -124,6 +137,8 @@ def merge_indexes(
     analyzer = stats[0]["analyzer"]
     if any(st["analyzer"] != analyzer for st in stats):
         raise ValueError("cannot merge indexes built with different analyzers")
+    # merged index keeps positions iff EVERY source has them
+    positions = all(st.get("positions") for st in stats)
 
     offsets = []
     acc = 0
@@ -133,10 +148,17 @@ def merge_indexes(
 
     parts = []
     norm_parts = []
-    for s, off in zip(srcs, offsets):
-        seg = spark.read.parquet(s.segments)
-        nrm = spark.read.parquet(s.norms)
-        parts.append(decode_postings(seg, nrm, doc_offset=off))
+    from .segments import split_unified
+
+    for s, st, off in zip(srcs, stats, offsets):
+        if st.get("layout") == "fused":
+            seg, nrm = split_unified(spark.read.parquet(s.index))
+        else:
+            seg = spark.read.parquet(s.segments)
+            nrm = spark.read.parquet(s.norms)
+        parts.append(
+            decode_postings(seg, nrm, doc_offset=off, include_positions=positions)
+        )
         norm_parts.append(
             nrm.select(
                 (F.col("base_doc_id") + F.lit(off)).alias("base_doc_id"),
@@ -171,6 +193,7 @@ def merge_indexes(
         "total_tokens": sum(st["total_tokens"] for st in stats),
         "analyzer": analyzer,
         "docs_per_segment": dps,
+        "positions": positions,
         "merged_from": [
             {"dir": d, "offset": off, "num_docs": st["num_docs"]}
             for d, off, st in zip(source_dirs, offsets, stats)

@@ -401,10 +401,18 @@ def wand_topk(
         | {attr_term(f_, v) for f_, v in pq.anti_filters.items()}
     )
 
-    # scan pruned to the query's pos+neg+filter terms (pushed to parquet)
+    # scan pruned to the query's pos+neg+filter terms (pushed to parquet);
+    # the position streams — the widest column — are read ONLY when a
+    # phrase needs them (column pruning reaches the parquet ReadSchema)
+    cols = [
+        "segment_id", "term", "block_id", "first_doc_id", "last_doc_id",
+        "num_docs", "id_bytes", "tf_bytes", "max_tf", "min_norm_id",
+    ]
+    if phrases:
+        cols.insert(8, "pos_bytes")
     seg_filtered = segments.filter(
         F.col("term").isin(all_terms + neg + filter_terms)
-    )
+    ).select(*[c for c in cols if c in segments.columns])
 
     def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_topk_kernel(
