@@ -179,10 +179,11 @@ def _bm25_query(terms: list[str], mode: str):
 
 def _bm25_sql(terms: list[str], mode: str) -> str:
     tlist = ", ".join("'" + t + "'" for t in terms)
+    # parenthesization matches the engine exactly: w * (tf / (tf + norm))
     per_term = (
         "SELECT tf.doc_id, tf.term, "
-        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2 * tf.tf / "
-        "(tf.tf + 1.2 * (0.25 + 0.75 * q.dl_quant / s.avgdl)) AS ts "
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2 * (tf.tf / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * q.dl_quant / s.avgdl))) AS ts "
         "FROM tf JOIN dlq q ON tf.doc_id = q.doc_id "
         "JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df ON tf.term = df.term "
         "CROSS JOIN stats s "

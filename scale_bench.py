@@ -148,10 +148,12 @@ def main() -> None:
     print(json.dumps(result))
 
     section = (
-        "\n## Measured scaling evidence (this repo)\n\n"
-        f"Full `spark-submit --py-files stractt_spark.zip jobs/build_job.py` pipeline\n"
-        f"(tokenize → postings → segments → norms → stats), synthetic code corpus of\n"
-        f"{args.docs} docs, identical input both runs, fresh JVM each:\n\n"
+        "\n## Measured scaling evidence (latest scripted run)\n\n"
+        f"Full `spark-submit --py-files stractt_spark.zip jobs/build_job.py` fused\n"
+        f"pipeline (docs → segments+norms+stats, one shuffle), synthetic code corpus\n"
+        f"of {args.docs} docs, identical input both runs, fresh JVM each, best of\n"
+        f"{args.trials} trial(s) per level; see the evidence chain above for the\n"
+        "calibrated interpretation:\n\n"
         "| parallelism | seconds | docs/sec |\n|---|---|---|\n"
         f"| local[{args.n}] (N) | {r_n['seconds']} | {r_n['docs_per_sec']} |\n"
         f"| local[{args.xn}] (4N) | {r_xn['seconds']} | {r_xn['docs_per_sec']} |\n\n"
@@ -164,8 +166,10 @@ def main() -> None:
     if os.path.exists(bench_md):
         with open(bench_md) as f:
             existing = f.read()
-        # replace any previous scaling section
-        cut = existing.find("\n## Measured scaling evidence")
+        # replace any previous scripted scaling section
+        cut = existing.find("\n## Measured scaling evidence (latest scripted run)")
+        if cut == -1:
+            cut = existing.find("\n## Measured scaling evidence (this repo)")
         if cut != -1:
             existing = existing[:cut]
     else:

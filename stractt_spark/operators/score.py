@@ -99,18 +99,20 @@ def bm25_topk(
     counts = pq.term_counts
     unit_frames = []
     n_units = 0
+    from ..functions.bm25 import weight as weight_fn
+
     if uniq:
         # weight literal per term (constant-folded), count-folded like the
-        # reference's duplicated-term scoring
+        # reference's duplicated-term scoring.  Association order is
+        # counts·(idf·(k1+1)) then w·(tf/(tf+norm)) — identical in every
+        # path (oracle, exhaustive, WAND) so scores are bit-equal.
         wmap = F.create_map(
             *[
                 x
                 for t in uniq
                 for x in (
                     F.lit(t),
-                    F.lit(
-                        counts[t] * idf_fn(dfs.get(t, 0), num_docs) * (K1 + 1.0)
-                    ),
+                    F.lit(counts[t] * weight_fn(dfs.get(t, 0), num_docs)),
                 )
             ]
         )
@@ -123,7 +125,7 @@ def bm25_topk(
                 "doc_id",
                 F.lit(0).alias("_kind"),
                 F.col("term").alias("_key"),
-                (wmap[F.col("term")] * tf / (tf + norm)).alias("_s"),
+                (wmap[F.col("term")] * (tf / (tf + norm))).alias("_s"),
             )
         )
         n_units += len(uniq)
@@ -150,7 +152,7 @@ def bm25_topk(
                 "doc_id",
                 F.lit(1).alias("_kind"),
                 F.lit(" ".join(ph) + f"\x00{pi}").alias("_key"),
-                (F.lit(w_ph) * tfp / (tfp + norm)).alias("_s"),
+                (F.lit(w_ph) * (tfp / (tfp + norm))).alias("_s"),
             )
         )
         n_units += 1

@@ -290,6 +290,55 @@ def _segment_topk_kernel(
             score += qweights[t] * _tf_comp(cand_tfs[t].astype(np.float64), dls, avgdl)
         for i in ph_order:  # then phrases by text
             score += pweights[i] * _tf_comp(pfs[i].astype(np.float64), dls, avgdl)
+    elif (
+        len(present) == 1
+        and not phrases
+        and not filter_terms
+        and excluded is None
+        and max_docs is None
+    ):
+        # single-term block-max pruning (exact): per-block upper bound
+        # ub = w · tf_comp(max_tf, dl(min_norm_id)) dominates every doc in
+        # the block; process blocks in ub-descending order and stop once
+        # the running k-th best score ≥ the next block's ub — the
+        # block-max skip the stored (max_tf, min_norm_id) metadata exists
+        # for ([tantivy contract], SURVEY.md §4 block-max WAND row).
+        t = present[0]
+        g = by_term[t]
+        w = qweights[t]
+        ub = w * _tf_comp(
+            g["max_tf"].to_numpy(dtype=np.float64),
+            dl_table[g["min_norm_id"].to_numpy(dtype=np.int64)],
+            avgdl,
+        )
+        order_b = np.argsort(-ub)
+        ids_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
+        kth = -np.inf
+        n_collected = 0
+        CHUNK = 8
+        for c0 in range(0, len(order_b), CHUNK):
+            chunk = order_b[c0:c0 + CHUNK]
+            # strict <: a block with ub == kth can still contain an
+            # equal-score doc that wins the doc_id tie-break
+            if n_collected >= k and ub[chunk[0]] < kth:
+                break  # no remaining block can beat the k-th best
+            sub = g.iloc[np.sort(chunk)]
+            c_ids, c_tfs = decode_block_subset(sub)
+            c_ids = c_ids.astype(np.int64)
+            s = w * _tf_comp(c_tfs.astype(np.float64), dl_of(c_ids), avgdl)
+            ids_parts.append(c_ids)
+            score_parts.append(s)
+            n_collected += c_ids.size
+            if n_collected >= k:
+                allsc = np.concatenate(score_parts)
+                kth = (
+                    np.partition(allsc, allsc.size - k)[allsc.size - k]
+                    if allsc.size >= k
+                    else -np.inf
+                )
+        ids = np.concatenate(ids_parts) if ids_parts else np.zeros(0, dtype=np.int64)
+        score = np.concatenate(score_parts) if score_parts else np.zeros(0)
     else:
         # exact TAAT: dense accumulator over the segment's doc range
         n = norms.size

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .functions.bm25 import K1, idf, score_term, tf_component
+from .functions.bm25 import K1, idf, tf_component, weight
 from .functions.fieldnorm import quantize_length
 from .functions.tokenizer import get_analyzer, term_freqs
 
@@ -110,12 +110,14 @@ class OracleIndex:
         scores: dict[int, float] = {d: 0.0 for d in cand}
         for t in sorted(counts):
             plist = self.postings.get(t, {})
-            n = len(plist)
+            # association order counts·weight, then w·tf_comp — identical
+            # to both Spark paths for bit-equal scores
+            wt = counts[t] * weight(len(plist), self.num_docs)
             for d in cand:
                 tf = plist.get(d)
                 if tf is not None:
-                    scores[d] += counts[t] * float(
-                        score_term(tf, self.doc_dl[d], avgdl, n, self.num_docs)
+                    scores[d] += wt * float(
+                        tf_component(tf, self.doc_dl[d], avgdl)
                     )
         for ph, pdocs in sorted(
             zip(phrases, phrase_docs), key=lambda x: " ".join(x[0])
@@ -123,6 +125,7 @@ class OracleIndex:
             w = sum(
                 idf(len(self.postings.get(t, {})), self.num_docs) for t in ph
             ) * (K1 + 1.0)
+            # w·(tf_comp) association — matches engine paths
             for d in cand:
                 pf = pdocs.get(d)
                 if pf:
