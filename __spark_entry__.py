@@ -212,10 +212,14 @@ def _q_bm25_wand(terms: list[str], mode: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from stractt_spark.plans.build import SegmentIndex, build_index
 
+        import hashlib
+
         key = sf_dir
         if key not in _WAND_INDEX_CACHE:
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-            out = f"/tmp/stractt_entry_idx_{abs(hash(sf_dir))}"
+            # stable key: hash() is PYTHONHASHSEED-randomized per process,
+            # which would defeat build_index's resume cache across runs
+            out = "/tmp/stractt_entry_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
             build_index(spark, docs, out, text_col="text", id_col="doc_id",
                         analyzer="ascii", docs_per_segment=256)
             _WAND_INDEX_CACHE[key] = SegmentIndex(spark, out)

@@ -69,12 +69,20 @@ def main() -> None:
     full = make_corpus_parquet(args.docs)
     zip_path = make_pyfiles_zip()
     q = args.docs // 4
-    quarters = []
-    for i in range(4):
-        qp = f"/dev/shm/stractt_quarter_{i}.parquet"
-        if not os.path.isdir(qp):
-            raise SystemExit(f"missing quarter {qp}; generate first")
-        quarters.append(qp)
+    quarters = [f"/dev/shm/stractt_quarter_n{args.docs}_{i}.parquet" for i in range(4)]
+    if not all(os.path.isdir(p) for p in quarters):
+        # segment-aligned doc-range quarters — the exact ranges a cluster
+        # shuffle would route to each executor's segments
+        from stractt_spark.session import get_spark
+        from pyspark.sql import functions as F
+
+        spark = get_spark(app_name="quarter-gen", cpus=16)
+        c = spark.read.parquet(full)
+        for i, p in enumerate(quarters):
+            c.filter(
+                (F.col("doc_id") >= i * q) & (F.col("doc_id") < (i + 1) * q)
+            ).write.mode("overwrite").parquet(p)
+        spark.stop()
 
     # N = 1 executor over the full corpus
     shutil.rmtree("/dev/shm/sim_idx_full", ignore_errors=True)
@@ -95,10 +103,15 @@ def main() -> None:
         procs.append(
             subprocess.Popen(
                 submit_cmd(pin, quarters[i], out, zip_path),
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
         )
-    outs = [p.communicate(timeout=3000)[0] for p in procs]
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=3000)
+        if '"job"' not in stdout:
+            raise RuntimeError(f"executor failed:\n{stderr[-2000:]}")
+        outs.append(stdout)
     wall4 = time.time() - t0
     sub = [parse_result(o) for o in outs]
 

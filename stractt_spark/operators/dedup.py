@@ -110,6 +110,16 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
+    return _jaccard_from_intersections(inter, sizes, threshold)
+
+
+def _jaccard_from_intersections(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """(doc_a, doc_b, inter) + per-doc shingle counts → pairs with
+    ``jaccard = round(inter/(na+nb−inter), 6) ≥ threshold``.  The single
+    definition shared by the exact and the LSH-verified paths (and pinned
+    to the same 6dp rounding as the SQL oracle)."""
     return (
         inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
                                .withColumnRenamed("n_sh", "na")), "doc_a")
@@ -240,18 +250,7 @@ def minhash_dedup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-                               .withColumnRenamed("n_sh", "na")), "doc_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-                          .withColumnRenamed("n_sh", "nb")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_from_intersections(inter, sizes, threshold)
 
 
 # --------------------------------------------------------------- SimHash

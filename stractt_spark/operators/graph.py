@@ -26,7 +26,14 @@ def bfs_distances(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Iterates frontier ⋈ edges until fixpoint or max_iter (graph diameter
     bound).  Uniform weight 1, like the reference."""
-    dist = edges.select("src", "dst", F.lit(1).alias("dist")).distinct().cache()
+    # self-loops excluded from the seed: d(u,u) is not part of the
+    # Σ_{u≠v} harmonic sum (a (u,u) seed row would inflate centrality)
+    dist = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.lit(1).alias("dist"))
+        .distinct()
+        .cache()
+    )
     frontier = dist
     for _ in range(max_iter - 1):
         expanded = (

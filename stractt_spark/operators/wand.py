@@ -388,11 +388,10 @@ def _segment_topk_kernel(
     if excluded is not None and ids.size:
         keep = ~np.isin(ids, excluded, assume_unique=False)
         ids, score = ids[keep], score[keep]
-    if score.size > k:
-        # bounded top-k: argpartition then exact sort of k (score desc, id asc)
-        part = np.argpartition(-score, k - 1)[: k]
-        ids, score = ids[part], score[part]
-    ordr = np.lexsort((ids, -score))
+    # bounded top-k with the FULL tie order (score desc, doc_id asc): a
+    # bare argpartition cut breaks score ties at the k boundary by array
+    # position, dropping the lower doc_id the oracle would keep
+    ordr = np.lexsort((ids, -score))[:k]
     ids, score = ids[ordr], score[ordr]
     return pd.DataFrame(
         {

@@ -372,6 +372,8 @@ def build_index_fused(
             "layout": "fused",
             "positions": positions,
             "attr_cols": sorted(attr_cols or []),
+            "text_col": text_col,
+            "id_col": id_col,
             "fingerprint": fp,
         }
         tmp = paths.stats + ".tmp"
@@ -394,7 +396,11 @@ class SegmentIndex:
         if self.stats.get("layout") == "fused":
             from ..operators.segments import split_unified
 
-            unified = spark.read.parquet(self.paths.index)
+            dirs = [self.paths.index] + [
+                os.path.join(root, "batches", f"b{b}.parquet")
+                for b in self.stats.get("stream_batches", [])
+            ]
+            unified = spark.read.parquet(*dirs)
             self.segments, self.norms = split_unified(unified)
         else:
             self.segments = spark.read.parquet(self.paths.segments)

@@ -4,23 +4,33 @@ The reference has no streaming surface (batch crawl → batch index,
 SURVEY.md §2.10); this is the Spark-native extension a continuously-
 crawled corpus needs: ``readStream`` over an arriving-files directory →
 ``foreachBatch`` → each micro-batch becomes NEW segments appended to the
-unified index table.
+index.
 
-Design points:
+Exactly-once without transactions (parquet stand-in for Iceberg):
 
-* a micro-batch's docs get segment ids strictly after all existing ones
-  (``next_doc_id`` high-water mark in stats.json), so appends never touch
-  existing segments — the same deferred-remap invariant as the batch merge
-  (operators/merge.py);
-* the unified fused layout makes append trivial: new block+sentinel rows
-  are ``mode("append")`` parquet writes (Iceberg appends in production —
-  snapshot-isolated);
-* global stats (num_docs, total_tokens, avgdl) and term_stats are
-  re-derived incrementally per batch; BM25 scores therefore legitimately
-  drift as the corpus grows, exactly as a re-built batch index would;
-* exactly-once: the streaming checkpoint (Spark's) deduplicates input
-  files; the per-batch index append is idempotent via the batch-id ledger
-  in stats.json.
+* each batch writes its unified rows to its OWN directory
+  ``batches/b{batch_id}.parquet`` with ``mode("overwrite")`` — a retried
+  batch overwrites the identical content instead of double-appending;
+* a batch becomes visible only when its id is committed to the
+  ``stream_batches`` ledger inside stats.json, in the SAME atomic
+  ``os.replace`` that updates num_docs/avgdl — readers
+  (:class:`~stractt_spark.plans.build.SegmentIndex`) union only the main
+  table plus LEDGERED batch dirs, so a crash between data write and
+  ledger commit leaves an invisible orphan that the retry overwrites;
+* term_stats is recomputed over main + ledgered + the new batch just
+  before the ledger commit — a crash in that window leaves df counts
+  transiently inflated until the retry completes (an Iceberg deployment
+  makes this window disappear: one snapshot commits data + stats).
+
+Build parameters (analyzer, positions, attr_cols, docs_per_segment) are
+READ FROM THE INDEX'S stats.json, never from the caller — appending with
+mismatched tokenization or position options would silently corrupt query
+semantics.
+
+Micro-batch doc ids: assigned deterministically from ``order_cols``
+(a unique key) starting at a fresh segment boundary after the high-water
+mark, so existing segments are never rewritten (the deferred-remap
+invariant of operators/merge.py).
 """
 
 from __future__ import annotations
@@ -35,39 +45,46 @@ from ..operators.segments import NORMS_SENTINEL, build_segments_fused
 from ..plans.build import IndexPaths
 
 
+def batch_dir(index_dir: str, batch_id: int) -> str:
+    return os.path.join(index_dir, "batches", f"b{batch_id}.parquet")
+
+
+def registered_paths(index_dir: str, stats: dict) -> list[str]:
+    paths = IndexPaths(index_dir)
+    return [paths.index] + [
+        batch_dir(index_dir, b) for b in stats.get("stream_batches", [])
+    ]
+
+
 def append_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     batch_id: int,
     index_dir: str,
-    text_col: str = "content",
-    id_col: str = "doc_id",
-    analyzer: str = "ascii",
-    positions: bool = False,
-    attr_cols: list[str] | None = None,
     order_cols: tuple[str, ...] = ("repo", "path", "commit"),
 ) -> None:
-    """Append one micro-batch of docs as new segments; doc ids are
-    assigned deterministically from ``order_cols`` (a unique key) starting
-    at the index's high-water mark."""
+    """Append one micro-batch of docs as new segments (idempotent)."""
     paths = IndexPaths(index_dir)
     with open(paths.stats) as f:
         stats = json.load(f)
-    done_batches = set(stats.get("stream_batches", []))
-    if batch_id in done_batches:  # idempotent re-delivery
-        return
+    if batch_id in set(stats.get("stream_batches", [])):
+        return  # already committed
+    # build options come from the index itself
+    text_col = stats.get("text_col", "content")
+    analyzer = stats["analyzer"]
+    positions = bool(stats.get("positions"))
+    attr_cols = stats.get("attr_cols") or None
     dps = stats["docs_per_segment"]
     hwm = stats.get("next_doc_id", stats["num_docs"])
 
     n_new = batch_df.count()
     if n_new == 0:
         return
-    # place the batch's ids after the high-water mark, aligned to a fresh
-    # segment boundary so existing segments are never rewritten
+    # ids start at a fresh segment boundary after the high-water mark
     base = ((hwm + dps - 1) // dps) * dps
     from ..operators.postings import assign_doc_ids
 
-    src = batch_df.drop(id_col) if id_col in batch_df.columns else batch_df
+    src = batch_df.drop("doc_id") if "doc_id" in batch_df.columns else batch_df
     docs = assign_doc_ids(src, list(order_cols)).withColumn(
         "doc_id", F.col("doc_id") + F.lit(base)
     )
@@ -76,15 +93,16 @@ def append_batch(
         docs, text_col, "doc_id", analyzer, dps,
         include_positions=positions, attr_cols=attr_cols,
     )
+    bdir = batch_dir(index_dir, batch_id)
     (
         unified.sortWithinPartitions("segment_id", "term", "block_id")
-        .write.mode("append")
-        .parquet(paths.index)
+        .write.mode("overwrite")  # idempotent claim: retry rewrites in place
+        .parquet(bdir)
     )
 
-    # refresh derived tables + stats (term_stats is small: one agg over
-    # pruned columns of the appended table)
-    full = spark.read.parquet(paths.index)
+    # derived tables over main + ledgered + this batch
+    all_dirs = registered_paths(index_dir, stats) + [bdir]
+    full = spark.read.parquet(*all_dirs)
     (
         full.filter(F.col("term") != NORMS_SENTINEL)
         .groupBy("term")
@@ -98,6 +116,8 @@ def append_batch(
 
     meta = full.filter(F.col("term") == NORMS_SENTINEL).select("tf_bytes").collect()
     total_tokens = sum(int(varint_decode(bytes(r["tf_bytes"]))[0]) for r in meta)
+
+    # single atomic commit: ledger + stats together
     stats["num_docs"] = int(stats["num_docs"] + n_new)
     stats["next_doc_id"] = int(base + n_new)
     stats["total_tokens"] = int(total_tokens)
@@ -124,26 +144,21 @@ def stream_ingest(
     index_dir: str,
     schema: str,
     checkpoint_dir: str,
-    text_col: str = "content",
-    analyzer: str = "ascii",
-    positions: bool = False,
-    attr_cols: list[str] | None = None,
     order_cols: tuple[str, ...] = ("repo", "path", "commit"),
     available_now: bool = True,
+    **_compat,
 ):
     """readStream(parquet files in input_dir) → incremental index appends.
 
     ``available_now=True`` drains everything currently present and stops
     (test/backfill mode); False runs continuously per micro-batch.
+    Tokenizer/positions/attr options always come from the target index's
+    stats.json.
     """
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        append_batch(
-            spark, batch_df, batch_id, index_dir,
-            text_col=text_col, analyzer=analyzer,
-            positions=positions, attr_cols=attr_cols, order_cols=order_cols,
-        )
+        append_batch(spark, batch_df, batch_id, index_dir, order_cols=order_cols)
 
     writer = (
         stream.writeStream.foreachBatch(process)

@@ -82,6 +82,45 @@ def test_stream_rank_identity(streamed, query, mode):
     assert [d for d, _ in got] == [d for d, _ in expected], (query, mode)
 
 
+def test_orphan_batch_dir_invisible_until_ledgered(streamed, spark):
+    """Crash between batch-dir write and ledger commit: the orphan dir is
+    invisible to readers; the retried append overwrites it and commits."""
+    import json
+
+    from stractt_spark.streaming.ingest import append_batch, batch_dir
+
+    index, oracle = streamed
+    root = index.paths.root
+    extra = make_corpus(520)[500:520]
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["content"]) for r in extra],
+        "repo string, path string, commit string, content string",
+    )
+    # simulate the crash: run a full append, then roll back ONLY the
+    # ledger/stats commit (as if os.replace never happened)
+    with open(f"{root}/stats.json") as f:
+        before = json.load(f)
+    append_batch(spark, df, 999, root)
+    with open(f"{root}/stats.json") as f:
+        after = json.load(f)
+    assert 999 in after["stream_batches"]
+    with open(f"{root}/stats.json", "w") as f:
+        json.dump(before, f)  # roll back the commit; batch dir survives
+    import os
+
+    assert os.path.isdir(batch_dir(root, 999))  # orphan exists...
+    fresh = SegmentIndex(spark, root)
+    assert fresh.stats["num_docs"] == before["num_docs"]  # ...but invisible
+    # retry is clean: overwrites the orphan, commits once
+    append_batch(spark, df, 999, root)
+    with open(f"{root}/stats.json") as f:
+        final = json.load(f)
+    assert final["stream_batches"].count(999) == 1
+    assert final["num_docs"] == before["num_docs"] + 20
+    idx2 = SegmentIndex(spark, root)
+    assert len(idx2.search_list("buffer", k=5)) > 0
+
+
 def test_stream_idempotent_batch(streamed, spark):
     """Re-delivering an already-ledgered batch id is a no-op."""
     index, _ = streamed
