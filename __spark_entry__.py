@@ -61,8 +61,9 @@ def _shipped(fn: Callable) -> Callable:
 
     return wrapped
 
-# exact-parity ASCII token pattern (Java regex == RE2 semantics here)
-TOKEN_RE = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r\\f\\v]"
+# exact-parity ASCII token pattern (Java regex == RE2 semantics here) —
+# single definition shared with the Spark-side analyzers
+from stractt_spark.functions.tokenizer import SQL_TOKEN_PATTERN as TOKEN_RE
 
 # 256-row fieldnorm decode table as SQL (DuckDB): b<8 → b, else (m|8)<<(e-1)
 _NORM_CTE = (

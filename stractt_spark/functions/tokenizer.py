@@ -12,8 +12,14 @@ keeps the whole string as one token (``:157-202``).
 
 Python's ``\\w`` (unicode by default) already contains Han / Hiragana /
 Katakana / Cyrillic / Arabic letters, so ``\\w+|[^\\w\\s]`` reproduces the
-reference token stream exactly: greedy word runs, then each remaining
-non-space char alone.
+reference token stream on ordinary text: greedy word runs, then each
+remaining non-space char alone.  Two deliberate divergences from the
+reference lexer (kept for regex-engine parity, documented rather than
+mirrored): (a) the reference word class contains a literal ``|`` (its
+Logos class ``[\\w|...]+`` — ``a|b`` is ONE token there, three here);
+(b) the reference skip set is exactly ``[ \\t\\n\\f]+`` — it emits ``\\r``
+and Unicode spaces as single-char tokens, while Python ``\\s`` skips
+them.
 
 Two extra analyzers exist for the code corpus (north star: "code-aware
 tokenizer: identifier splitting, lowercase, stoplist"):
@@ -43,9 +49,19 @@ _SIMPLE_RE = re.compile(r"\w+|[^\w\s]")
 _ASCII_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
 
 # The same pattern, as a string usable verbatim in Spark `regexp_extract_all`
-# (Java regex) and DuckDB `regexp_extract_all` (RE2). No escapes that differ
-# between the three engines.
-SQL_TOKEN_PATTERN = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r]"
+# (Java regex) and DuckDB `regexp_extract_all` (RE2).  The negated class
+# spells out the ASCII whitespace set [ \t\n\r\f\v] so it matches Python's
+# `\s` on ASCII input (__spark_entry__ imports this constant — one
+# definition everywhere).  The whitespace characters are embedded RAW, not
+# as backslash escapes: Spark's SQL string-literal lexer drops the
+# backslash of escapes it doesn't know (`\v` → `v`), which would silently
+# turn the class into one that excludes the LETTER v — raw control
+# characters pass through every engine's literal parser untouched.
+# Remaining documented divergence: Python `\s` also skips Unicode
+# whitespace (U+00A0, U+2000..), which this ASCII class emits as
+# single-char tokens; the synthetic corpus and the oracle gate are
+# ASCII-only so the three engines agree on every gated byte.
+SQL_TOKEN_PATTERN = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]"
 
 # camelCase boundaries: lower|digit → Upper, and ACRONYMWord ("HTTPServer"
 # → "HTTP" + "Server").

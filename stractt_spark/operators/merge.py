@@ -116,9 +116,10 @@ def merge_indexes(
 ) -> "IndexPaths":
     """Merge N independently-built indexes into one re-segmented index.
 
-    Sources are taken in the given order; doc ids are remapped by dense
-    offsets (prefix sums of each source's num_docs).  Global stats and
-    term dfs are sums over sources (disjoint doc spaces).
+    Sources are taken in the given order; doc ids are remapped by prefix-sum
+    offsets over each source's id span max(next_doc_id, num_docs), which
+    covers streaming appends past num_docs.  Global stats and term dfs are
+    sums over sources (disjoint doc spaces).
     """
     import json
     import os
@@ -140,31 +141,33 @@ def merge_indexes(
     # merged index keeps positions iff EVERY source has them
     positions = all(st.get("positions") for st in stats)
 
+    # Each source's id space is sized by max(next_doc_id, num_docs):
+    # streaming appends assign ids past num_docs (fresh segment boundary
+    # after the high-water mark, streaming/ingest.py), so sizing by
+    # num_docs alone would collide remapped ids across sources.  For a
+    # never-appended source this degenerates to the dense num_docs offset.
     offsets = []
     acc = 0
     for st in stats:
         offsets.append(acc)
-        acc += st["num_docs"]
+        acc += max(st.get("next_doc_id", 0), st["num_docs"])
 
     parts = []
-    norm_parts = []
+    from ..streaming.ingest import registered_paths
     from .segments import split_unified
 
-    for s, st, off in zip(srcs, stats, offsets):
+    for d, s, st, off in zip(source_dirs, srcs, stats, offsets):
         if st.get("layout") == "fused":
-            seg, nrm = split_unified(spark.read.parquet(s.index))
+            # union the main table AND every ledgered streaming batch dir —
+            # reading paths.index alone silently drops streamed docs
+            seg, nrm = split_unified(
+                spark.read.parquet(*registered_paths(d, st))
+            )
         else:
             seg = spark.read.parquet(s.segments)
             nrm = spark.read.parquet(s.norms)
         parts.append(
             decode_postings(seg, nrm, doc_offset=off, include_positions=positions)
-        )
-        norm_parts.append(
-            nrm.select(
-                (F.col("base_doc_id") + F.lit(off)).alias("base_doc_id"),
-                "n_docs",
-                "norm_bytes",
-            )
         )
     postings = parts[0]
     for p in parts[1:]:
@@ -191,6 +194,8 @@ def merge_indexes(
     merged = {
         "num_docs": sum(st["num_docs"] for st in stats),
         "total_tokens": sum(st["total_tokens"] for st in stats),
+        # high-water mark for future appends: the full remapped id span
+        "next_doc_id": acc,
         "analyzer": analyzer,
         "docs_per_segment": dps,
         "positions": positions,

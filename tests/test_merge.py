@@ -84,3 +84,63 @@ def test_merged_search_rank_identical(merged_vs_global, query, mode):
     assert [d for d, _ in got] == [d for d, _ in expected], (query, mode)
     also = glob.search_list(query, k=10, mode=mode)
     assert got == also
+
+
+def test_merge_includes_streamed_batches(spark, tmp_path_factory):
+    """Regression: merging a post-append (streamed) fused index must keep
+    the streamed docs and must not collide remapped ids across sources
+    (stream ids start past num_docs at a fresh segment boundary)."""
+    from stractt_spark.operators.postings import assign_doc_ids
+    from stractt_spark.plans.build import build_index_fused
+    from stractt_spark.streaming.ingest import append_batch
+
+    root = tmp_path_factory.mktemp("merge_streamed")
+    rows = make_corpus(210)
+    key = lambda r: (r["repo"], r["path"], r["commit"])
+
+    def df_of(chunk):
+        return spark.createDataFrame(
+            [(r["repo"], r["path"], r["commit"], r["content"]) for r in chunk],
+            "repo string, path string, commit string, content string",
+        )
+
+    dps = 48
+    # source 0: 100 docs built, then 50 streamed in one batch
+    d0 = str(root / "src0")
+    build_index_fused(
+        spark, assign_doc_ids(df_of(rows[:100]), ["repo", "path", "commit"]),
+        d0, text_col="content", docs_per_segment=dps,
+    )
+    append_batch(spark, df_of(rows[100:150]), batch_id=0, index_dir=d0)
+    base_stream = ((100 + dps - 1) // dps) * dps  # 144
+    span0 = base_stream + 50  # next_doc_id of source 0
+
+    # source 1: plain 60-doc build
+    d1 = str(root / "src1")
+    build_index_fused(
+        spark, assign_doc_ids(df_of(rows[150:]), ["repo", "path", "commit"]),
+        d1, text_col="content", docs_per_segment=dps,
+    )
+
+    merged_dir = str(root / "merged")
+    merge_indexes(spark, [d0, d1], merged_dir, docs_per_segment=64)
+    merged = SegmentIndex(spark, merged_dir).cache()
+
+    # every doc from all three chunks present exactly once
+    assert merged.stats["num_docs"] == 210
+    assert merged.stats["next_doc_id"] == span0 + 60
+    decoded = decode_postings(merged.segments, merged.norms).toPandas()
+    assert decoded["doc_id"].nunique() == 210
+
+    # rank identity vs an oracle over the expected remapped id layout
+    oracle = build_oracle([])
+    for i, r in enumerate(sorted(rows[:100], key=key)):
+        oracle.add(i, r["content"])
+    for i, r in enumerate(sorted(rows[100:150], key=key)):
+        oracle.add(base_stream + i, r["content"])
+    for i, r in enumerate(sorted(rows[150:], key=key)):
+        oracle.add(span0 + i, r["content"])
+    for query, mode in [("the", "should"), ("merge sort", "must")]:
+        got = merged.search_list(query, k=10, mode=mode)
+        expected = oracle.search(query, k=10, mode=mode)
+        assert [d for d, _ in got] == [d for d, _ in expected], (query, mode)

@@ -69,3 +69,25 @@ def test_term_freqs_positions():
     toks = ["a", "b", "a", ".", "a"]
     assert term_freqs(toks) == {"a": 3, "b": 1, ".": 1}
     assert term_positions(toks) == {"a": [0, 2, 4], "b": [1], ".": [3]}
+
+
+def test_sql_token_pattern_parity_formfeed_vtab(spark):
+    """One token-pattern constant everywhere: a \\f/\\v-bearing document
+    must tokenize identically via Python _ASCII_RE, Spark regexp_extract_all
+    and DuckDB regexp_extract_all (the three engines of the oracle gate)."""
+    import duckdb
+
+    from stractt_spark.functions.tokenizer import SQL_TOKEN_PATTERN, tokenize_ascii
+
+    text = "alpha\fbeta\vgamma \t del_ta\r\nx+y\f\v z"
+    py = tokenize_ascii(text)
+    row = spark.createDataFrame([(text,)], "t string").selectExpr(
+        f"regexp_extract_all(lower(t), '{SQL_TOKEN_PATTERN}', 0) AS toks"
+    ).collect()[0]
+    assert list(row["toks"]) == py
+    duck = duckdb.connect()
+    dres = duck.execute(
+        "SELECT regexp_extract_all(lower(?), ?)", [text, SQL_TOKEN_PATTERN]
+    ).fetchone()[0]
+    assert list(dres) == py
+    assert "\f" not in py and "\v" not in py
