@@ -107,16 +107,27 @@ def _engine(spark: SparkSession, sf_dir: str):
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: top-20 BM25 for a two-term OR query + doc-store join."""
+    """Flagship: top-20 BM25 for a two-term OR query + doc-store join +
+    highlighted snippet (the reference's result rendering,
+    src/snippet.rs:262-310 — never the full document text)."""
+    from stractt_spark.operators.snippet import generate_snippets
+
     _ensure_workers_have_pkg(spark)
     docs = spark.read.parquet(f"{SF0001}/documents.parquet")
     eng = _engine(spark, SF0001)
     top = eng.search("merge sort", k=20, mode="should")
-    return (
+    joined = (
         top.join(docs.select("doc_id", "text", "lang"), "doc_id")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
         .select("doc_id", F.round("score", 4).alias("score"), "lang", "text")
     )
+    term_df = {
+        r["term"]: r["df"]
+        for r in eng.postings.filter(F.col("term").isin(["merge", "sort"]))
+        .groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    return generate_snippets(
+        joined, "text", "doc_id", term_df, analyzer="ascii"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
 
 
 # ---------------------------------------------------------------- queries
@@ -205,26 +216,31 @@ def _bm25_sql(terms: list[str], mode: str) -> str:
 _WAND_INDEX_CACHE: dict[str, object] = {}
 
 
+def _wand_index(spark: SparkSession, sf_dir: str):
+    """Persisted segments index over sf_dir's documents, built once per
+    process (stable cache key: hash() is PYTHONHASHSEED-randomized, which
+    would defeat build_index's resume cache across runs)."""
+    import hashlib
+
+    from stractt_spark.plans.build import SegmentIndex, build_index
+
+    key = sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = "/tmp/stractt_entry_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        build_index(spark, docs, out, text_col="text", id_col="doc_id",
+                    analyzer="ascii", docs_per_segment=256)
+        _WAND_INDEX_CACHE[key] = SegmentIndex(spark, out)
+    return _WAND_INDEX_CACHE[key]
+
+
 def _q_bm25_wand(terms: list[str], mode: str):
     """BM25 through the FULL persisted pipeline: build segments index (once
     per sf_dir), query via block-max WAND — gated against the same SQL
     oracle as the exhaustive path (results must be identical)."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from stractt_spark.plans.build import SegmentIndex, build_index
-
-        import hashlib
-
-        key = sf_dir
-        if key not in _WAND_INDEX_CACHE:
-            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-            # stable key: hash() is PYTHONHASHSEED-randomized per process,
-            # which would defeat build_index's resume cache across runs
-            out = "/tmp/stractt_entry_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-            build_index(spark, docs, out, text_col="text", id_col="doc_id",
-                        analyzer="ascii", docs_per_segment=256)
-            _WAND_INDEX_CACHE[key] = SegmentIndex(spark, out)
-        idx = _WAND_INDEX_CACHE[key]
+        idx = _wand_index(spark, sf_dir)
         top = idx.search(" ".join(terms), k=10, mode=mode)
         return top.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -232,6 +248,97 @@ def _q_bm25_wand(terms: list[str], mode: str):
         )
 
     return run
+
+
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighted snippets for the top-10 of a two-term query — the
+    reference's result rendering (src/snippet.rs:262-310).  Rows-only
+    driver check: token byte-offsets are not expressible in DuckDB SQL;
+    exactness is pytest-gated against the reference's own unit vectors
+    (tests/test_snippet.py)."""
+    from stractt_spark.operators.snippet import generate_snippets
+
+    idx = _wand_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = idx.search("merge sort", k=10, mode="should")
+    joined = top.join(docs.select("doc_id", "text"), "doc_id")
+    term_df = idx.term_df(["merge", "sort"])
+    return (
+        generate_snippets(joined, "text", "doc_id", term_df, analyzer="ascii")
+        .select("doc_id", F.round("score", 4).alias("score"), "snippet")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# deterministic centrality-like pre-computed score (signal.rs:296-333
+# analogue): same integer arithmetic in Spark and DuckDB, stored float32
+_PRE_SQL = "CAST(2048.0 * ((doc_id * 2654435761) % 1000) / 1000.0 AS REAL)"
+
+
+def _q_bm25_presorted_quota(terms: list[str], mode: str, quota: int):
+    """BM25 + pre_computed_score over a PRESORTED index with the max-docs
+    early-termination quota ON — gated against a full-scan oracle, i.e.
+    the quota provably drops nothing (sound early termination: doc ids
+    follow pre-score rank, so truncation keeps the best docs)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import hashlib
+
+        from stractt_spark.plans.build import SegmentIndex, build_index_fused
+
+        key = "presorted:" + sf_dir
+        if key not in _WAND_INDEX_CACHE:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            pre_scores = docs.select(
+                "doc_id",
+                (
+                    F.lit(2048.0) * ((F.col("doc_id") * F.lit(2654435761)) % 1000)
+                    / F.lit(1000.0)
+                ).alias("pre_score"),
+            )
+            out = "/tmp/stractt_entry_presorted_" + hashlib.md5(
+                sf_dir.encode()
+            ).hexdigest()[:12]
+            build_index_fused(
+                spark, docs, out, text_col="text", id_col="doc_id",
+                analyzer="ascii", docs_per_segment=256, pre_scores=pre_scores,
+            )
+            _WAND_INDEX_CACHE[key] = SegmentIndex(spark, out)
+        idx = _WAND_INDEX_CACHE[key]
+        top = idx.search(
+            " ".join(terms), k=10, mode=mode, with_pre_score=True,
+            max_docs_per_segment=quota, orig_ids=True,
+        )
+        return top.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
+    return run
+
+
+def _bm25_presorted_sql(terms: list[str], mode: str) -> str:
+    tlist = ", ".join("'" + t + "'" for t in terms)
+    per_term = (
+        "SELECT tf.doc_id, tf.term, "
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2 * (tf.tf / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * q.dl_quant / s.avgdl))) AS ts "
+        "FROM tf JOIN dlq q ON tf.doc_id = q.doc_id "
+        "JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df ON tf.term = df.term "
+        "CROSS JOIN stats s "
+        f"WHERE tf.term IN ({tlist})"
+    )
+    must = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "must" else ""
+    # tie order matches the engine's internal-id cut: score desc, then pre
+    # desc (internal ids ascend by pre rank), then orig doc_id asc
+    return (
+        f"WITH {_NORM_CTE}, {_TOKS_CTE}, {_TF_CTE}, {_DL_CTE}, {_DLQ_CTE}, "
+        f"{_STATS_CTE}, per_term AS ({per_term}) "
+        f"SELECT doc_id, round(sum(ts) + {_PRE_SQL}, 4) AS score "
+        f"FROM per_term GROUP BY doc_id {must} "
+        f"ORDER BY sum(ts) + {_PRE_SQL} DESC, {_PRE_SQL} DESC, doc_id ASC "
+        "LIMIT 10"
+    )
 
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,6 +466,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_or": _bm25_query(["hash", "join"], "should"),
         "bm25_wand_and": _q_bm25_wand(["merge", "sort"], "must"),
         "bm25_wand_or": _q_bm25_wand(["hash", "join"], "should"),
+        "bm25_presorted_quota": _q_bm25_presorted_quota(
+            ["hash", "join"], "should", quota=96
+        ),
+        "snippets": _q_snippets,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -417,6 +528,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_wand_and": _bm25_sql(["merge", "sort"], "must"),
         "bm25_wand_or": _bm25_sql(["hash", "join"], "should"),
+        # full-scan oracle — the Spark side runs with the quota ON, so a
+        # hash match proves the early termination dropped nothing
+        "bm25_presorted_quota": _bm25_presorted_sql(["hash", "join"], "should"),
         "exact_dedup": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id, "
             "count(*) OVER (PARTITION BY sha256(text)) AS group_size FROM documents"
@@ -470,10 +584,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type, "
             "octet_length(encode(text)) AS n_bytes FROM documents"
         ),
-        # NOTE: minhash_pairs / simhash64 / doc_fingerprint intentionally
-        # have NO oracle entry — their hash families are not expressible in
-        # SQL; the driver records a rows-only check and exactness is
-        # enforced by pytest (tests/test_dedup.py, test_textstats_*).
+        # NOTE: minhash_pairs / simhash64 / doc_fingerprint / snippets
+        # intentionally have NO oracle entry — hash families and token
+        # byte-offsets are not expressible in SQL; the driver records a
+        # rows-only check and exactness is enforced by pytest
+        # (tests/test_dedup.py, test_textstats_*, test_snippet.py — the
+        # latter ports the reference's own unit vectors).
         "postings_tf": (
             f"WITH {_TOKS_CTE} SELECT term, doc_id, count(*) AS tf "
             "FROM toks GROUP BY term, doc_id"

@@ -254,12 +254,21 @@ def build_segments_fused(
     stopwords: frozenset[str] = frozenset(),
     include_positions: bool = False,
     attr_cols: list[str] | None = None,
+    pre_col: str | None = None,
 ) -> DataFrame:
     """Docs → unified index rows in ONE shuffle + ONE Arrow pass.
 
     ``attr_cols``: document attribute columns (e.g. repo, lang) indexed as
     identity filter terms ``\\x01col:value`` (see :func:`attr_term`) —
     tf=1, excluded from dl/norm stats, usable as Must/MustNot filters.
+
+    ``pre_col``: per-doc query-independent pre-computed score column
+    (reference ``pre_computed_score``, src/ranking/signal.rs:296-333).
+    Packed as a float32 array into the sentinel row's otherwise-unused
+    ``pos_bytes`` (``pre[local_id]``), mirroring the packed-norms layout —
+    the query kernel adds it to the final score and the build's
+    pre-score-ordered doc ids make the max-docs quota sound (the
+    reference's sorted-by-score segments, src/inverted_index.rs:100-106).
 
     This is the reference's build shape verbatim re-expressed: each task
     receives a complete doc-range segment and builds its full posting
@@ -282,10 +291,14 @@ def build_segments_fused(
     tokenize = get_analyzer(analyzer)
     needs_stops = analyzer in ("normal", "code")
     attr_cols = attr_cols or []
+    pre_cols = (
+        [F.col(pre_col).cast("double").alias("_pre")] if pre_col else []
+    )
     src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("_text"),
         *[F.col(c).cast("string").alias(f"_a_{c}") for c in attr_cols],
+        *pre_cols,
     ).withColumn("segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("int"))
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -335,6 +348,11 @@ def build_segments_fused(
         span = int(local.max()) + 1 if len(local) else 0
         narr = np.zeros(span, dtype=np.uint8)
         narr[local] = norm_ids.astype(np.uint8)
+        pre_packed = None
+        if pre_col:
+            parr = np.zeros(span, dtype=np.float32)
+            parr[local] = pdf["_pre"].to_numpy(dtype=np.float64).astype(np.float32)
+            pre_packed = parr.tobytes()
 
         def meta_row(n_postings: int, n_blocks: int, bytes_compressed: int):
             # all per-segment build metrics ride in the sentinel row so the
@@ -354,7 +372,9 @@ def build_segments_fused(
                     "num_docs": pd.Series([span], dtype="int32"),
                     "id_bytes": pd.Series([narr.tobytes()], dtype="object"),
                     "tf_bytes": pd.Series([varint_encode(stats_vals)], dtype="object"),
-                    "pos_bytes": pd.Series([None], dtype="object"),
+                    # sentinel pos_bytes carries the packed float32
+                    # pre-score array (None for non-presorted builds)
+                    "pos_bytes": pd.Series([pre_packed], dtype="object"),
                     "max_tf": pd.Series([0], dtype="int32"),
                     "min_norm_id": pd.Series([0], dtype="int32"),
                 }
@@ -401,13 +421,16 @@ def build_segments_fused(
 
 def split_unified(unified: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Unified fused table → (segments view, norms view) — pure filters,
-    pushed to the parquet scan."""
+    pushed to the parquet scan.  The norms view carries ``pre_bytes``
+    (packed float32 pre-computed scores) when the build was presorted,
+    else null."""
     segments = unified.filter(F.col("term") != NORMS_SENTINEL)
     norms = unified.filter(F.col("term") == NORMS_SENTINEL).select(
         "segment_id",
         F.col("first_doc_id").alias("base_doc_id"),
         F.col("num_docs").alias("n_docs"),
         F.col("id_bytes").alias("norm_bytes"),
+        F.col("pos_bytes").alias("pre_bytes"),
     )
     return segments, norms
 

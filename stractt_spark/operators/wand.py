@@ -407,12 +407,22 @@ def _segment_topk_kernel(
     pweights: list[float] | None = None,
     filter_terms: list[str] | None = None,
     max_docs: int | None = None,
+    add_pre: bool = False,
 ) -> pd.DataFrame:
     """``max_docs``: early-termination quota — consider at most this many
     docs of the driving posting list per segment (the reference's
-    total_docs/num_segments cap, src/collector.rs:39-42,116-127; there it
-    is sound because segments are sorted by precomputed score — here it is
-    an explicit recall/latency trade exposed as a knob)."""
+    total_docs/num_segments cap, src/collector.rs:39-42,116-127).  On a
+    PRESORTED index (doc ids assigned by pre-score rank) the quota keeps
+    the best-pre-score docs per term list, which makes it sound whenever
+    the pre-score term dominates: any doc truncated from a term list has ≥
+    max_docs same-segment docs with higher pre-score matching the query,
+    so it cannot reach the top-k (reference soundness argument,
+    src/collector.rs:39-42 + sorted segments src/inverted_index.rs:100-106).
+
+    ``add_pre``: add the packed per-doc pre-computed score (sentinel
+    ``pre_bytes``) to every result score — final rank = pre + bm25
+    (signal.rs:296-333).  The bm25-threshold pruning branches are bypassed
+    in this mode (their banked thresholds don't include pre)."""
     phrases = phrases or []
     pweights = pweights or []
     filter_terms = filter_terms or []
@@ -427,6 +437,15 @@ def _segment_topk_kernel(
     base = int(norm_row["base_doc_id"].iloc[0])
     norms = np.frombuffer(norm_row["norm_bytes"].iloc[0], dtype=np.uint8)
     dl_table = FIELD_NORMS_TABLE.astype(np.float64)
+    pre: np.ndarray | None = None
+    if add_pre:
+        pb = (
+            norm_row["pre_bytes"].iloc[0]
+            if "pre_bytes" in norm_row.columns else None
+        )
+        if pb is None:
+            raise ValueError("add_pre requires a presorted index (pre_bytes)")
+        pre = np.frombuffer(pb, dtype=np.float32).astype(np.float64)
 
     by_term = {t: g.sort_values("block_id") for t, g in seg_blocks.groupby("term")}
     # MustNot docs of this segment, excluded BEFORE the top-k cut (a
@@ -521,6 +540,7 @@ def _segment_topk_kernel(
         and not filter_terms
         and excluded is None
         and max_docs is None
+        and pre is None
     ):
         # single-term block-max pruning (exact): per-block upper bound
         # ub = w · tf_comp(max_tf, dl(min_norm_id)) dominates every doc in
@@ -569,6 +589,7 @@ def _segment_topk_kernel(
         and not phrases
         and not filter_terms
         and max_docs is None
+        and pre is None
     ):
         # multi-term OR: block-max pruned union (exact; MustNot handled
         # inside so exclusions land before the threshold is banked)
@@ -626,6 +647,9 @@ def _segment_topk_kernel(
     if excluded is not None and ids.size:
         keep = ~np.isin(ids, excluded, assume_unique=False)
         ids, score = ids[keep], score[keep]
+    if pre is not None and ids.size:
+        # final rank score = pre_computed + query score (signal.rs:296-333)
+        score = score + pre[(ids - base).astype(np.int64)]
     # bounded top-k with the FULL tie order (score desc, doc_id asc): a
     # bare argpartition cut breaks score ties at the k boundary by array
     # position, dropping the lower doc_id the oracle would keep
@@ -651,6 +675,7 @@ def wand_topk(
     mode: str = "must",
     analyzer: str = "ascii",
     max_docs_per_segment: int | None = None,
+    add_pre: bool = False,
 ) -> DataFrame:
     """→ (doc_id, score) global top-k from the segment index.
 
@@ -703,7 +728,7 @@ def wand_topk(
     def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_topk_kernel(
             uniq, neg, qweights, avgdl, k, mode, blocks_pdf, norms_pdf,
-            phrases, pweights, filter_terms, max_docs_per_segment,
+            phrases, pweights, filter_terms, max_docs_per_segment, add_pre,
         )
 
     return (

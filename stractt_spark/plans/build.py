@@ -80,6 +80,10 @@ class IndexPaths:
         return os.path.join(self.root, "stats.json")
 
     @property
+    def docmap(self) -> str:  # presorted builds: (doc_id, orig_id, pre_score)
+        return os.path.join(self.root, "docmap.parquet")
+
+    @property
     def lineage(self) -> str:
         return os.path.join(self.root, "lineage.parquet")
 
@@ -273,6 +277,7 @@ def build_index_fused(
     docs_per_segment: int = 4096,
     positions: bool = False,
     attr_cols: list[str] | None = None,
+    pre_scores: DataFrame | None = None,
     fail_after: str | None = None,
     log: bool = False,
 ) -> IndexPaths:
@@ -281,7 +286,19 @@ def build_index_fused(
     term_stats / stats stages reading back only pruned columns.  The
     production path — the staged :func:`build_index` additionally persists
     a row-oriented postings table (useful for ad-hoc analysis, 2 extra full
-    passes)."""
+    passes).
+
+    ``pre_scores``: optional (id_col, pre_score) DataFrame of
+    query-independent scores (operators.signals.precompute_score).  When
+    given, the build becomes PRESORTED: internal doc ids are assigned by
+    pre-score rank (desc, orig id tie-break) via the two-pass
+    ``assign_doc_ids`` shape, the (doc_id ↔ orig_id, pre_score) map is
+    persisted to ``docmap.parquet``, and per-segment pre-scores are packed
+    into the sentinel rows.  This is the reference's sorted-by-
+    ``pre_computed_score`` index order (src/inverted_index.rs:100-106 +
+    src/ranking/signal.rs:296-333) — the property that makes the max-docs
+    early-termination quota keep the BEST docs per segment.
+    """
     from ..functions.codec import varint_decode
     from ..operators.segments import NORMS_SENTINEL, build_segments_fused
 
@@ -291,7 +308,8 @@ def build_index_fused(
         json.dumps(
             {"analyzer": analyzer, "dps": docs_per_segment, "text": text_col,
              "id": id_col, "layout": "fused", "positions": positions,
-             "attrs": sorted(attr_cols or []), "v": 1},
+             "attrs": sorted(attr_cols or []),
+             "presorted": pre_scores is not None, "v": 1},
             sort_keys=True,
         ).encode()
     ).hexdigest()[:16]
@@ -316,10 +334,39 @@ def build_index_fused(
         if fail_after == stage:
             raise StageAborted(stage)
 
+    build_docs, build_id_col, pre_col = docs, id_col, None
+    if pre_scores is not None:
+        pre_col = "_pre_score"
+        if not done("docmap"):
+            from ..operators.postings import assign_doc_ids
+
+            ranked = (
+                pre_scores.select(
+                    F.col(id_col).cast("long").alias("orig_id"),
+                    F.col("pre_score").cast("double").alias("pre_score"),
+                )
+                .withColumn("_neg_pre", -F.col("pre_score"))
+            )
+            docmap = assign_doc_ids(ranked, ["_neg_pre", "orig_id"]).select(
+                "doc_id", "orig_id", "pre_score"
+            )
+            docmap.write.mode("overwrite").parquet(paths.docmap)
+            mark("docmap")
+        docmap_df = spark.read.parquet(paths.docmap)
+        build_docs = docs.withColumnRenamed(id_col, "_orig") .join(
+            docmap_df.select(
+                F.col("orig_id").alias("_orig"), "doc_id",
+                F.col("pre_score").alias(pre_col),
+            ),
+            "_orig",
+        )
+        build_id_col = "doc_id"
+
     if not done("index"):
         unified = build_segments_fused(
-            docs, text_col, id_col, analyzer, docs_per_segment,
+            build_docs, text_col, build_id_col, analyzer, docs_per_segment,
             include_positions=positions, attr_cols=attr_cols,
+            pre_col=pre_col,
         )
         (
             unified.sortWithinPartitions("segment_id", "term", "block_id")
@@ -371,6 +418,7 @@ def build_index_fused(
             "docs_per_segment": docs_per_segment,
             "layout": "fused",
             "positions": positions,
+            "presorted": pre_scores is not None,
             "attr_cols": sorted(attr_cols or []),
             "text_col": text_col,
             "id_col": id_col,
@@ -407,6 +455,10 @@ class SegmentIndex:
             self.norms = spark.read.parquet(self.paths.norms)
         self.term_stats = spark.read.parquet(self.paths.term_stats)
         self.analyzer = self.stats["analyzer"]
+        self.presorted = bool(self.stats.get("presorted"))
+        self.docmap = (
+            spark.read.parquet(self.paths.docmap) if self.presorted else None
+        )
 
     def cache(self) -> "SegmentIndex":
         self.segments = self.segments.cache()
@@ -428,9 +480,19 @@ class SegmentIndex:
         phrase: bool = False,
         offset: int = 0,
         max_docs_per_segment: int | None = None,
+        with_pre_score: bool = False,
+        orig_ids: bool = False,
     ) -> DataFrame:
         """Top-(k+offset) DataFrame; paging slices on the driver
-        (reference: top_n = page_size + offset, collector.rs:145-157)."""
+        (reference: top_n = page_size + offset, collector.rs:145-157).
+
+        ``with_pre_score`` (presorted indexes): rank by pre_computed_score
+        + bm25 — the reference's production scoring, and the mode in which
+        the ``max_docs_per_segment`` quota is sound (truncation keeps the
+        highest-pre docs of every posting list).  ``orig_ids``: map
+        internal (pre-score-ranked) doc ids back to the original ids via
+        docmap.parquet — a broadcast join of the tiny top-k against the
+        map."""
         from ..functions.query_parse import parse_query
         from ..operators.wand import wand_topk
 
@@ -438,14 +500,25 @@ class SegmentIndex:
             raise ValueError(
                 "phrase queries need an index built with positions=True"
             )
+        if (with_pre_score or orig_ids) and not self.presorted:
+            raise ValueError("pre-score options need a presorted index")
         pq = parse_query(query, self.analyzer, phrase=phrase)
         tdf = self.term_df(pq.all_match_terms)
-        return wand_topk(
+        top = wand_topk(
             self.segments, self.norms, pq,
             self.stats["num_docs"], self.stats["avgdl"], tdf,
             k=k + offset, mode=mode, analyzer=self.analyzer,
             max_docs_per_segment=max_docs_per_segment,
+            add_pre=with_pre_score,
         )
+        if orig_ids:
+            top = (
+                F.broadcast(top)
+                .join(self.docmap.select("doc_id", "orig_id"), "doc_id")
+                .select(F.col("orig_id").alias("doc_id"), "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+        return top
 
     def search_list(
         self,
