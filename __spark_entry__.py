@@ -250,6 +250,37 @@ def _q_bm25_wand(terms: list[str], mode: str):
     return run
 
 
+def _q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a Stemmed-analyzer index: the inflected query ("merges
+    sorting") matches base-form docs via Porter stemming both directions
+    (reference src/tokenizer.rs:139-155, behavior tests
+    src/inverted_index.rs:480-1055).  Rows-only driver check: no snowball
+    in DuckDB here (fts extension needs network); exactness is
+    pytest-gated against Porter-1980 golden vectors + the python oracle
+    (tests/test_stem.py)."""
+    import hashlib
+
+    from stractt_spark.plans.build import SegmentIndex, build_index_fused
+
+    key = "stemmed:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = "/tmp/stractt_entry_stemmed_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        build_index_fused(
+            spark, docs, out, text_col="text", id_col="doc_id",
+            analyzer="stemmed_ascii", docs_per_segment=256,
+        )
+        _WAND_INDEX_CACHE[key] = SegmentIndex(spark, out)
+    idx = _WAND_INDEX_CACHE[key]
+    top = idx.search("merges sorting", k=10, mode="must")
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highlighted snippets for the top-10 of a two-term query — the
     reference's result rendering (src/snippet.rs:262-310).  Rows-only
@@ -470,6 +501,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["hash", "join"], "should", quota=96
         ),
         "snippets": _q_snippets,
+        "bm25_stemmed": _q_bm25_stemmed,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,

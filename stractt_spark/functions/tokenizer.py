@@ -122,12 +122,51 @@ def tokenize_identity(text: str) -> list[str]:
     return [text]
 
 
+class _BoundedStemCache:
+    """Worker-lifetime stem memo with a hard size cap — corpus vocabulary
+    is tiny relative to token count, but a long-lived executor must not
+    grow an unbounded dict on adversarial vocab."""
+
+    def __init__(self, cap: int = 1 << 20) -> None:
+        self._cache: dict[str, str] = {}
+        self._cap = cap
+
+    def __call__(self, token: str) -> str:
+        s = self._cache.get(token)
+        if s is None:
+            from .stem import porter_stem
+
+            s = porter_stem(token)
+            if len(self._cache) >= self._cap:
+                self._cache.clear()
+            self._cache[token] = s
+        return s
+
+
+_STEM_CACHE = _BoundedStemCache()
+
+
+def tokenize_stemmed(text: str) -> list[str]:
+    """Reference ``Stemmed`` analyzer: Simple → lowercase → stem
+    (tokenizer.rs:139-155; empty stoplist there too).  Re-scope: English
+    Porter uniformly — the reference picks snowball by whatlang detection,
+    but this corpus is source code with English identifiers/comments."""
+    return [_STEM_CACHE(t) for t in _SIMPLE_RE.findall(text.lower())]
+
+
+def tokenize_stemmed_ascii(text: str) -> list[str]:
+    """ASCII-class Stemmed variant (same relationship as ascii↔normal)."""
+    return [_STEM_CACHE(t) for t in _ASCII_RE.findall(text.lower())]
+
+
 ANALYZERS = {
     "simple": tokenize_simple,
     "normal": tokenize_normal,
     "ascii": tokenize_ascii,
     "code": tokenize_code,
     "identity": tokenize_identity,
+    "stemmed": tokenize_stemmed,
+    "stemmed_ascii": tokenize_stemmed_ascii,
 }
 
 
