@@ -390,6 +390,20 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE config of n-gram Jaccard: max_shingle_freq=100 drops
+    stop-shingles before the self-join (a shingle in f docs contributes f²
+    candidate rows — the guard that keeps the join from exploding at
+    100 TB).  Gated against an oracle that reproduces the cap exactly:
+    intersections over ≤100-doc shingles, sizes over ALL shingles."""
+    from stractt_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=1, threshold=0.02, max_shingle_freq=100
+    )
+
+
 def _q_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stractt_spark.operators.similarity import cosine_topk
 
@@ -481,6 +495,64 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bucketed-ANN gate parameters: 6 tables × 16 planes, multi-probe radius 2
+# — verified 10/10 planted recall with ≈4% candidates at every sf
+_ANN_T, _ANN_P, _ANN_R = 6, 16, 2
+
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str):
+    """Embeddings ∪ 10 deterministic planted neighbors of vec 0 (one
+    coordinate sign-flipped each).  The synthetic embeddings are i.i.d.
+    (max natural cosine ≈ 0.37 — no near neighbors exist), so the planted
+    rows make the ANN gate meaningful: the true top-10 ARE the planted
+    docs, reachable only if the bucketed index actually recalls them.
+    The identical augmentation is expressed in the oracle SQL."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    planted_rows = []
+    for j in range(1, 11):
+        v = list(qvec)
+        v[j - 1] = -v[j - 1]
+        planted_rows.append((1000000 + j, v))
+    planted = spark.createDataFrame(planted_rows, "vec_id long, e array<double>")
+    return base.unionByName(planted), qvec
+
+
+def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through the PERSISTED bucketed sign-LSH index: the signature
+    table is built once and written to parquet; the query pushes a
+    (table_id, bucket) probe predicate into the scan and exactly rescores
+    only the candidates (≈4% of the corpus here) — never a per-query
+    corpus-wide signature pass.  Hash-gated against the exact cosine
+    oracle over the same augmented table: a match proves full recall of
+    the true top-10 under real pruning."""
+    import hashlib
+
+    from stractt_spark.operators.similarity import ann_bucketed_topk, build_sign_index
+
+    aug, qvec = _augmented_embeddings(spark, sf_dir)
+    key = "sigidx:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        out = "/tmp/stractt_entry_sigidx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        import os
+
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            build_sign_index(
+                aug, n_tables=_ANN_T, n_planes=_ANN_P, vec_col="e"
+            ).write.mode("overwrite").parquet(out)
+        _WAND_INDEX_CACHE[key] = spark.read.parquet(out)
+    sign_index = _WAND_INDEX_CACHE[key]
+    return ann_bucketed_topk(
+        aug, sign_index, qvec, k=10, n_tables=_ANN_T, n_planes=_ANN_P,
+        radius=_ANN_R, vec_col="e", exclude_id=0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = _raw_queries()
     return {name: _shipped(fn) for name, fn in qs.items()}
@@ -505,11 +577,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
+        "jaccard_pairs_capped": _q_jaccard_pairs_capped,
         "minhash_pairs": _q_minhash_pairs,
         "simhash64": _q_simhash,
         # similarity
         "cosine_top10": _q_cosine_top10,
         "ann_lsh_top10": _q_ann_lsh,
+        "ann_bucketed_top10": _q_ann_bucketed,
         # aggregations (§2.7 counting analogues)
         "source_counts": _q_source_counts,
         # text analysis
@@ -543,6 +617,26 @@ _COSINE_SQL = (
     f"SELECT v.vec_id AS vec_id, round({_COS_EXPR}, 6) AS cos "
     "FROM embeddings v, q WHERE v.vec_id <> 0 "
     f"ORDER BY {_COS_EXPR} DESC, v.vec_id ASC LIMIT 10"
+)
+
+# exact cosine over the SAME augmented (base ∪ planted) table the bucketed
+# ANN queries — the hash match proves the pruned index recalled the full
+# true top-10 (which is exactly the 10 planted neighbors)
+_ANN_COS = (
+    "list_dot_product(a.e, q.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.e, q.e)))"
+)
+_ANN_BUCKETED_SQL = (
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+    "q AS (SELECT e FROM base WHERE vec_id = 0), "
+    "planted AS (SELECT CAST(1000000 + j AS BIGINT) AS vec_id, "
+    "list_concat(list_concat(list_slice(q.e, 1, j-1), [-list_extract(q.e, j)]), "
+    "list_slice(q.e, j+1, len(q.e))) AS e "
+    "FROM q, generate_series(1, 10) AS g(j)), "
+    "aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted) "
+    f"SELECT a.vec_id AS vec_id, round({_ANN_COS}, 6) AS cos "
+    "FROM aug a, q WHERE a.vec_id <> 0 "
+    f"ORDER BY {_ANN_COS} DESC, a.vec_id ASC LIMIT 10"
 )
 
 _TOKS_L_CTE = (
@@ -582,6 +676,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_top10": _COSINE_SQL,
         "ann_lsh_top10": _COSINE_SQL,  # max_mismatch = n_planes ⇒ exact
+        "ann_bucketed_top10": _ANN_BUCKETED_SQL,
+        "jaccard_pairs_capped": (
+            f"WITH {_TOKS_L_CTE}, "
+            "grams AS (SELECT doc_id, unnest(list_distinct(l)) AS shingle FROM toks), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "freq AS (SELECT shingle, count(*) AS f FROM grams GROUP BY shingle), "
+            "kept AS (SELECT g.doc_id, g.shingle FROM grams g "
+            "JOIN freq USING (shingle) WHERE f <= 100), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            "FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, "
+            "round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.02"
+        ),
         "token_stats": (
             f"WITH {_TOKS_L_CTE} "
             "SELECT doc_id, len(l) AS n_tokens, len(list_distinct(l)) AS n_distinct, "

@@ -135,6 +135,121 @@ def sign_signatures(
     return src.mapInPandas(emit, "vec_id long, sig long")
 
 
+def build_sign_index(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Persistable multi-table sign-LSH index: → (table_id, bucket,
+    vec_id), one row per (vector, table).
+
+    THE scale path for ANN: built once (one GEMM per Arrow batch against
+    all ``n_tables × n_planes`` hyperplanes), written as a table with
+    ``bucket`` as filter/partition-key material.  Queries then push a
+    ``(table_id, bucket) IN probes`` predicate into the parquet scan and
+    rescore only the matching candidate ids — per-query work is
+    O(candidates), never a corpus-wide signature scan."""
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        bits = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"].values])
+            if planes is None:
+                planes = np.concatenate(
+                    [_hyperplanes(m.shape[1], n_planes, seed + t)
+                     for t in range(n_tables)]
+                )  # (T*P, dim)
+            signs = (m @ planes.T) > 0  # (n, T*P)
+            n = len(pdf)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out_t = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+            out_id = np.tile(ids, n_tables)
+            buckets = np.empty(n * n_tables, dtype=np.int64)
+            for t in range(n_tables):
+                sig = (
+                    signs[:, t * n_planes:(t + 1) * n_planes].astype(np.uint64)
+                    * bits
+                ).sum(axis=1)
+                buckets[t * n:(t + 1) * n] = sig.astype(np.int64)
+            yield pd.DataFrame(
+                {"table_id": pd.Series(out_t, dtype="int32"),
+                 "bucket": pd.Series(buckets, dtype="int64"),
+                 "vec_id": pd.Series(out_id, dtype="int64")}
+            )
+
+    src = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("_v")
+    )
+    return src.mapInPandas(emit, "table_id int, bucket long, vec_id long")
+
+
+def query_probe_buckets(
+    query_vec: list[float],
+    n_tables: int = 4,
+    n_planes: int = 16,
+    radius: int = 1,
+    seed: int = 7,
+) -> dict[int, list[int]]:
+    """Multi-probe LSH bucket set per table: the query's bucket plus every
+    bucket within Hamming distance ≤ ``radius`` (C(P,≤r) probes/table —
+    the standard recall knob that avoids building more tables)."""
+    from itertools import combinations
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    out: dict[int, list[int]] = {}
+    for t in range(n_tables):
+        planes = _hyperplanes(len(q), n_planes, seed + t)
+        bits = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+        sig = int(((q @ planes.T > 0).astype(np.uint64) * bits).sum())
+        probes = [sig]
+        for r in range(1, radius + 1):
+            for combo in combinations(range(n_planes), r):
+                flip = 0
+                for b in combo:
+                    flip |= 1 << b
+                probes.append(sig ^ flip)
+        out[t] = probes
+    return out
+
+
+def ann_bucketed_topk(
+    embeddings: DataFrame,
+    sign_index: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 16,
+    radius: int = 1,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k over a PERSISTED sign index: probe buckets are a
+    pushed-down ``(table_id, bucket)`` predicate, candidates are the union
+    over tables, and only candidates are exactly rescored (cosine).  The
+    parameters (tables × probes) trade recall for candidates scanned; the
+    exact rescore makes every returned (id, cos) value exact."""
+    probes = query_probe_buckets(query_vec, n_tables, n_planes, radius, seed)
+    pred = None
+    for t, buckets in probes.items():
+        c = (F.col("table_id") == t) & F.col("bucket").isin(buckets)
+        pred = c if pred is None else (pred | c)
+    cand = sign_index.filter(pred).select("vec_id").distinct()
+    hits = embeddings.join(
+        cand.withColumnRenamed("vec_id", "_near_id"),
+        embeddings[id_col].cast("long") == F.col("_near_id"),
+        "left_semi",
+    )
+    return cosine_topk(hits, query_vec, k, id_col, vec_col, exclude_id)
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -70,3 +70,69 @@ def test_signatures_deterministic(emb, spark):
     s2 = {r["vec_id"]: r["sig"] for r in
           sign_signatures(df.repartition(7), 16).collect()}
     assert s1 == s2
+
+
+def test_bucketed_ann_planted_cluster_recall(spark):
+    """Persisted sign-index ANN: on data with a planted near-neighbor
+    cluster, the bucketed query recovers the exact top-k while scanning
+    only a small candidate fraction (the 100-TB shape: probe predicate
+    pushed into the signature table, no per-query corpus signature pass)."""
+    from pyspark.sql import functions as F
+
+    from stractt_spark.operators.similarity import (
+        ann_bucketed_topk,
+        build_sign_index,
+        query_probe_buckets,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 800, 64
+    base = rng.standard_normal((n, dim))
+    q = base[0].copy()
+    # plant 10 near neighbors of q (small perturbations)
+    for j in range(10):
+        base[1 + j] = q + 0.15 * rng.standard_normal(dim)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    T, P, R = 6, 16, 2
+    sig = build_sign_index(df, n_tables=T, n_planes=P).cache()
+    got = [
+        (r["vec_id"], r["cos"])
+        for r in ann_bucketed_topk(
+            df, sig, [float(x) for x in q], k=10, n_tables=T, n_planes=P,
+            radius=R, exclude_id=0,
+        ).collect()
+    ]
+    exact = [
+        (r["vec_id"], r["cos"])
+        for r in cosine_topk(df, [float(x) for x in q], k=10, exclude_id=0).collect()
+    ]
+    assert got == exact  # full recall of the planted cluster
+
+    # pruning is real: candidates ≪ corpus
+    probes = query_probe_buckets([float(x) for x in q], T, P, R)
+    pred = None
+    for t, buckets in probes.items():
+        c = (F.col("table_id") == t) & F.col("bucket").isin(buckets)
+        pred = c if pred is None else (pred | c)
+    n_cand = sig.filter(pred).select("vec_id").distinct().count()
+    assert n_cand < n // 3, n_cand
+    # probe fan-out is the documented C(P,<=R) per table
+    assert all(len(b) == 1 + 16 + 120 for b in probes.values())
+
+
+def test_sign_index_matches_single_table_signatures(emb, spark):
+    """Table 0 of the persisted index equals the ad-hoc signature pass
+    with the same seed (shared hyperplane derivation)."""
+    from stractt_spark.operators.similarity import build_sign_index
+
+    df, _, _ = emb
+    sig_idx = (
+        build_sign_index(df, n_tables=2, n_planes=16, seed=7)
+        .filter("table_id = 0").select("vec_id", "bucket")
+    )
+    ad_hoc = sign_signatures(df, n_planes=16, seed=7)
+    a = {r["vec_id"]: r["bucket"] for r in sig_idx.collect()}
+    b = {r["vec_id"]: r["sig"] for r in ad_hoc.collect()}
+    assert a == b
