@@ -250,6 +250,86 @@ def _q_bm25_wand(terms: list[str], mode: str):
     return run
 
 
+def _q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-field boosted BM25 through the PERSISTED per-field segment
+    index (reference default query shape: every term lowered to
+    Must(Should over fields) with static boosts, src/query/parser.rs:54-91
+    + src/schema.rs:294-315).  Fields here: source (boost 10, the
+    title-like short field) and text (boost 4).  The query term "src3"
+    matches only in source, "merge" only in text — the Must is satisfied
+    across different fields, which is exactly the semantics the oracle
+    reproduces per-field."""
+    import hashlib
+
+    from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
+        build_index_fused_multifield,
+    )
+
+    key = "mf:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = "/tmp/stractt_entry_mf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        build_index_fused_multifield(
+            spark, docs, out, {"source": "source", "text": "text"},
+            id_col="doc_id", analyzer="ascii", docs_per_segment=256,
+            field_boosts={"source": 10.0, "text": 4.0},
+        )
+        _WAND_INDEX_CACHE[key] = MultiFieldSegmentIndex(spark, out)
+    idx = _WAND_INDEX_CACHE[key]
+    top = idx.search("src3 merge", k=10, mode="must")
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _mf_sql(terms: list[str], boosts: dict[str, float]) -> str:
+    """Per-field BM25 oracle: independent tokenization / df / fieldnorm /
+    avgdl per field, unit scores boost_f·idf_f·2.2·tf-component, Must =
+    every term matched in ≥1 field."""
+    tlist = ", ".join("'" + t + "'" for t in terms)
+    unit_parts = []
+    for f_, col in [("source", "source"), ("text", "text")]:
+        b = boosts[f_]
+        unit_parts.append(
+            f"SELECT tf.doc_id, tf.term, "
+            f"{b} * (ln(1 + (s.n_docs - d.c + 0.5) / (d.c + 0.5)) * 2.2) * "
+            f"(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (q.dl_quant / s.avgdl_{f_})))) AS ts "
+            f"FROM tf_{f_} tf JOIN dlq_{f_} q USING (doc_id) "
+            f"JOIN df_{f_} d USING (term) CROSS JOIN stats s "
+            f"WHERE tf.term IN ({tlist})"
+        )
+    units = " UNION ALL ".join(unit_parts)
+    field_ctes = []
+    for f_, col in [("source", "source"), ("text", "text")]:
+        field_ctes.append(
+            f"toks_{f_} AS (SELECT d.doc_id AS doc_id, t.term AS term "
+            f"FROM documents d, unnest(regexp_extract_all(lower(d.{col}), "
+            f"'{TOKEN_RE}')) AS t(term)), "
+            f"tf_{f_} AS (SELECT doc_id, term, count(*) AS tf FROM toks_{f_} "
+            "GROUP BY doc_id, term), "
+            f"dl_{f_} AS (SELECT doc_id, count(*) AS dl FROM toks_{f_} GROUP BY doc_id), "
+            f"dlq_{f_} AS (SELECT dl.doc_id, "
+            f"(SELECT max(v) FROM norm WHERE v <= dl.dl) AS dl_quant FROM dl_{f_} dl), "
+            f"df_{f_} AS (SELECT term, count(*) AS c FROM tf_{f_} GROUP BY term)"
+        )
+    stats = (
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs, "
+        "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl_source) / "
+        "(SELECT count(*) FROM documents) AS avgdl_source, "
+        "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl_text) / "
+        "(SELECT count(*) FROM documents) AS avgdl_text)"
+    )
+    return (
+        f"WITH {_NORM_CTE}, {', '.join(field_ctes)}, {stats}, "
+        f"units AS ({units}) "
+        "SELECT doc_id, round(sum(ts), 4) AS score FROM units "
+        f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)} "
+        "ORDER BY sum(ts) DESC, doc_id ASC LIMIT 10"
+    )
+
+
 def _q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over a Stemmed-analyzer index: the inflected query ("merges
     sorting") matches base-form docs via Porter stemming both directions
@@ -574,6 +654,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "snippets": _q_snippets,
         "bm25_stemmed": _q_bm25_stemmed,
+        "bm25_multifield": _q_bm25_multifield,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -657,6 +738,9 @@ def oracle_sql() -> dict[str, str]:
         # full-scan oracle — the Spark side runs with the quota ON, so a
         # hash match proves the early termination dropped nothing
         "bm25_presorted_quota": _bm25_presorted_sql(["hash", "join"], "should"),
+        "bm25_multifield": _mf_sql(
+            ["src3", "merge"], {"source": 10.0, "text": 4.0}
+        ),
         "exact_dedup": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id, "
             "count(*) OVER (PARTITION BY sha256(text)) AS group_size FROM documents"

@@ -211,6 +211,390 @@ def bm25_topk_multifield(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+# ------------------------------------------------------------------
+# Multi-field through the PERSISTED segment index (reference default
+# shape: per-field postings with per-field norms, src/query/parser.rs:54-91
+# + src/schema.rs:294-315).  Physical layout: each (field, token) becomes
+# the term "\x02{field}\x00{token}" in the ordinary SEGMENTS_SCHEMA
+# blocks (so build/merge/scan machinery is unchanged and term_stats gives
+# per-(field,token) dfs for free), and each field gets its own packed
+# norms sentinel row "\x00__mf__{field}".
+
+# NOTE the field/token separator is \x1f (unit separator), NOT \x00:
+# pandas' string hash table (factorize/groupby) treats object strings as
+# NUL-terminated C strings, so an embedded \x00 silently collapses every
+# physical term to its prefix.
+MF_TERM_PREFIX = "\x02"
+MF_TERM_SEP = "\x1f"
+MF_NORMS_PREFIX = "\x00__mf__"
+
+
+def mf_term(field: str, token: str) -> str:
+    return f"{MF_TERM_PREFIX}{field}{MF_TERM_SEP}{token}"
+
+
+def build_index_fused_multifield(
+    spark,
+    docs: DataFrame,
+    out_dir: str,
+    field_cols: dict[str, str],
+    id_col: str = "doc_id",
+    analyzer: str = "ascii",
+    docs_per_segment: int = 4096,
+    field_boosts: dict[str, float] | None = None,
+):
+    """Fused multi-field build: ONE shuffle (groupBy segment) + ONE Arrow
+    pass tokenizing every field; per-field posting blocks, per-field
+    packed norms, per-field exact avgdl in stats.json.  Returns
+    IndexPaths; open with :class:`MultiFieldSegmentIndex`."""
+    import json
+    import os
+
+    import numpy as np
+
+    from ..functions.codec import varint_encode
+    from ..functions.fieldnorm import fieldnorm_to_id
+    from ..functions.tokenizer import get_analyzer
+    from ..plans.build import IndexPaths
+    from .segments import NORMS_SENTINEL, SEGMENTS_SCHEMA, encode_segment_arrays
+
+    tokenize = get_analyzer(analyzer)
+    fields = sorted(field_cols)
+    boosts = field_boosts or DEFAULT_FIELD_BOOSTS
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(field_cols[f_]).alias(f"_f_{f_}") for f_ in fields],
+    ).withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("int")
+    )
+
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from collections import Counter
+
+        seg = int(key[0])
+        base = seg * docs_per_segment
+        doc_ids_in = pdf["doc_id"].to_numpy("int64")
+        local = doc_ids_in - base
+        span = int(local.max()) + 1 if len(local) else 0
+        all_terms: list[str] = []
+        all_docs: list[int] = []
+        all_tfs: list[int] = []
+        all_norms: list[int] = []
+        sentinel_rows = []
+        total_tokens = 0
+        for f_ in fields:
+            texts = pdf[f"_f_{f_}"].values
+            dls = np.zeros(len(texts), dtype=np.int64)
+            field_start = len(all_terms)
+            pref = f"{MF_TERM_PREFIX}{f_}{MF_TERM_SEP}"
+            for i, text in enumerate(texts):
+                toks = tokenize(text or "")
+                dls[i] = len(toks)
+                tf = Counter(toks)
+                for tok, c in tf.items():
+                    all_terms.append(pref + tok)
+                    all_docs.append(doc_ids_in[i])
+                    all_tfs.append(c)
+                    all_norms.append(i)  # placeholder: doc row index
+            norm_ids = fieldnorm_to_id(dls)
+            # resolve this field's placeholders to its per-doc norm ids
+            for j in range(field_start, len(all_norms)):
+                all_norms[j] = int(norm_ids[all_norms[j]])
+            narr = np.zeros(span, dtype=np.uint8)
+            narr[local] = norm_ids.astype(np.uint8)
+            total_tokens += int(dls.sum())
+            sentinel_rows.append(
+                {
+                    "segment_id": seg, "term": f"{MF_NORMS_PREFIX}{f_}",
+                    "block_id": -1, "first_doc_id": base,
+                    "last_doc_id": base + span - 1, "num_docs": span,
+                    "id_bytes": narr.tobytes(),
+                    "tf_bytes": varint_encode(
+                        np.array([int(dls.sum()), len(texts)], dtype=np.uint64)
+                    ),
+                    "pos_bytes": None, "max_tf": 0, "min_norm_id": 0,
+                }
+            )
+        # main sentinel: build metrics (docs, postings, tokens over fields)
+        stats_vals = np.array(
+            [total_tokens, len(pdf), len(all_terms), 0, 0], dtype=np.uint64
+        )
+        sentinel_rows.insert(0, {
+            "segment_id": seg, "term": NORMS_SENTINEL, "block_id": -1,
+            "first_doc_id": base, "last_doc_id": base + span - 1,
+            "num_docs": span,
+            "id_bytes": np.zeros(span, dtype=np.uint8).tobytes(),
+            "tf_bytes": varint_encode(stats_vals),
+            "pos_bytes": None, "max_tf": 0, "min_norm_id": 0,
+        })
+        meta = pd.DataFrame(sentinel_rows)
+        if not all_terms:
+            return meta
+        terms_arr = np.array(all_terms, dtype=object)
+        ids_arr = np.array(all_docs, dtype=np.int64)
+        tfs_arr = np.array(all_tfs, dtype=np.int64)
+        norms_arr = np.array(all_norms, dtype=np.int64)
+        codes, uniq = pd.factorize(terms_arr, sort=True)
+        order = np.lexsort((ids_arr, codes))
+        blocks = encode_segment_arrays(
+            seg, codes[order], np.asarray(uniq, dtype=object),
+            ids_arr[order], tfs_arr[order], norms_arr[order],
+        )
+        return pd.concat([meta, blocks], ignore_index=True)
+
+    unified = src.groupBy("segment_id").applyInPandas(encode, SEGMENTS_SCHEMA)
+    (
+        unified.sortWithinPartitions("segment_id", "term", "block_id")
+        .write.mode("overwrite").parquet(paths.index)
+    )
+    unified = spark.read.parquet(paths.index)
+    (
+        unified.filter(~F.col("term").startswith("\x00"))
+        .groupBy("term")
+        .agg(F.sum("num_docs").cast("long").alias("df"))
+        .write.mode("overwrite").parquet(paths.term_stats)
+    )
+    from ..functions.codec import varint_decode
+
+    n_docs = docs.count()
+    field_totals: dict[str, int] = {f_: 0 for f_ in fields}
+    for r in (
+        unified.filter(F.col("term").startswith(MF_NORMS_PREFIX))
+        .select("term", "tf_bytes").collect()
+    ):
+        f_ = r["term"][len(MF_NORMS_PREFIX):]
+        field_totals[f_] += int(varint_decode(bytes(r["tf_bytes"]))[0])
+    stats = {
+        "num_docs": int(n_docs),
+        "analyzer": analyzer,
+        "docs_per_segment": docs_per_segment,
+        "layout": "fused",
+        "positions": False,
+        "multifield": {
+            "fields": fields,
+            "boosts": {f_: float(boosts.get(f_, 1.0)) for f_ in fields},
+            "avgdl": {
+                f_: (field_totals[f_] / n_docs if n_docs else 0.0)
+                for f_ in fields
+            },
+        },
+        "total_tokens": sum(field_totals.values()),
+        "avgdl": (sum(field_totals.values()) / n_docs) if n_docs else 0.0,
+    }
+    tmp = paths.stats + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=2)
+    os.replace(tmp, paths.stats)
+    return paths
+
+
+class MultiFieldSegmentIndex:
+    """Query handle over a persisted multi-field index: per-field posting
+    blocks scored Σ boost_f · bm25_f in one cogrouped Arrow kernel per
+    segment — the same scan shape (term IN pushdown, no join shuffle,
+    TakeOrderedAndProject merge) as the single-field WAND path."""
+
+    def __init__(self, spark, root: str) -> None:
+        import json
+
+        from ..plans.build import IndexPaths
+
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        with open(self.paths.stats) as f:
+            self.stats = json.load(f)
+        mf = self.stats["multifield"]
+        self.fields: list[str] = mf["fields"]
+        self.boosts: dict[str, float] = mf["boosts"]
+        self.avgdl: dict[str, float] = mf["avgdl"]
+        self.analyzer = self.stats["analyzer"]
+        unified = spark.read.parquet(self.paths.index)
+        self.segments = unified.filter(~F.col("term").startswith("\x00"))
+        self.norms = unified.filter(
+            F.col("term").startswith(MF_NORMS_PREFIX)
+        ).select(
+            "segment_id",
+            F.expr(f"substring(term, {len(MF_NORMS_PREFIX) + 1})").alias("field"),
+            F.col("first_doc_id").alias("base_doc_id"),
+            F.col("id_bytes").alias("norm_bytes"),
+        )
+        self.term_stats = spark.read.parquet(self.paths.term_stats)
+
+    def cache(self) -> "MultiFieldSegmentIndex":
+        self.segments = self.segments.cache()
+        self.norms = self.norms.cache()
+        self.segments.count(), self.norms.count()
+        return self
+
+    def term_df(self, phys_terms: list[str]) -> dict[str, int]:
+        if not phys_terms:
+            return {}
+        rows = self.term_stats.filter(F.col("term").isin(phys_terms)).collect()
+        return {r["term"]: r["df"] for r in rows}
+
+    def search(self, query: str, k: int = 10, mode: str = "must") -> DataFrame:
+        pq = parse_query(query, self.analyzer)
+        uniq = pq.uniq_terms
+        spark = self.spark
+        if not uniq:
+            return spark.createDataFrame([], "doc_id long, score double")
+        counts = pq.term_counts
+        fields = sorted(self.fields)
+        phys = {(t, f_): mf_term(f_, t) for t in uniq for f_ in fields}
+        neg_phys = [mf_term(f_, t) for t in set(pq.neg_terms) for f_ in fields]
+        dfs = self.term_df(list(phys.values()) + neg_phys)
+        if mode == "must" and any(
+            all(dfs.get(phys[(t, f_)], 0) == 0 for f_ in fields) for t in uniq
+        ):
+            return spark.createDataFrame([], "doc_id long, score double")
+        num_docs = self.stats["num_docs"]
+        # unit weight per physical term: counts·boost_f·(idf_f·(K1+1)) —
+        # same association as bm25_topk_multifield and MultiFieldOracle
+        weights = {
+            p: counts[t] * self.boosts[f_] * weight(dfs.get(p, 0), num_docs)
+            for (t, f_), p in phys.items()
+            if dfs.get(p, 0) > 0
+        }
+        avgdl = dict(self.avgdl)
+        boosted_terms = [p for p in weights]
+        scan_terms = boosted_terms + neg_phys
+        seg_filtered = self.segments.filter(
+            F.col("term").isin(scan_terms)
+        ).select(
+            "segment_id", "term", "block_id", "first_doc_id", "last_doc_id",
+            "num_docs", "id_bytes", "tf_bytes", "max_tf", "min_norm_id",
+        )
+        uniq_sorted = sorted(uniq)
+        fields_sorted = fields
+        k_eff = k
+
+        def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+            return _mf_segment_topk(
+                blocks_pdf, norms_pdf, uniq_sorted, fields_sorted, weights,
+                avgdl, k_eff, mode, neg_phys,
+            )
+
+        return (
+            seg_filtered.groupBy("segment_id")
+            .cogroup(self.norms.groupBy("segment_id"))
+            .applyInPandas(run, "segment_id int, doc_id long, score double")
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_list(self, query: str, k: int = 10, mode: str = "must"):
+        return [
+            (r["doc_id"], r["score"])
+            for r in self.search(query, k, mode).collect()
+        ]
+
+
+def _mf_segment_topk(
+    blocks_pdf: pd.DataFrame,
+    norms_pdf: pd.DataFrame,
+    uniq_sorted: list[str],
+    fields_sorted: list[str],
+    weights: dict[str, float],
+    avgdl: dict[str, float],
+    k: int,
+    mode: str,
+    neg_phys: list[str],
+) -> pd.DataFrame:
+    """Per-segment multi-field exact top-k: per logical term the docset is
+    the union over fields; Must intersects logical docsets, Should unions;
+    score folds sorted (term, field) contributions (canonical fp order,
+    identical to MultiFieldOracle)."""
+    import numpy as np
+
+    from ..functions.bm25 import B, K1
+    from ..functions.fieldnorm import FIELD_NORMS_TABLE
+    from .segments import decode_term_blocks
+
+    empty = pd.DataFrame(
+        {"segment_id": pd.Series([], dtype="int32"),
+         "doc_id": pd.Series([], dtype="int64"),
+         "score": pd.Series([], dtype="float64")}
+    )
+    if len(blocks_pdf) == 0 or len(norms_pdf) == 0:
+        return empty
+    seg = int(blocks_pdf["segment_id"].iloc[0])
+    base = int(norms_pdf["base_doc_id"].iloc[0])
+    norms_by_field = {
+        r["field"]: np.frombuffer(r["norm_bytes"], dtype=np.uint8)
+        for _, r in norms_pdf.iterrows()
+    }
+    dl_table = FIELD_NORMS_TABLE.astype(np.float64)
+    by_term = {t: g.sort_values("block_id") for t, g in blocks_pdf.groupby("term")}
+
+    decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def decode(p: str):
+        if p not in decoded:
+            g = by_term.get(p)
+            if g is None:
+                decoded[p] = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+            else:
+                ids, tfs = decode_term_blocks(g)
+                decoded[p] = (ids.astype(np.int64), tfs.astype(np.int64))
+        return decoded[p]
+
+    # per logical term: union of field docsets
+    term_docsets = []
+    for t in uniq_sorted:
+        parts = [decode(mf_term(f_, t))[0] for f_ in fields_sorted
+                 if mf_term(f_, t) in by_term]
+        term_docsets.append(
+            np.unique(np.concatenate(parts)) if parts
+            else np.zeros(0, dtype=np.int64)
+        )
+    if mode == "must":
+        cand = term_docsets[0] if term_docsets else np.zeros(0, dtype=np.int64)
+        for ds in term_docsets[1:]:
+            cand = cand[np.isin(cand, ds)]
+    else:
+        cand = (
+            np.unique(np.concatenate(term_docsets)) if term_docsets
+            else np.zeros(0, dtype=np.int64)
+        )
+    if neg_phys:
+        ex_parts = [decode(p)[0] for p in neg_phys if p in by_term]
+        if ex_parts:
+            cand = cand[~np.isin(cand, np.unique(np.concatenate(ex_parts)))]
+    if cand.size == 0:
+        return empty
+    score = np.zeros(cand.size, dtype=np.float64)
+    for t in uniq_sorted:
+        for f_ in fields_sorted:
+            p = mf_term(f_, t)
+            w = weights.get(p)
+            if w is None or p not in by_term:
+                continue
+            ids, tfs = decode(p)
+            if ids.size == 0:
+                continue
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, ids.size - 1)
+            match = ids[pos_c] == cand
+            if not match.any():
+                continue
+            narr = norms_by_field[f_]
+            dls = dl_table[narr[(cand[match] - base)]]
+            tfc = tfs[pos_c[match]].astype(np.float64)
+            norm = K1 * (1.0 - B + B * (dls / avgdl[f_]))
+            score[match] += w * (tfc / (tfc + norm))
+    ordr = np.lexsort((cand, -score))[:k]
+    return pd.DataFrame(
+        {"segment_id": pd.Series(np.full(ordr.size, seg), dtype="int32"),
+         "doc_id": pd.Series(cand[ordr], dtype="int64"),
+         "score": pd.Series(score[ordr], dtype="float64")}
+    )
+
+
 class MultiFieldOracle:
     """Pure-Python yardstick with identical fp association order."""
 

@@ -86,3 +86,72 @@ def test_path_boost_dominates(spark):
     for i, p, c in rows:
         oracle.add(i, {"path": p, "content": c})
     assert [d for d, _ in oracle.search("alpha", k=2)] == [0, 1]
+
+
+@pytest.fixture(scope="module")
+def mf_persisted(spark, mf):
+    """The SAME corpus through the persisted multi-field segment index."""
+    import shutil
+
+    from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
+        build_index_fused_multifield,
+    )
+
+    docs, _, _, oracle, rows = mf
+    d = "/tmp/stractt_test_mf_idx"
+    shutil.rmtree(d, ignore_errors=True)
+    build_index_fused_multifield(
+        spark, docs, d, {"path": "path", "content": "content"},
+        docs_per_segment=96,
+    )
+    return MultiFieldSegmentIndex(spark, d).cache(), oracle
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_persisted_multifield_rank_identity(mf_persisted, query, mode):
+    """Persisted per-field posting blocks + cogrouped kernel must be
+    rank-identical (and score-identical to 1e-9) to the MultiFieldOracle —
+    same gate as the in-memory path."""
+    idx, oracle = mf_persisted
+    got = idx.search_list(query, k=10, mode=mode)
+    expected = oracle.search(query, k=10, mode=mode)
+    assert [d for d, _ in got] == [d for d, _ in expected], (query, mode)
+    for (d1, s1), (_, s2) in zip(got, expected):
+        assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12), (query, d1)
+
+
+def test_persisted_multifield_stats(mf_persisted, mf):
+    idx, _ = mf_persisted
+    _, _, stats, _, _ = mf
+    assert idx.stats["num_docs"] == stats["num_docs"]
+    for f_ in ("path", "content"):
+        assert math.isclose(idx.avgdl[f_], stats["avgdl"][f_], rel_tol=1e-12)
+
+
+def test_persisted_multifield_term_scan_pruned(spark, mf):
+    """The physical-term filter reaches the parquet scan (PushedFilters) —
+    per-field postings ride the ordinary segment machinery.  Dedicated
+    UNCACHED index dir: cache substitution would erase the parquet scan."""
+    import shutil
+
+    from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
+        build_index_fused_multifield,
+    )
+
+    docs, _, _, _, _ = mf
+    d = "/tmp/stractt_test_mf_plans_idx"
+    shutil.rmtree(d, ignore_errors=True)
+    build_index_fused_multifield(
+        spark, docs, d, {"path": "path", "content": "content"},
+        docs_per_segment=192,
+    )
+    idx = MultiFieldSegmentIndex(spark, d)
+    plan = idx.search("merge", k=10)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan
+    # the physical-term predicate reaches the scan (In for multi-term,
+    # EqualTo when only one physical term has postings)
+    assert "In(term" in plan or "EqualTo(term" in plan
