@@ -361,6 +361,68 @@ def _q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOGGLE_PROGRAM = """
+! name: gate goggle
+merge sort$boost=2
+$downrank=1,site=src3
+$discard,site=src7
+"""
+
+
+def _q_goggles_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goggle program over a base query (reference lowering,
+    src/ranking/goggles/mod.rs:150-312): adjacent-token pattern boost
+    (+2·500), site downrank (−500), site discard (MustNot).  Oracle
+    reproduces the pattern via token ordinality and the const bonuses as
+    CASE terms over the full-scan BM25."""
+    from stractt_spark.operators.goggles import apply_goggle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eng = _engine(spark, sf_dir)
+    base = eng.search("hash join", k=10**6, mode="should")
+    out = apply_goggle(
+        base, docs, "text", "doc_id", _GOGGLE_PROGRAM, k=10,
+        site_col="source",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_GOGGLES_SQL = (
+    f"WITH {_NORM_CTE}, {_TOKS_CTE}, {_TF_CTE}, {_DL_CTE}, {_DLQ_CTE}, "
+    f"{_STATS_CTE}, per_term AS ("
+    "SELECT tf.doc_id, tf.term, "
+    "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2 * (tf.tf / "
+    "(tf.tf + 1.2 * (0.25 + 0.75 * q.dl_quant / s.avgdl))) AS ts "
+    "FROM tf JOIN dlq q ON tf.doc_id = q.doc_id "
+    "JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df "
+    "ON tf.term = df.term CROSS JOIN stats s "
+    "WHERE tf.term IN ('hash', 'join')), "
+    "base AS (SELECT doc_id, sum(ts) AS s FROM per_term GROUP BY doc_id), "
+    "tokl AS (SELECT doc_id, "
+    f"regexp_extract_all(lower(text), '{TOKEN_RE}') AS l FROM documents), "
+    # adjacent 'merge sort' (intersection_with_slop, slop 1: sort within
+    # [merge_pos, merge_pos+1]; distance 0 is impossible for distinct
+    # tokens, so adjacency == a consecutive bigram): zip the token list
+    # with its own tail and look for the (merge, sort) pair — this DuckDB
+    # lacks WITH ORDINALITY / lateral generate_series for true positions
+    "adj AS (SELECT doc_id FROM tokl WHERE len(list_filter("
+    "list_zip(l, list_slice(l, 2, len(l))), "
+    "p -> p[1] = 'merge' AND p[2] = 'sort')) > 0) "
+    "SELECT b.doc_id AS doc_id, round(b.s "
+    "+ (CASE WHEN b.doc_id IN (SELECT doc_id FROM adj) THEN 1000.0 ELSE 0.0 END) "
+    "+ (CASE WHEN d.source = 'src3' THEN -500.0 ELSE 0.0 END), 4) AS score "
+    "FROM base b JOIN documents d ON d.doc_id = b.doc_id "
+    "WHERE d.source <> 'src7' "
+    "ORDER BY b.s "
+    "+ (CASE WHEN b.doc_id IN (SELECT doc_id FROM adj) THEN 1000.0 ELSE 0.0 END) "
+    "+ (CASE WHEN d.source = 'src3' THEN -500.0 ELSE 0.0 END) DESC, "
+    "b.doc_id ASC LIMIT 10"
+)
+
+
 def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highlighted snippets for the top-10 of a two-term query — the
     reference's result rendering (src/snippet.rs:262-310).  Rows-only
@@ -655,6 +717,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": _q_snippets,
         "bm25_stemmed": _q_bm25_stemmed,
         "bm25_multifield": _q_bm25_multifield,
+        "goggles_rerank": _q_goggles_rerank,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -741,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multifield": _mf_sql(
             ["src3", "merge"], {"source": 10.0, "text": 4.0}
         ),
+        "goggles_rerank": _GOGGLES_SQL,
         "exact_dedup": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id, "
             "count(*) OVER (PARTITION BY sha256(text)) AS group_size FROM documents"

@@ -1,0 +1,161 @@
+"""Goggle program application: pattern/site instructions reranking a
+base query — Boost/Downrank as Should const-boosts (±n·SCALE), Discard as
+MustNot, bare ``$discard`` restricting results to docs matched by some
+other instruction, and ``@signal`` alterations as coefficient overrides.
+
+Reference lowering: /root/reference/src/ranking/goggles/mod.rs:150-312.
+
+Spark shape (all distributed, no driver-side doc sets):
+
+* each instruction's match set is a DataFrame — the conjunction of its
+  ``site=`` predicate (an equality on the attr column, the analogue of
+  the reference's Site/Domain no-tokenizer term queries) and its token
+  pattern (:func:`pattern_match_docs`, an Arrow scan evaluating the
+  pattern automaton per doc);
+* the base query scores WITHOUT a top-k cut (every matching doc keeps
+  its exact BM25 score), instruction sets join in: left joins add the
+  const bonuses, anti joins apply discards, a semi join against the
+  union of non-discard sets applies the bare-``$discard`` restriction;
+* the final ``orderBy(score desc, doc_id).limit(k)`` is the same
+  TakeOrderedAndProject bounded merge as every other query path.
+
+Instruction match sets are typically tiny and selective → Spark
+broadcasts them into the joins; the pattern scan reads only (id, text).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.goggles import (
+    SCALE,
+    Goggle,
+    Instruction,
+    compile_pattern,
+    parse_goggle,
+    pattern_phrase_count,
+)
+
+
+def pattern_match_docs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    patterns: list[str],
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """→ (doc_id, phrase_count) for docs matching the token pattern
+    (phrase_count > 0), evaluated per doc over the tokenized text — the
+    PatternQuery scorer (pattern_query.rs:271-342) as an Arrow scan.
+
+    Scale note: the reference evaluates patterns inside tantivy's
+    per-segment collection; here the automaton runs in a column-pruned
+    (id, text) scan.  For selective patterns, narrow ``docs`` first with
+    an index semi-join on the pattern's rarest term."""
+    from ..functions.tokenizer import get_analyzer
+
+    terms, ops = compile_pattern(patterns, analyzer)
+    tokenize = get_analyzer(analyzer)
+    term_set = set(terms)
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("_t")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out, counts = [], []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["_t"].values):
+                toks = tokenize(text or "")
+                pos: dict[str, list[int]] = {}
+                for i, t in enumerate(toks):
+                    if t in term_set:
+                        pos.setdefault(t, []).append(i)
+                c = pattern_phrase_count(
+                    {t: np.asarray(p) for t, p in pos.items()}, ops, len(toks)
+                )
+                if c > 0:
+                    ids_out.append(doc_id)
+                    counts.append(c)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids_out, dtype="int64"),
+                 "phrase_count": pd.Series(counts, dtype="int64")}
+            )
+
+    return src.mapInPandas(run, "doc_id long, phrase_count long")
+
+
+def instruction_match_set(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    inst: Instruction,
+    site_col: str | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame | None:
+    """One instruction's matching doc set (doc_id) — site predicate AND
+    pattern, both Must within the instruction (mod.rs:274-287).  None for
+    a bare action with nothing to match (e.g. the empty ``$discard``)."""
+    scoped = docs
+    if inst.site is not None:
+        if site_col is None:
+            raise ValueError("goggle uses site= but no site_col given")
+        scoped = scoped.filter(F.col(site_col) == inst.site)
+    if inst.patterns:
+        return pattern_match_docs(
+            scoped, text_col, id_col, inst.patterns, analyzer
+        ).select(F.col("doc_id"))
+    if inst.site is not None:
+        return scoped.select(F.col(id_col).cast("long").alias("doc_id"))
+    return None
+
+
+def apply_goggle(
+    base_scores: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    goggle: Goggle | str,
+    k: int = 10,
+    site_col: str | None = None,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Rerank ``base_scores`` (doc_id, score — UNCUT) by a goggle program:
+
+        score' = score + Σ_boost n·SCALE − Σ_downrank n·SCALE
+        discard instructions remove their docs entirely
+        a bare ``$discard`` keeps only docs matching ≥1 other instruction
+    """
+    g = parse_goggle(goggle) if isinstance(goggle, str) else goggle
+    out = base_scores
+    keep_union: DataFrame | None = None
+    for inst in g.instructions:
+        if inst.is_empty_discard:
+            continue
+        mset = instruction_match_set(
+            docs, text_col, id_col, inst, site_col, analyzer
+        )
+        if mset is None:
+            continue
+        if inst.action == "discard":
+            out = out.join(F.broadcast(mset), "doc_id", "left_anti")
+            continue
+        bonus = float(inst.value) * (SCALE if inst.action == "boost" else -SCALE)
+        out = out.join(
+            F.broadcast(mset.withColumn("_b", F.lit(bonus))), "doc_id", "left"
+        ).withColumn(
+            "score", F.col("score") + F.coalesce(F.col("_b"), F.lit(0.0))
+        ).drop("_b")
+        if g.has_empty_discard:
+            keep_union = (
+                mset if keep_union is None else keep_union.unionByName(mset)
+            )
+    if g.has_empty_discard:
+        if keep_union is None:
+            return out.limit(0)
+        out = out.join(F.broadcast(keep_union.distinct()), "doc_id", "left_semi")
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
