@@ -17,10 +17,12 @@ Exactly-once without transactions (parquet stand-in for Iceberg):
   (:class:`~stractt_spark.plans.build.SegmentIndex`) union only the main
   table plus LEDGERED batch dirs, so a crash between data write and
   ledger commit leaves an invisible orphan that the retry overwrites;
-* term_stats is recomputed over main + ledgered + the new batch just
-  before the ledger commit — a crash in that window leaves df counts
-  transiently inflated until the retry completes (an Iceberg deployment
-  makes this window disappear: one snapshot commits data + stats).
+* term_stats updates INCREMENTALLY: old (term, df) ⊎ the new batch's
+  dfs (doc spaces are disjoint, so addition is exact) — per-batch cost
+  is O(vocabulary + batch), never a full-index pass; the folded-batch
+  ledger rides inside the term_stats directory so a crashed retry never
+  double-merges (an Iceberg deployment collapses all of this into one
+  snapshot commit).
 
 Build parameters (analyzer, positions, attr_cols, docs_per_segment) are
 READ FROM THE INDEX'S stats.json, never from the caller — appending with
@@ -100,33 +102,65 @@ def append_batch(
         .parquet(bdir)
     )
 
-    # derived tables over main + ledgered + this batch
-    all_dirs = registered_paths(index_dir, stats) + [bdir]
-    full = spark.read.parquet(*all_dirs)
-    (
-        full.filter(F.col("term") != NORMS_SENTINEL)
-        .groupBy("term")
-        .agg(F.sum("num_docs").cast("long").alias("df"))
-        .write.mode("overwrite")
-        .parquet(paths.term_stats + ".tmp")
-    )
-    _swap_dir(paths.term_stats)
+    # INCREMENTAL derived tables: doc spaces are disjoint, so the new
+    # term_stats is old ⊎ batch-delta (sum of dfs) — the job reads the
+    # existing term_stats table (vocabulary-sized) and the NEW batch dir
+    # only, never the full index (a full-index pass per micro-batch would
+    # make ingest cost grow with index size).  Unlike the old full
+    # recompute, a merge is NOT naturally idempotent, so the set of
+    # already-folded batch ids travels INSIDE the term_stats directory
+    # (_folded.json, swapped atomically with the data): a retry after a
+    # crash between the swap and the ledger commit skips the re-merge.
+    batch_unified = spark.read.parquet(bdir)
+    folded_marker = os.path.join(paths.term_stats, "_folded.json")
+    folded: list[int] = []
+    if os.path.exists(folded_marker):
+        with open(folded_marker) as f:
+            folded = json.load(f)
+    if batch_id not in folded:
+        tmp_dir = paths.term_stats + ".tmp"
+        merged_term_stats(
+            spark.read.parquet(paths.term_stats), batch_unified
+        ).write.mode("overwrite").parquet(tmp_dir)
+        with open(os.path.join(tmp_dir, "_folded.json"), "w") as f:
+            json.dump(folded + [batch_id], f)
+        _swap_dir(paths.term_stats)
 
     from ..functions.codec import varint_decode
 
-    meta = full.filter(F.col("term") == NORMS_SENTINEL).select("tf_bytes").collect()
-    total_tokens = sum(int(varint_decode(bytes(r["tf_bytes"]))[0]) for r in meta)
+    meta = (
+        batch_unified.filter(F.col("term") == NORMS_SENTINEL)
+        .select("tf_bytes").collect()
+    )
+    batch_tokens = sum(int(varint_decode(bytes(r["tf_bytes"]))[0]) for r in meta)
 
     # single atomic commit: ledger + stats together
     stats["num_docs"] = int(stats["num_docs"] + n_new)
     stats["next_doc_id"] = int(base + n_new)
-    stats["total_tokens"] = int(total_tokens)
-    stats["avgdl"] = total_tokens / stats["num_docs"] if stats["num_docs"] else 0.0
+    stats["total_tokens"] = int(stats.get("total_tokens", 0) + batch_tokens)
+    stats["avgdl"] = (
+        stats["total_tokens"] / stats["num_docs"] if stats["num_docs"] else 0.0
+    )
     stats.setdefault("stream_batches", []).append(batch_id)
     tmp = paths.stats + ".tmp"
     with open(tmp, "w") as f:
         json.dump(stats, f, indent=2)
     os.replace(tmp, paths.stats)
+
+
+def merged_term_stats(old_stats: DataFrame, batch_unified: DataFrame) -> DataFrame:
+    """old (term, df) ⊎ the new batch's per-term dfs — exact because the
+    batch's doc space is disjoint from everything ledgered."""
+    delta = (
+        batch_unified.filter(F.col("term") != NORMS_SENTINEL)
+        .groupBy("term")
+        .agg(F.sum("num_docs").cast("long").alias("df"))
+    )
+    return (
+        old_stats.unionByName(delta)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
 
 
 def _swap_dir(target: str) -> None:

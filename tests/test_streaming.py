@@ -138,3 +138,75 @@ def test_stream_idempotent_batch(streamed, spark):
     with open(index.paths.stats) as f:
         after = json.load(f)
     assert after["num_docs"] == before["num_docs"]
+
+
+def test_term_stats_delta_reads_only_new_batch(spark, streamed):
+    """The per-batch term_stats job must scan the existing term_stats
+    table + the NEW batch dir — never the main index (full-index pass per
+    micro-batch would grow ingest cost with index size)."""
+    from stractt_spark.streaming.ingest import batch_dir, merged_term_stats
+
+    idx, _ = streamed
+    old = spark.read.parquet(idx.paths.term_stats)
+    bdir = batch_dir(f"{BASE}/index", 0)
+    batch = spark.read.parquet(bdir)
+    plan = merged_term_stats(old, batch)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "index.parquet" not in plan
+    assert "term_stats" in plan and "batches" in plan
+
+
+def test_append_retry_after_partial_commit_is_idempotent(spark):
+    """Crash window: term_stats swapped but ledger commit lost.  The retry
+    must NOT double-merge the batch's dfs (the _folded.json marker inside
+    the term_stats dir travels with the swap)."""
+    import json
+    import os
+
+    from stractt_spark.operators.postings import assign_doc_ids
+    from stractt_spark.plans.build import SegmentIndex, build_index_fused
+    from stractt_spark.streaming.ingest import append_batch
+
+    base_dir = "/tmp/stractt_stream_retry_test"
+    shutil.rmtree(base_dir, ignore_errors=True)
+    rows = make_corpus(200)
+
+    def df_of(chunk):
+        return spark.createDataFrame(
+            [(r["repo"], r["path"], r["commit"], r["content"]) for r in chunk],
+            "repo string, path string, commit string, content string",
+        )
+
+    initial = assign_doc_ids(df_of(rows[:150]), ["repo", "path", "commit"])
+    build_index_fused(spark, initial, base_dir, docs_per_segment=64)
+    stats_path = f"{base_dir}/stats.json"
+    with open(stats_path) as f:
+        pre_batch_stats = f.read()  # exact pre-crash stats.json
+
+    append_batch(spark, df_of(rows[150:]), batch_id=0, index_dir=base_dir)
+    expected = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{base_dir}/term_stats.parquet").collect()
+    }
+    with open(stats_path) as f:
+        committed_stats = json.load(f)
+
+    # simulate the crash: term_stats (with its _folded marker) survived the
+    # swap, but the atomic ledger+stats commit was lost
+    with open(stats_path, "w") as f:
+        f.write(pre_batch_stats)
+
+    append_batch(spark, df_of(rows[150:]), batch_id=0, index_dir=base_dir)
+    got = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(f"{base_dir}/term_stats.parquet").collect()
+    }
+    assert got == expected  # no double counting
+    with open(stats_path) as f:
+        retried_stats = json.load(f)
+    assert retried_stats == committed_stats  # tokens/avgdl not inflated
+
+    # and the index still answers queries over all 200 docs
+    idx = SegmentIndex(spark, base_dir)
+    assert idx.stats["num_docs"] == 200
