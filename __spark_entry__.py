@@ -369,6 +369,17 @@ $discard,site=src7
 """
 
 
+def _q_autosuggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autosuggest over the index's term dictionary: the 10
+    lexicographically-smallest completions (reference fst starts-with
+    stream, src/autosuggest.rs:45-57); startsWith predicate pushed to the
+    term_stats parquet scan."""
+    from stractt_spark.functions.autosuggest import suggest_df
+
+    idx = _wand_index(spark, sf_dir)
+    return suggest_df(idx.term_stats, "s", k=10).select("term")
+
+
 def _q_goggles_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Goggle program over a base query (reference lowering,
     src/ranking/goggles/mod.rs:150-312): adjacent-token pattern boost
@@ -718,6 +729,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stemmed": _q_bm25_stemmed,
         "bm25_multifield": _q_bm25_multifield,
         "goggles_rerank": _q_goggles_rerank,
+        "autosuggest_prefix": _q_autosuggest,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -805,6 +817,11 @@ def oracle_sql() -> dict[str, str]:
             ["src3", "merge"], {"source": 10.0, "text": 4.0}
         ),
         "goggles_rerank": _GOGGLES_SQL,
+        "autosuggest_prefix": (
+            f"WITH {_TOKS_CTE} "
+            "SELECT DISTINCT term FROM toks WHERE term LIKE 's%' "
+            "ORDER BY term ASC LIMIT 10"
+        ),
         "exact_dedup": (
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id, "
             "count(*) OVER (PARTITION BY sha256(text)) AS group_size FROM documents"

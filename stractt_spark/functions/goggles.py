@@ -126,6 +126,31 @@ def parse_goggle(text: str) -> Goggle:
     return g
 
 
+@dataclass
+class SiteRankings:
+    """User site preferences → goggle sugar (reference
+    src/ranking/site_rankings.rs:25-70): preferred sites boost 5,
+    disliked downrank 5, blocked discard."""
+
+    preferred: list[str] = field(default_factory=list)
+    disliked: list[str] = field(default_factory=list)
+    blocked: list[str] = field(default_factory=list)
+
+    def into_goggle(self) -> Goggle:
+        g = Goggle()
+        for site in self.preferred:
+            g.instructions.append(
+                Instruction(site=site, action="boost", value=5)
+            )
+        for site in self.disliked:
+            g.instructions.append(
+                Instruction(site=site, action="downrank", value=5)
+            )
+        for site in self.blocked:
+            g.instructions.append(Instruction(site=site, action="discard"))
+        return g
+
+
 def intersection_with_slop(
     left: np.ndarray, right: np.ndarray, slop: int
 ) -> np.ndarray:

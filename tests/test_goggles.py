@@ -169,3 +169,53 @@ def test_goggle_empty_discard_keeps_only_matched(spark, goggle_corpus):
     ids = [r["doc_id"] for r in out]
     assert set(ids) <= {0, 1, 2, 4}          # only a.com/b.com docs
     assert ids[0] == 2                        # a.com (+6·SCALE) first
+
+
+def test_site_rankings_into_goggle():
+    """site_rankings.rs:25-70: preferred → boost 5, disliked → downrank 5,
+    blocked → discard."""
+    from stractt_spark.functions.goggles import SiteRankings
+
+    g = SiteRankings(
+        preferred=["a.com"], disliked=["b.com"], blocked=["c.com"]
+    ).into_goggle()
+    assert len(g.instructions) == 3
+    assert (g.instructions[0].site, g.instructions[0].action,
+            g.instructions[0].value) == ("a.com", "boost", 5)
+    assert (g.instructions[1].site, g.instructions[1].action,
+            g.instructions[1].value) == ("b.com", "downrank", 5)
+    assert (g.instructions[2].site, g.instructions[2].action) == ("c.com", "discard")
+    assert not g.has_empty_discard
+
+
+def test_site_rankings_applied(spark, goggle_corpus):
+    from stractt_spark.functions.goggles import SCALE, SiteRankings
+    from stractt_spark.operators.goggles import apply_goggle
+
+    base = _base_scores(spark, goggle_corpus)
+    g = SiteRankings(preferred=["a.com"], disliked=[], blocked=["b.com"]).into_goggle()
+    out = apply_goggle(
+        base, goggle_corpus, "text", "doc_id", g, k=10, site_col="site"
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 not in ids and 4 not in ids
+    assert ids[0] == 2  # preferred a.com matcher (+5·SCALE)
+
+
+def test_autosuggest_lexicographic_prefix():
+    from stractt_spark.functions.autosuggest import Autosuggest
+
+    a = Autosuggest(["mars", "map", "maple", "mapreduce", "zebra", "mask"])
+    assert a.suggestions("ma") == ["map", "maple", "mapreduce", "mars", "mask"]
+    assert a.suggestions("MAP") == ["map", "maple", "mapreduce"]
+    assert a.suggestions("q") == []
+    assert a.suggestions("ma", k=2) == ["map", "maple"]
+
+
+def test_autosuggest_df_matches_driver(spark):
+    from stractt_spark.functions.autosuggest import Autosuggest, suggest_df
+
+    terms = ["mars", "map", "maple", "mapreduce", "zebra", "mask", "magic"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = [r["term"] for r in suggest_df(df, "ma", k=4).collect()]
+    assert got == Autosuggest(terms).suggestions("ma", k=4)
