@@ -74,18 +74,24 @@ def run(sf_dir: str, cpus: int, corpus_docs: int) -> dict:
     # --- synthetic code-corpus build throughput (docs/sec headline).
     # Generation is NOT part of the measured build (the production input
     # already exists as a table) — generate once, cache, then measure.
-    cache_path = f"/tmp/stractt_bench_corpus_v2_n{corpus_docs}_s42.parquet"
+    # The cache is written segment-ALIGNED (range-partitioned, boundaries
+    # at docs_per_segment multiples — an Iceberg table sorted on the id
+    # column) so the build takes the ZERO-shuffle path.
+    # dps 1024 keeps ≥ 2 aligned partitions per core at this corpus size
+    # (alignment forces partition length ≥ dps)
+    dps = 1024
+    cache_path = f"/tmp/stractt_bench_corpus_v2_n{corpus_docs}_s42_al{dps}.parquet"
     if not os.path.isdir(cache_path):
-        corpus_spark_df(spark, corpus_docs, partitions=max(cpus, 8)).write.mode(
-            "overwrite"
-        ).parquet(cache_path)
+        corpus_spark_df(
+            spark, corpus_docs, partitions=max(cpus * 2, 16), align=dps
+        ).write.mode("overwrite").parquet(cache_path)
     corpus = spark.read.parquet(cache_path)
     cidx_dir = "/tmp/stractt_bench_cidx"
     shutil.rmtree(cidx_dir, ignore_errors=True)
     t0 = time.time()
     build_index_fused(
         spark, corpus, cidx_dir, text_col="content", id_col="doc_id",
-        analyzer="code", docs_per_segment=8192,
+        analyzer="code", docs_per_segment=dps, aligned_input=True,
     )
     t_corpus = time.time() - t0
     out["corpus_docs"] = corpus_docs

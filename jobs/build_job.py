@@ -31,6 +31,10 @@ def main() -> None:
                     help="assign dense doc_id = rank over (repo,path,commit)")
     ap.add_argument("--staged", action="store_true",
                     help="staged build (persists a postings table) instead of fused")
+    ap.add_argument("--aligned", action="store_true",
+                    help="input is range-partitioned by id with segment-"
+                         "aligned boundaries → ZERO-shuffle build "
+                         "(no repartition; layout verified post-write)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -42,7 +46,7 @@ def main() -> None:
 
     docs = spark.read.parquet(args.input)
     cores = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < cores:
+    if not args.aligned and docs.rdd.getNumPartitions() < cores:
         docs = docs.repartition(cores * 2)
     if args.assign_id:
         # persist: the assignment shuffle must not re-run per downstream stage
@@ -58,11 +62,12 @@ def main() -> None:
     ).count()
 
     build = build_index if args.staged else build_index_fused
+    extra = {"aligned_input": True} if (args.aligned and not args.staged) else {}
     t0 = time.time()
     build(
         spark, docs, args.out,
         text_col=args.text_col, id_col=args.id_col,
-        analyzer=args.analyzer, docs_per_segment=args.dps,
+        analyzer=args.analyzer, docs_per_segment=args.dps, **extra,
     )
     dt = time.time() - t0
     n = docs.count()

@@ -32,12 +32,13 @@ import zipfile
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def make_corpus_parquet(n_docs: int) -> str:
+def make_corpus_parquet(n_docs: int, align: int | None = None) -> str:
     # tmpfs-backed input: cluster input IO (object storage) scales with
     # cluster size; a single cold VM disk does not, and page-cache
     # eviction between trials adds ±10s of noise.
-    path = f"/dev/shm/stractt_scale_corpus_v2_n{n_docs}_s42.parquet"
-    old = f"/tmp/stractt_scale_corpus_v2_n{n_docs}_s42.parquet"
+    suffix = f"_al{align}" if align else ""
+    path = f"/dev/shm/stractt_scale_corpus_v2_n{n_docs}_s42{suffix}.parquet"
+    old = f"/tmp/stractt_scale_corpus_v2_n{n_docs}_s42{suffix}.parquet"
     if os.path.isdir(path):
         return path
     if os.path.isdir(old):
@@ -48,7 +49,9 @@ def make_corpus_parquet(n_docs: int) -> str:
     from stractt_spark.sources.corpus import corpus_spark_df
 
     spark = get_spark(app_name="corpus-gen", cpus=32)
-    corpus_spark_df(spark, n_docs, partitions=64).write.mode("overwrite").parquet(path)
+    corpus_spark_df(
+        spark, n_docs, partitions=64, align=align
+    ).write.mode("overwrite").parquet(path)
     spark.stop()
     return path
 
@@ -65,7 +68,8 @@ def make_pyfiles_zip() -> str:
     return zpath
 
 
-def run_submit(cores: int, corpus: str, zip_path: str, out_dir: str) -> dict:
+def run_submit(cores: int, corpus: str, zip_path: str, out_dir: str,
+               aligned: bool = False) -> dict:
     import pyspark
 
     submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
@@ -97,7 +101,7 @@ def run_submit(cores: int, corpus: str, zip_path: str, out_dir: str) -> dict:
         os.path.join(REPO, "jobs", "build_job.py"),
         "--input", corpus, "--out", out_dir,
         "--analyzer", "code", "--dps", "8192",
-    ]
+    ] + (["--aligned"] if aligned else [])
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
     for line in res.stdout.splitlines():
         line = line.strip()
@@ -123,14 +127,18 @@ def main() -> None:
     ap.add_argument("--xn", type=int, default=4)
     ap.add_argument("--trials", type=int, default=2,
                     help="per level; best-of (min seconds) under external VM noise")
+    ap.add_argument("--aligned", action="store_true",
+                    help="segment-aligned range-partitioned input → the "
+                         "ZERO-shuffle build path")
     args = ap.parse_args()
 
-    corpus = make_corpus_parquet(args.docs)
+    corpus = make_corpus_parquet(args.docs, align=8192 if args.aligned else None)
     zip_path = make_pyfiles_zip()
 
     def best(cores: int) -> dict:
         results = [
-            run_submit(cores, corpus, zip_path, f"/tmp/stractt_scale_idx_{cores}")
+            run_submit(cores, corpus, zip_path,
+                       f"/tmp/stractt_scale_idx_{cores}", aligned=args.aligned)
             for _ in range(args.trials)
         ]
         return min(results, key=lambda r: r["seconds"])

@@ -96,18 +96,27 @@ def instruction_match_set(
     inst: Instruction,
     site_col: str | None = None,
     analyzer: str = "ascii",
+    field_cols: dict[str, str] | None = None,
 ) -> DataFrame | None:
     """One instruction's matching doc set (doc_id) — site predicate AND
     pattern, both Must within the instruction (mod.rs:274-287).  None for
-    a bare action with nothing to match (e.g. the empty ``$discard``)."""
+    a bare action with nothing to match (e.g. the empty ``$discard``).
+
+    ``field_cols``: maps goggle field selectors (``inurl``→"url",
+    ``intitle``→"title", ``incontent``→"content", …) to document columns;
+    an instruction with a field selector pattern-matches THAT column
+    (mod.rs:231-262).  Unmapped selectors fall back to ``text_col``."""
     scoped = docs
     if inst.site is not None:
         if site_col is None:
             raise ValueError("goggle uses site= but no site_col given")
         scoped = scoped.filter(F.col(site_col) == inst.site)
     if inst.patterns:
+        col = text_col
+        if inst.field_sel and field_cols and inst.field_sel in field_cols:
+            col = field_cols[inst.field_sel]
         return pattern_match_docs(
-            scoped, text_col, id_col, inst.patterns, analyzer
+            scoped, col, id_col, inst.patterns, analyzer
         ).select(F.col("doc_id"))
     if inst.site is not None:
         return scoped.select(F.col(id_col).cast("long").alias("doc_id"))
@@ -123,6 +132,7 @@ def apply_goggle(
     k: int = 10,
     site_col: str | None = None,
     analyzer: str = "ascii",
+    field_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """Rerank ``base_scores`` (doc_id, score — UNCUT) by a goggle program:
 
@@ -137,7 +147,7 @@ def apply_goggle(
         if inst.is_empty_discard:
             continue
         mset = instruction_match_set(
-            docs, text_col, id_col, inst, site_col, analyzer
+            docs, text_col, id_col, inst, site_col, analyzer, field_cols
         )
         if mset is None:
             continue

@@ -21,11 +21,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def bfs_distances(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def bfs_distances(
+    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 4
+) -> DataFrame:
     """edges (src, dst) → all-pairs finite distances (src, dst, dist).
 
     Iterates frontier ⋈ edges until fixpoint or max_iter (graph diameter
-    bound).  Uniform weight 1, like the reference."""
+    bound).  Uniform weight 1, like the reference.
+
+    ``checkpoint_every``: every k hops the accumulated distance table is
+    ``localCheckpoint``-ed, truncating the union-of-unions lineage — an
+    unbounded iterative plan otherwise grows linearly with depth and
+    eventually overwhelms the driver's plan compilation on deep graphs
+    (the standard iterative-algorithm discipline on Spark)."""
     # self-loops excluded from the seed: d(u,u) is not part of the
     # Σ_{u≠v} harmonic sum (a (u,u) seed row would inflate centrality)
     dist = (
@@ -35,7 +43,7 @@ def bfs_distances(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .cache()
     )
     frontier = dist
-    for _ in range(max_iter - 1):
+    for it in range(max_iter - 1):
         expanded = (
             frontier.alias("f")
             .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
@@ -54,7 +62,11 @@ def bfs_distances(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         if new.count() == 0:
             break
-        dist = dist.unionByName(new).cache()
+        dist = dist.unionByName(new)
+        if (it + 1) % checkpoint_every == 0:
+            dist = dist.localCheckpoint(eager=True)
+        else:
+            dist = dist.cache()
         frontier = new
     return dist
 

@@ -255,8 +255,10 @@ def build_segments_fused(
     include_positions: bool = False,
     attr_cols: list[str] | None = None,
     pre_col: str | None = None,
+    aligned_input: bool = False,
 ) -> DataFrame:
-    """Docs → unified index rows in ONE shuffle + ONE Arrow pass.
+    """Docs → unified index rows in ONE shuffle + ONE Arrow pass
+    (``aligned_input=True``: ZERO shuffles — see encode_partition below).
 
     ``attr_cols``: document attribute columns (e.g. repo, lang) indexed as
     identity filter terms ``\\x01col:value`` (see :func:`attr_term`) —
@@ -301,8 +303,7 @@ def build_segments_fused(
         *pre_cols,
     ).withColumn("segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("int"))
 
-    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        seg = int(key[0])
+    def encode_segment(seg: int, pdf: pd.DataFrame) -> pd.DataFrame:
         base = seg * docs_per_segment
         doc_ids_in = pdf["doc_id"].to_numpy(dtype=np.int64)
         texts = pdf["_text"].values
@@ -416,7 +417,29 @@ def build_segments_fused(
             [meta_row(len(ids_arr), len(blocks), nbytes), blocks], ignore_index=True
         )
 
-    return src.groupBy("segment_id").applyInPandas(encode, SEGMENTS_SCHEMA)
+    def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_segment(int(key[0]), pdf)
+
+    if not aligned_input:
+        return src.groupBy("segment_id").applyInPandas(encode, SEGMENTS_SCHEMA)
+
+    # ZERO-SHUFFLE path: the caller guarantees every input partition holds
+    # only WHOLE segments (range-partitioned by id with segment-aligned
+    # boundaries — an Iceberg table sorted/split on the id column, or
+    # corpus_spark_df(align=docs_per_segment)).  Each partition encodes
+    # its segments in place; build_index_fused verifies the contract after
+    # the write (a segment spanning two partitions would emit two sentinel
+    # rows).  This removes the build's only wide exchange — at 100 TB the
+    # difference between one pass and two over the corpus bytes.
+    def encode_partition(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        whole = pd.concat(parts, ignore_index=True)
+        for seg, g in whole.groupby("segment_id", sort=True):
+            yield encode_segment(int(seg), g.reset_index(drop=True))
+
+    return src.mapInPandas(encode_partition, SEGMENTS_SCHEMA)
 
 
 def split_unified(unified: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -133,21 +133,28 @@ def doc_fingerprint(
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fps = [], []
-            for doc_id, text in zip(pdf["doc_id"].values, pdf["_t"].values):
-                toks = tokenize(text or "")
-                if toks:
-                    h = _hash64(toks)
-                    acc = np.uint64(14695981039346656037)
-                    # horner: acc = acc*P ^ h[i] — short loop over tokens,
-                    # numpy scalar ops (order-sensitive by construction)
-                    for v in h:
-                        acc = (acc * P) ^ v
-                else:
-                    acc = np.uint64(0)
-                ids.append(doc_id)
-                fps.append(np.int64(acc.astype(np.int64)))
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                                "fingerprint": pd.Series(fps, dtype="int64")})
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            tok_lists = [tokenize(t or "") for t in pdf["_t"].values]
+            lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            flat = (
+                _hash64([t for toks in tok_lists for t in toks])
+                if lens.sum() else np.zeros(0, dtype=np.uint64)
+            )
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            # Horner acc = acc*P ^ h[j], vectorized ACROSS DOCS: step j
+            # updates every doc with > j tokens (loop length = max doc
+            # tokens, each step one numpy pass — identical per-doc op
+            # order to the scalar loop)
+            accs = np.full(len(lens), np.uint64(14695981039346656037))
+            with np.errstate(over="ignore"):
+                for j in range(int(lens.max()) if len(lens) else 0):
+                    m = lens > j
+                    accs[m] = (accs[m] * P) ^ flat[offs[:-1][m] + np.int64(j)]
+            accs[lens == 0] = np.uint64(0)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "fingerprint": pd.Series(accs.astype(np.int64), dtype="int64")}
+            )
 
     return src.mapInPandas(emit, "doc_id long, fingerprint long")

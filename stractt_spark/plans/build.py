@@ -278,6 +278,7 @@ def build_index_fused(
     positions: bool = False,
     attr_cols: list[str] | None = None,
     pre_scores: DataFrame | None = None,
+    aligned_input: bool = False,
     fail_after: str | None = None,
     log: bool = False,
 ) -> IndexPaths:
@@ -334,6 +335,11 @@ def build_index_fused(
         if fail_after == stage:
             raise StageAborted(stage)
 
+    if aligned_input and pre_scores is not None:
+        raise ValueError(
+            "aligned_input requires the INPUT's id layout; presorting "
+            "remaps ids (join) and destroys the alignment contract"
+        )
     build_docs, build_id_col, pre_col = docs, id_col, None
     if pre_scores is not None:
         pre_col = "_pre_score"
@@ -366,13 +372,29 @@ def build_index_fused(
         unified = build_segments_fused(
             build_docs, text_col, build_id_col, analyzer, docs_per_segment,
             include_positions=positions, attr_cols=attr_cols,
-            pre_col=pre_col,
+            pre_col=pre_col, aligned_input=aligned_input,
         )
         (
             unified.sortWithinPartitions("segment_id", "term", "block_id")
             .write.mode("overwrite")
             .parquet(paths.index)
         )
+        if aligned_input:
+            # layout-contract check: a segment split across input
+            # partitions would have emitted duplicate sentinel rows
+            # (reads only the tiny pruned sentinel slice)
+            dup = (
+                spark.read.parquet(paths.index)
+                .filter(F.col("term") == NORMS_SENTINEL)
+                .groupBy("segment_id").count().filter(F.col("count") > 1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"aligned_input=True but {dup} segment(s) span multiple "
+                    "input partitions — partition boundaries must be "
+                    "multiples of docs_per_segment"
+                )
         mark("index")
     unified = spark.read.parquet(paths.index)
 

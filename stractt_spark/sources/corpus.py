@@ -107,12 +107,25 @@ def make_corpus(n: int, seed: int = 42, n_repos: int = 20) -> list[dict[str, str
     return [make_row(i, seed, n_repos) for i in range(n)]
 
 
-def corpus_spark_df(spark, n: int, seed: int = 42, n_repos: int = 20, partitions: int = 8):
+def corpus_spark_df(
+    spark,
+    n: int,
+    seed: int = 42,
+    n_repos: int = 20,
+    partitions: int = 8,
+    align: int | None = None,
+):
     """Distributed generation: rows are a pure function of the index, so we
     parallelize the index range and map partitions — no driver-side
     materialization at scale.  ``doc_id`` = generation index: dense,
     deterministic, partition-count-independent (for external corpora
-    without stable ids, use ``operators.postings.assign_doc_ids``)."""
+    without stable ids, use ``operators.postings.assign_doc_ids``).
+
+    ``align``: make every partition boundary a multiple of this (e.g. the
+    index's docs_per_segment) — the layout contract of the ZERO-SHUFFLE
+    build path (``build_index_fused(aligned_input=True)``): each partition
+    then contains only whole segments.  Mirrors an Iceberg table sorted
+    and split on the id column."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     schema = StructType(
@@ -126,7 +139,16 @@ def corpus_spark_df(spark, n: int, seed: int = 42, n_repos: int = 20, partitions
             r = make_row(i, seed, n_repos)
             yield (i, r["repo"], r["path"], r["commit"], r["lang"], r["content"])
 
-    rdd = spark.sparkContext.parallelize(range(n), partitions).mapPartitions(
-        lambda it: gen(it)
-    )
+    if align:
+        per = max(align, (((n + partitions - 1) // partitions + align - 1)
+                          // align) * align)
+        bounds = list(range(0, n, per)) + [n]
+        slices = [range(lo, hi) for lo, hi in zip(bounds, bounds[1:])]
+        rdd = spark.sparkContext.parallelize(
+            slices, len(slices)
+        ).flatMap(lambda rng: gen(rng))
+    else:
+        rdd = spark.sparkContext.parallelize(range(n), partitions).mapPartitions(
+            lambda it: gen(it)
+        )
     return spark.createDataFrame(rdd, schema)

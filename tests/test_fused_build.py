@@ -73,3 +73,65 @@ def test_fused_resume(spark, tmp_path):
     assert os.path.getmtime(os.path.join(out, "index.parquet")) == mtime
     idx = SegmentIndex(spark, out)
     assert len(idx.search_list("buffer", k=5)) > 0
+
+
+def test_aligned_zero_shuffle_build_identical(spark, tmp_path_factory):
+    """aligned_input=True (range-partitioned, segment-aligned input) must
+    produce an index byte-equivalent to the shuffled fused build, with NO
+    exchange in the encode plan."""
+    import numpy as np
+
+    from stractt_spark.operators.merge import decode_postings
+    from stractt_spark.operators.segments import build_segments_fused
+    from stractt_spark.plans.build import SegmentIndex, build_index_fused
+    from stractt_spark.sources.corpus import corpus_spark_df
+
+    root = tmp_path_factory.mktemp("aligned")
+    dps = 128
+    docs = corpus_spark_df(spark, 1000, partitions=4, align=dps)
+
+    d_norm = str(root / "norm")
+    d_al = str(root / "aligned")
+    build_index_fused(spark, docs, d_norm, docs_per_segment=dps)
+    build_index_fused(spark, docs, d_al, docs_per_segment=dps,
+                      aligned_input=True)
+    a = SegmentIndex(spark, d_norm)
+    b = SegmentIndex(spark, d_al)
+    assert a.stats["num_docs"] == b.stats["num_docs"] == 1000
+    assert a.stats["total_tokens"] == b.stats["total_tokens"]
+    pa_ = decode_postings(a.segments, a.norms).toPandas().sort_values(
+        ["doc_id", "term"]).reset_index(drop=True)
+    pb_ = decode_postings(b.segments, b.norms).toPandas().sort_values(
+        ["doc_id", "term"]).reset_index(drop=True)
+    assert len(pa_) == len(pb_)
+    assert (pa_[["doc_id", "term", "tf", "norm_id"]].values
+            == pb_[["doc_id", "term", "tf", "norm_id"]].values).all()
+
+    # the aligned encode plan has NO shuffle exchange
+    plan = build_segments_fused(
+        docs, "content", "doc_id", "ascii", dps, aligned_input=True
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan
+    # the shuffled path does have one (sanity of the assertion itself)
+    plan_shuffled = build_segments_fused(
+        docs, "content", "doc_id", "ascii", dps
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" in plan_shuffled
+
+
+def test_aligned_build_rejects_misaligned_partitions(spark, tmp_path_factory):
+    from stractt_spark.plans.build import build_index_fused
+    from stractt_spark.sources.corpus import corpus_spark_df
+
+    root = tmp_path_factory.mktemp("misaligned")
+    # partitions NOT aligned to docs_per_segment → contract violation
+    docs = corpus_spark_df(spark, 500, partitions=4)  # ~125-doc slices
+    with pytest.raises(ValueError, match="aligned_input"):
+        build_index_fused(
+            spark, docs, str(root / "bad"), docs_per_segment=96,
+            aligned_input=True,
+        )

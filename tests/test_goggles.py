@@ -219,3 +219,25 @@ def test_autosuggest_df_matches_driver(spark):
     df = spark.createDataFrame([(t,) for t in terms], "term string")
     got = [r["term"] for r in suggest_df(df, "ma", k=4).collect()]
     assert got == Autosuggest(terms).suggestions("ma", k=4)
+
+
+def test_goggle_field_selector_targets_column(spark):
+    """An instruction with a field selector pattern-matches the mapped
+    column, not the default text column (mod.rs:231-262)."""
+    from stractt_spark.operators.goggles import instruction_match_set
+    from stractt_spark.functions.goggles import parse_goggle
+
+    docs = spark.createDataFrame(
+        [(0, "nothing here", "merge sort title"),
+         (1, "merge sort body", "other title")],
+        "doc_id long, text string, title string",
+    )
+    g = parse_goggle("merge sort$intitle,boost=2")
+    mset = instruction_match_set(
+        docs, "text", "doc_id", g.instructions[0],
+        field_cols={"title": "title"},
+    )
+    assert {r["doc_id"] for r in mset.collect()} == {0}
+    # without the mapping it falls back to the text column
+    mset2 = instruction_match_set(docs, "text", "doc_id", g.instructions[0])
+    assert {r["doc_id"] for r in mset2.collect()} == {1}
