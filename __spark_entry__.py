@@ -706,6 +706,54 @@ def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cos ≥ 0.8) via banded sign-LSH
+    pair-join + exact verify — the embedding analogue of MinHash dedup.
+    Augmentation plants 10 true duplicates (vec j with its first
+    coordinate negated, j=1..10; i.i.d. base vectors have max natural
+    cosine ≈ 0.37, so the result set is exactly the planted pairs) —
+    reproduced identically in the oracle, which scans ALL pairs.  A hash
+    match therefore proves the banded join recalled every true pair while
+    verifying only ~5 % of the pair space."""
+    from stractt_spark.operators.similarity import pairwise_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    seeds = {
+        r["vec_id"]: [float(x) for x in r["e"]]
+        for r in base.filter(F.col("vec_id").isin(list(range(1, 11)))).collect()
+    }
+    planted_rows = []
+    for j in range(1, 11):
+        v = list(seeds[j])
+        v[0] = -v[0]
+        planted_rows.append((2000000 + j, v))
+    planted = spark.createDataFrame(planted_rows, "vec_id long, e array<double>")
+    aug = base.unionByName(planted)
+    return pairwise_near_dups(
+        aug, threshold=0.8, n_tables=12, n_planes=8, vec_col="e"
+    ).orderBy("id_a", "id_b")
+
+
+_EMB_DUP_SQL = (
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+    "planted AS (SELECT CAST(2000000 + b.vec_id AS BIGINT) AS vec_id, "
+    "list_concat([-list_extract(b.e, 1)], list_slice(b.e, 2, len(b.e))) AS e "
+    "FROM base b WHERE b.vec_id BETWEEN 1 AND 10), "
+    "aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted) "
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) "
+    "* sqrt(list_dot_product(b.e, b.e))), 6) AS cos "
+    "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+    "WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) "
+    "* sqrt(list_dot_product(b.e, b.e))), 6) >= 0.8 "
+    "ORDER BY id_a, id_b"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = _raw_queries()
     return {name: _shipped(fn) for name, fn in qs.items()}
@@ -740,6 +788,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top10": _q_cosine_top10,
         "ann_lsh_top10": _q_ann_lsh,
         "ann_bucketed_top10": _q_ann_bucketed,
+        "emb_near_dup_pairs": _q_emb_near_dups,
         # aggregations (§2.7 counting analogues)
         "source_counts": _q_source_counts,
         # text analysis
@@ -842,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_top10": _COSINE_SQL,
         "ann_lsh_top10": _COSINE_SQL,  # max_mismatch = n_planes ⇒ exact
         "ann_bucketed_top10": _ANN_BUCKETED_SQL,
+        "emb_near_dup_pairs": _EMB_DUP_SQL,
         "jaccard_pairs_capped": (
             f"WITH {_TOKS_L_CTE}, "
             "grams AS (SELECT doc_id, unnest(list_distinct(l)) AS shingle FROM toks), "

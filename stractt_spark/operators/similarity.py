@@ -250,6 +250,66 @@ def ann_bucketed_topk(
     return cosine_topk(hits, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def pairwise_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold — the
+    embedding analogue of MinHash dedup, and the same scale shape:
+
+    1. multi-table sign signatures (:func:`build_sign_index`; coarser
+       buckets than the top-k ANN config — pair recall needs higher
+       per-table collision probability);
+    2. candidate pairs = vectors sharing a (table_id, bucket), deduped
+       across tables — a self-join on the bucket key, NEVER all-pairs;
+    3. ``max_bucket_size`` drops degenerate buckets before the self-join
+       (a bucket with f vectors contributes f² candidate rows — the
+       skew guard, same role as Jaccard's max_shingle_freq);
+    4. exact cosine verification of candidates only; output
+       (id_a, id_b, cos) with id_a < id_b, cos rounded 6dp ≥ threshold.
+    """
+    sig = build_sign_index(
+        embeddings, n_tables, n_planes, id_col, vec_col, seed
+    )
+    sizes = sig.groupBy("table_id", "bucket").count()
+    kept = sig.join(
+        F.broadcast(sizes.filter(F.col("count") > max_bucket_size)
+                    .select("table_id", "bucket")),
+        ["table_id", "bucket"], "left_anti",
+    )
+    cand = (
+        kept.alias("x")
+        .join(kept.alias("y"), ["table_id", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        .distinct()
+    )
+    v = embeddings.select(
+        F.col(id_col).cast("long").alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    joined = (
+        cand.join(v.withColumnRenamed("_vid", "id_a")
+                  .withColumnRenamed("_v", "_va"), "id_a")
+        .join(v.withColumnRenamed("_vid", "id_b")
+              .withColumnRenamed("_v", "_vb"), "id_b")
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    return (
+        joined.withColumn("cos", F.round(cos, 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -136,3 +136,61 @@ def test_sign_index_matches_single_table_signatures(emb, spark):
     a = {r["vec_id"]: r["bucket"] for r in sig_idx.collect()}
     b = {r["vec_id"]: r["sig"] for r in ad_hoc.collect()}
     assert a == b
+
+
+def test_pairwise_near_dups_planted(spark):
+    """Banded sign-LSH pair-join recovers exactly the planted duplicate
+    pairs (exact verify makes precision 1.0; recall checked against the
+    all-pairs ground truth)."""
+    from pyspark.sql import functions as F
+
+    from stractt_spark.operators.similarity import pairwise_near_dups
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 64
+    base = rng.standard_normal((n, dim))
+    # plant 8 near-duplicate pairs: (i, 400+i) with a small perturbation
+    planted = []
+    for i in range(8):
+        planted.append(base[i] + 0.05 * rng.standard_normal(dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)] + [
+        (400 + i, [float(x) for x in planted[i]]) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in pairwise_near_dups(
+            df, threshold=0.9, n_tables=12, n_planes=8
+        ).collect()
+    }
+    # ground truth by brute force
+    M = np.stack([np.asarray(v) for _, v in rows])
+    ids = np.array([i for i, _ in rows])
+    cos = (M @ M.T) / (
+        np.linalg.norm(M, axis=1)[:, None] * np.linalg.norm(M, axis=1)[None, :]
+    )
+    iu = np.triu_indices(len(ids), 1)
+    truth = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+        for a, b in zip(*iu) if round(float(cos[a, b]), 6) >= 0.9
+    }
+    assert truth  # the planted pairs exist
+    assert got == truth
+
+
+def test_pairwise_near_dups_bucket_skew_guard(spark):
+    """max_bucket_size drops degenerate buckets (identical vectors all
+    hash together) instead of exploding the self-join."""
+    from stractt_spark.operators.similarity import pairwise_near_dups
+
+    v = [1.0] * 8
+    rows = [(i, v) for i in range(50)]  # 50 identical vectors
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pairwise_near_dups(
+        df, threshold=0.9, n_tables=2, n_planes=4, max_bucket_size=10
+    ).collect()
+    assert out == []  # every bucket oversized → dropped (documented trade)
+    full = pairwise_near_dups(
+        df, threshold=0.9, n_tables=2, n_planes=4, max_bucket_size=10**6
+    ).collect()
+    assert len(full) == 50 * 49 // 2
