@@ -565,6 +565,17 @@ def _q_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, [float(x) for x in qvec], k=10, exclude_id=0)
 
 
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts (the two LLM-training-data cost
+    denominators); identical regexes in Spark (Java) and DuckDB (RE2) —
+    the BPE pattern is restricted to leftmost-first constructs both
+    engines share (no lookarounds)."""
+    from stractt_spark.operators.textstats import token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(docs, "text", "doc_id")
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stractt_spark.operators.textstats import token_stats
 
@@ -793,6 +804,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_counts": _q_source_counts,
         # text analysis
         "token_stats": _q_token_stats,
+        "token_counts_bpe": _q_token_counts,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -848,6 +860,19 @@ _TOKS_L_CTE = (
     "toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
     f"'{TOKEN_RE}') AS l FROM documents)"
 )
+
+
+def _token_counts_sql() -> str:
+    from stractt_spark.operators.textstats import BPE_TOKEN_PATTERN
+
+    bpe = BPE_TOKEN_PATTERN.replace("'", "''")  # SQL-literal escaping
+    return (
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) "
+        "AS n_tokens_ws, "
+        f"CAST(len(regexp_extract_all(lower(text), '{bpe}')) AS BIGINT) "
+        "AS n_tokens_bpe FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -908,6 +933,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.02"
         ),
+        "token_counts_bpe": _token_counts_sql(),
         "token_stats": (
             f"WITH {_TOKS_L_CTE} "
             "SELECT doc_id, len(l) AS n_tokens, len(list_distinct(l)) AS n_distinct, "

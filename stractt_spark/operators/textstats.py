@@ -37,6 +37,40 @@ def _tokens_col(text_col: str) -> F.Column:
     return F.expr(f"regexp_extract_all(lower({text_col}), '{SQL_TOKEN_PATTERN}', 0)")
 
 
+# BPE-ish pre-tokenizer (GPT-2 pattern family), restricted to constructs
+# that behave IDENTICALLY in Python re, Java regex and RE2 (leftmost-first
+# alternation, NO lookarounds — RE2 has none): contraction suffixes, then
+# space-prefixed letter runs, digit runs, punct runs, then whitespace
+# runs.  Applied to lower(text); raw control chars for the reasons in
+# tokenizer.SQL_TOKEN_PATTERN.  An LLM-pipeline cost estimator: counts
+# approximate real BPE token counts to within the merge effect.
+BPE_TOKEN_PATTERN = (
+    "'(?:s|t|ll|ve|re|d|m)"
+    "| ?[a-z]+"
+    "| ?[0-9]+"
+    "| ?[^a-z0-9 \t\n\r\f\v']+"
+    "|[ \t\n\r\f\v]+"
+)
+
+
+def token_counts(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """→ (doc_id, n_tokens_ws, n_tokens_bpe): whitespace-ish token count
+    (the engine token pattern) and the BPE-ish pre-token count — the two
+    standard LLM-training-data cost denominators.  Pure JVM expressions,
+    no UDF; the identical regexes run in the DuckDB oracle."""
+    ws = _tokens_col(text_col)
+    # F.lit for the regexp: the pattern contains an apostrophe, which a
+    # SQL-literal embedding would mis-parse
+    bpe = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(ws).cast("long").alias("n_tokens_ws"),
+        F.size(bpe).cast("long").alias("n_tokens_bpe"),
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """→ (doc_id, n_tokens, n_distinct, distinct_ratio, avg_token_len) —
     pure JVM expressions (no UDF)."""

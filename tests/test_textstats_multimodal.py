@@ -97,3 +97,29 @@ def test_frame_sample_plan(spark):
     got = {(r["media_id"], r["frame_no"]) for r in
            frame_sample_plan(media, every_n=10).collect()}
     assert got == {(0, 0), (0, 10), (0, 20), (1, 0), (2, 0)}
+
+
+def test_token_counts_bpe(spark):
+    """Whitespace + BPE-ish counts agree with python-re on the same
+    pattern (three-engine family: Java regex gated vs RE2 in the entry)."""
+    import re
+
+    from stractt_spark.operators.textstats import (
+        BPE_TOKEN_PATTERN,
+        token_counts,
+    )
+    from stractt_spark.functions.tokenizer import SQL_TOKEN_PATTERN
+
+    rows = [
+        (0, "it's O'Brien can't 3.14 hello-world  foo_bar"),
+        (1, "camelCase under_score  tabs\tand\nnewlines"),
+        (2, ""),
+        (3, "'''"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"])
+           for r in token_counts(docs, "text", "doc_id").collect()}
+    for i, t in rows:
+        ws = len(re.findall(SQL_TOKEN_PATTERN, t.lower()))
+        bpe = len(re.findall(BPE_TOKEN_PATTERN, t.lower()))
+        assert got[i] == (ws, bpe), (i, got[i], ws, bpe)
