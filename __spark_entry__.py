@@ -434,6 +434,18 @@ _GOGGLES_SQL = (
 )
 
 
+def _q_bm25_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 plus the EXACT total match count in one distributed pass
+    (the reference's count-alongside-top-k collector): per-segment
+    sentinel rows carry pre-cut match counts."""
+    idx = _wand_index(spark, sf_dir)
+    top, total = idx.search_with_count("merge sort", k=10, mode="must")
+    return spark.createDataFrame(
+        [(int(d), round(s, 4), int(total)) for d, s in top],
+        "doc_id long, score double, total long",
+    )
+
+
 def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highlighted snippets for the top-10 of a two-term query — the
     reference's result rendering (src/snippet.rs:262-310).  Rows-only
@@ -784,6 +796,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_presorted_quota": _q_bm25_presorted_quota(
             ["hash", "join"], "should", quota=96
         ),
+        "bm25_count": _q_bm25_count,
         "snippets": _q_snippets,
         "bm25_stemmed": _q_bm25_stemmed,
         "bm25_multifield": _q_bm25_multifield,
@@ -887,6 +900,22 @@ def oracle_sql() -> dict[str, str]:
         # full-scan oracle — the Spark side runs with the quota ON, so a
         # hash match proves the early termination dropped nothing
         "bm25_presorted_quota": _bm25_presorted_sql(["hash", "join"], "should"),
+        "bm25_count": (
+            f"WITH {_NORM_CTE}, {_TOKS_CTE}, {_TF_CTE}, {_DL_CTE}, {_DLQ_CTE}, "
+            f"{_STATS_CTE}, per_term AS ("
+            "SELECT tf.doc_id, tf.term, "
+            "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2 * (tf.tf / "
+            "(tf.tf + 1.2 * (0.25 + 0.75 * q.dl_quant / s.avgdl))) AS ts "
+            "FROM tf JOIN dlq q ON tf.doc_id = q.doc_id "
+            "JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df "
+            "ON tf.term = df.term CROSS JOIN stats s "
+            "WHERE tf.term IN ('merge', 'sort')), "
+            "matched AS (SELECT doc_id, sum(ts) AS s FROM per_term "
+            "GROUP BY doc_id HAVING count(DISTINCT term) = 2) "
+            "SELECT doc_id, round(s, 4) AS score, "
+            "(SELECT count(*) FROM matched) AS total FROM matched "
+            "ORDER BY s DESC, doc_id ASC LIMIT 10"
+        ),
         "bm25_multifield": _mf_sql(
             ["src3", "merge"], {"source": 10.0, "text": 4.0}
         ),

@@ -408,6 +408,7 @@ def _segment_topk_kernel(
     filter_terms: list[str] | None = None,
     max_docs: int | None = None,
     add_pre: bool = False,
+    with_count: bool = False,
 ) -> pd.DataFrame:
     """``max_docs``: early-termination quota — consider at most this many
     docs of the driving posting list per segment (the reference's
@@ -541,6 +542,7 @@ def _segment_topk_kernel(
         and excluded is None
         and max_docs is None
         and pre is None
+        and not with_count
     ):
         # single-term block-max pruning (exact): per-block upper bound
         # ub = w · tf_comp(max_tf, dl(min_norm_id)) dominates every doc in
@@ -590,6 +592,7 @@ def _segment_topk_kernel(
         and not filter_terms
         and max_docs is None
         and pre is None
+        and not with_count
     ):
         # multi-term OR: block-max pruned union (exact; MustNot handled
         # inside so exclusions land before the threshold is banked)
@@ -650,18 +653,32 @@ def _segment_topk_kernel(
     if pre is not None and ids.size:
         # final rank score = pre_computed + query score (signal.rs:296-333)
         score = score + pre[(ids - base).astype(np.int64)]
+    n_matched = int(ids.size)
     # bounded top-k with the FULL tie order (score desc, doc_id asc): a
     # bare argpartition cut breaks score ties at the k boundary by array
     # position, dropping the lower doc_id the oracle would keep
     ordr = np.lexsort((ids, -score))[:k]
     ids, score = ids[ordr], score[ordr]
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "segment_id": pd.Series(np.full(ids.size, seg), dtype="int32"),
             "doc_id": pd.Series(ids, dtype="int64"),
             "score": pd.Series(score, dtype="float64"),
         }
     )
+    if with_count:
+        # count-alongside-top-k (reference counting collector): one
+        # sentinel row per segment carries the full pre-cut match count;
+        # the pruned fast paths are bypassed in this mode, so the count is
+        # exact.  doc_id −1 never collides with a real doc.
+        out = pd.concat(
+            [out, pd.DataFrame(
+                {"segment_id": pd.Series([seg], dtype="int32"),
+                 "doc_id": pd.Series([-1], dtype="int64"),
+                 "score": pd.Series([float(n_matched)], dtype="float64")}
+            )], ignore_index=True,
+        )
+    return out
 
 
 def wand_topk(
@@ -739,6 +756,79 @@ def wand_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def wand_topk_count(
+    segments: DataFrame,
+    norms: DataFrame,
+    query: str | ParsedQuery,
+    num_docs: int,
+    avgdl: float,
+    term_df: dict[str, int],
+    k: int = 10,
+    mode: str = "must",
+    analyzer: str = "ascii",
+) -> tuple[list[tuple[int, float]], int]:
+    """Top-k AND the exact total match count in ONE pass (the reference's
+    count-alongside-top-k collector): each segment kernel appends a
+    sentinel row (doc_id −1) carrying its pre-cut match count; the driver
+    splits the ≤ segments×(k+1) collected rows.  Pruned fast paths are
+    bypassed (an exact count requires full evaluation, as in the
+    reference's counting collector)."""
+    spark = segments.sparkSession
+    pq = parse_query(query, analyzer) if isinstance(query, str) else query
+    if not pq.all_match_terms:
+        return [], 0
+    if mode == "must" and any(
+        term_df.get(t, 0) == 0 for t in pq.all_match_terms
+    ):
+        return [], 0
+    counts = pq.term_counts
+    qweights = {
+        t: counts[t] * weight(term_df.get(t, 0), num_docs)
+        for t in pq.uniq_terms
+    }
+    from ..functions.bm25 import idf as idf_fn
+    from .segments import attr_term
+
+    pweights = [
+        sum(idf_fn(term_df.get(t, 0), num_docs) for t in ph) * (K1 + 1.0)
+        for ph in pq.phrases
+    ]
+    filter_terms = sorted(attr_term(f_, v) for f_, v in pq.filters.items())
+    neg = sorted(
+        set(pq.neg_terms)
+        | {attr_term(f_, v) for f_, v in pq.anti_filters.items()}
+    )
+    cols = [
+        "segment_id", "term", "block_id", "first_doc_id", "last_doc_id",
+        "num_docs", "id_bytes", "tf_bytes", "max_tf", "min_norm_id",
+    ]
+    if pq.phrases:
+        cols.insert(8, "pos_bytes")
+    seg_filtered = segments.filter(
+        F.col("term").isin(pq.all_match_terms + neg + filter_terms)
+    ).select(*[c for c in cols if c in segments.columns])
+
+    def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_topk_kernel(
+            pq.uniq_terms, neg, qweights, avgdl, k, mode, blocks_pdf,
+            norms_pdf, pq.phrases, pweights, filter_terms, None, False,
+            with_count=True,
+        )
+
+    rows = (
+        seg_filtered.groupBy("segment_id")
+        .cogroup(norms.groupBy("segment_id"))
+        .applyInPandas(run, _RESULT_SCHEMA)
+        .collect()
+    )
+    total = sum(int(r["score"]) for r in rows if r["doc_id"] == -1)
+    top = sorted(
+        ((r["doc_id"], r["score"]) for r in rows if r["doc_id"] >= 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    return top, total
 
 
 def proximity_rescore(

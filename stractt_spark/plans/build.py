@@ -561,6 +561,21 @@ class SegmentIndex:
         ]
         return page(rows, k, offset)
 
+    def search_with_count(
+        self, query: str, k: int = 10, mode: str = "must"
+    ) -> tuple[list[tuple[int, float]], int]:
+        """(top-k rows, exact total match count) in one distributed pass
+        (reference count-alongside-top-k, collector.rs)."""
+        from ..functions.query_parse import parse_query
+        from ..operators.wand import wand_topk_count
+
+        pq = parse_query(query, self.analyzer)
+        tdf = self.term_df(pq.all_match_terms)
+        return wand_topk_count(
+            self.segments, self.norms, pq, self.stats["num_docs"],
+            self.stats["avgdl"], tdf, k=k, mode=mode, analyzer=self.analyzer,
+        )
+
     def search_diverse(
         self,
         query: str,

@@ -276,3 +276,18 @@ def test_blockmax_or_through_search_path(one_big_segment):
         assert [d for d, _ in got] == [d for d, _ in expected], query
         for (_, s1), (_, s2) in zip(got, expected):
             assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12), query
+
+
+@pytest.mark.parametrize("query,mode", [
+    ("merge sort", "must"), ("hash join", "should"), ("buffer", "must"),
+    ("scan -merge", "must"),
+])
+def test_search_with_count(built, query, mode):
+    """Count-alongside-top-k: top rows equal the plain search, total
+    equals the oracle's full match count."""
+    index, oracle, _, _ = built
+    top, total = index.search_with_count(query, k=10, mode=mode)
+    plain = index.search_list(query, k=10, mode=mode)
+    assert [d for d, _ in top] == [d for d, _ in plain]
+    full = oracle.search(query, k=10**9, mode=mode)
+    assert total == len(full), (query, mode)
