@@ -94,6 +94,72 @@ def extract_features(
     )
 
 
+class LibraryResizer:
+    """Integration point for a real image resize (PIL.Image.resize)."""
+
+    def resize_batch(
+        self, payloads: list[bytes], w: int, h: int
+    ) -> list[bytes]:
+        raise NotImplementedError(
+            "image libraries are not available in this environment; plug "
+            "PIL here: Image.open(BytesIO(p)).resize((w, h)).tobytes()"
+        )
+
+
+class DeterministicFakeResizer:
+    """Content-derived fake resize: a blake2b stream of exactly w·h·3
+    bytes per payload — deterministic and size-exact, so the pipeline
+    contract (output byte length = target dims) is testable without
+    codecs."""
+
+    def resize_batch(
+        self, payloads: list[bytes], w: int, h: int
+    ) -> list[bytes]:
+        out = []
+        need = w * h * 3
+        for p in payloads:
+            h0 = hashlib.blake2b(p or b"", digest_size=64).digest()
+            reps = (need + len(h0) - 1) // len(h0)
+            out.append((h0 * reps)[:need])
+        return out
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    resizer=None,
+) -> DataFrame:
+    """(media_id, payload) → (media_id, payload binary, width, height) at
+    the target dimensions — one resizer call per Arrow batch; payloads
+    never leave the executors.  The output schema carries the dims as
+    typed metadata so downstream decode steps need no re-probe."""
+    resizer = resizer or DeterministicFakeResizer()
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("_p"),
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = [bytes(x) if x is not None else b"" for x in pdf["_p"]]
+            resized = resizer.resize_batch(payloads, width, height)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"),
+                 "payload": pd.Series(resized, dtype="object"),
+                 "width": pd.Series([width] * len(pdf), dtype="int32"),
+                 "height": pd.Series([height] * len(pdf), dtype="int32")}
+            )
+
+    return src.mapInPandas(
+        emit, "media_id long, payload binary, width int, height int"
+    )
+
+
 def frame_sample_plan(
     media: DataFrame,
     every_n: int = 10,

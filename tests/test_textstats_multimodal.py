@@ -123,3 +123,35 @@ def test_token_counts_bpe(spark):
         ws = len(re.findall(SQL_TOKEN_PATTERN, t.lower()))
         bpe = len(re.findall(BPE_TOKEN_PATTERN, t.lower()))
         assert got[i] == (ws, bpe), (i, got[i], ws, bpe)
+
+
+def test_resize_media_contract(spark):
+    """Resize plumbing: output payload length == w·h·3 for every row,
+    deterministic per content, dims carried as typed metadata; the
+    LibraryResizer integration point raises with instructions."""
+    import pytest as _pytest
+
+    from stractt_spark.operators.multimodal import (
+        DeterministicFakeResizer,
+        LibraryResizer,
+        resize_media,
+    )
+
+    media = spark.createDataFrame(
+        [(0, b"imagebytes-a"), (1, b"imagebytes-b"), (2, None)],
+        "media_id long, payload binary",
+    )
+    out = resize_media(media, width=16, height=8).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r["width"], r["height"]) == (16, 8)
+        assert len(r["payload"]) == 16 * 8 * 3
+    # deterministic: same content → same resized bytes
+    again = resize_media(media, width=16, height=8).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == \
+           {r["media_id"]: bytes(r["payload"]) for r in again}
+    # distinct content → distinct fake pixels
+    by_id = {r["media_id"]: bytes(r["payload"]) for r in out}
+    assert by_id[0] != by_id[1]
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        LibraryResizer().resize_batch([b"x"], 4, 4)
