@@ -142,6 +142,15 @@ def apply_goggle(
     """
     g = parse_goggle(goggle) if isinstance(goggle, str) else goggle
     out = base_scores
+    # @bm25 = c alteration scales the base relevance signal before the
+    # const bonuses land (the SignalAggregator coefficient override,
+    # signal.rs:343-387; other signals join in via
+    # operators.signals.aggregate_signals with g.alterations as coeffs)
+    bm25_coeff = g.alterations.get("bm25")
+    if bm25_coeff is not None:
+        out = out.withColumn(
+            "score", F.col("score") * F.lit(float(bm25_coeff))
+        )
     keep_union: DataFrame | None = None
     for inst in g.instructions:
         if inst.is_empty_discard:

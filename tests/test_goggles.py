@@ -241,3 +241,24 @@ def test_goggle_field_selector_targets_column(spark):
     # without the mapping it falls back to the text column
     mset2 = instruction_match_set(docs, "text", "doc_id", g.instructions[0])
     assert {r["doc_id"] for r in mset2.collect()} == {1}
+
+
+def test_goggle_bm25_alteration(spark, goggle_corpus):
+    """@bm25 = 0 zeroes the relevance signal: ranking becomes purely
+    const-boost driven (signal coefficient override, signal.rs:343-387)."""
+    from stractt_spark.operators.goggles import apply_goggle
+
+    base = _base_scores(spark, goggle_corpus)
+    out = apply_goggle(
+        base, goggle_corpus, "text", "doc_id",
+        "@bm25 = 0\n$boost=2,site=a.com",
+        k=10, site_col="site",
+    ).collect()
+    by_id = {r["doc_id"]: r["score"] for r in out}
+    # candidates stay the base match set (reference Must-query semantics:
+    # Should goggle clauses never expand the docset); a.com matchers score
+    # exactly the const bonus, everything else exactly 0
+    for d, sc in by_id.items():
+        assert sc in (0.0, 1000.0), (d, sc)
+    assert by_id[2] == 1000.0
+    assert 0 not in by_id  # doc 0 doesn't match the base query
