@@ -623,6 +623,26 @@ class SegmentIndex:
             self.stats["docs_per_segment"], k=k,
         )
 
+    def search_corrected(
+        self, query: str, k: int = 10, mode: str = "must",
+        dict_size: int = 100_000,
+    ):
+        """Search; if the result set is empty, spell-correct the query
+        terms against the term dictionary and retry (the reference
+        surfaces the corrected query alongside results).  Returns
+        (rows, corrected_query | None)."""
+        rows = self.search_list(query, k=k, mode=mode)
+        if rows:
+            return rows, None
+        from ..functions.query_parse import parse_query
+
+        pq = parse_query(query, self.analyzer)
+        suggestion = self.spell_checker(dict_size).suggest_query(pq.uniq_terms)
+        if not suggestion:
+            return rows, None
+        corrected = " ".join(suggestion)
+        return self.search_list(corrected, k=k, mode=mode), corrected
+
     def spell_checker(self, dict_size: int = 100_000):
         """Broadcastable top-N term dictionary → SpellChecker
         (reference src/spell/dictionary.rs:135-149)."""

@@ -122,3 +122,32 @@ def test_compound_split(built):
     sc = index.spell_checker(dict_size=1000)
     joined = "mergesort"
     assert sc.split_compound(joined) == ("merge", "sort")
+
+
+def test_search_corrected_fallback(spark):
+    """Zero-result query falls back to the spell-corrected query (the
+    reference surfaces the correction alongside results)."""
+    import shutil
+
+    from stractt_spark.plans.build import SegmentIndex, build_index_fused
+    from stractt_spark.sources.corpus import make_corpus
+
+    rows = make_corpus(300)
+    docs = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(rows)], "doc_id long, content string"
+    )
+    d = "/tmp/stractt_test_spellsearch_idx"
+    shutil.rmtree(d, ignore_errors=True)
+    build_index_fused(spark, docs, d, text_col="content", docs_per_segment=128)
+    idx = SegmentIndex(spark, d).cache()
+
+    # typo'd query (edit distance 1: "buffe" → "buffer", the only
+    # dictionary term within budget) → corrected, re-run
+    got, corrected = idx.search_corrected("buffe scan", k=5, mode="must")
+    assert corrected == "buffer scan"
+    direct = idx.search_list(corrected, k=5, mode="must")
+    assert got == direct and got
+
+    # clean query → no correction attempted
+    got2, corrected2 = idx.search_corrected("buffer scan", k=5, mode="must")
+    assert corrected2 is None and got2 == direct

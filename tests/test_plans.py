@@ -82,3 +82,33 @@ def test_exhaustive_path_pushdown(spark):
     assert "TakeOrderedAndProject" in plan
     # doc scan pruned to (doc_id, content) only
     assert "ReadSchema" not in plan or "lang" not in plan
+
+
+def test_ann_probe_predicate_pushed_to_signature_scan(spark, tmp_path):
+    """The bucketed-ANN probe set must reach the persisted signature
+    table's parquet scan as pushed filters (table_id equality + bucket In)
+    — the property that makes per-query cost O(candidates) at 100 TB."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stractt_spark.operators.similarity import (
+        build_sign_index,
+        query_probe_buckets,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "sigidx")
+    build_sign_index(df, n_tables=2, n_planes=8).write.parquet(out)
+    sig = spark.read.parquet(out)
+    probes = query_probe_buckets(rows[0][1], n_tables=2, n_planes=8, radius=1)
+    pred = None
+    for t, buckets in probes.items():
+        c = (F.col("table_id") == t) & F.col("bucket").isin(buckets)
+        pred = c if pred is None else (pred | c)
+    plan = _formatted_plan(sig.filter(pred).select("vec_id"))
+    assert "PushedFilters" in plan
+    assert "bucket" in plan and "table_id" in plan
+    # column pruning: the scan reads only the three index columns
+    assert "ReadSchema" in plan
