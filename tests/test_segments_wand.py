@@ -291,3 +291,82 @@ def test_search_with_count(built, query, mode):
     assert [d for d, _ in top] == [d for d, _ in plain]
     full = oracle.search(query, k=10**9, mode=mode)
     assert total == len(full), (query, mode)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_blockmax_or_equals_bruteforce_random(data):
+    """Property: the pruned OR union is bit-identical to a brute-force
+    score over arbitrary posting layouts (random doc sets, tfs, dls,
+    term counts — exercises block boundaries, cheap/expensive splits,
+    chunk ordering and the stopping rule)."""
+    from stractt_spark.functions.bm25 import weight
+    from stractt_spark.functions.fieldnorm import (
+        FIELD_NORMS_TABLE,
+        fieldnorm_to_id,
+    )
+    from stractt_spark.operators.segments import encode_segment_arrays
+    from stractt_spark.operators.wand import _should_topk_blockmax, _tf_comp
+
+    n_docs = data.draw(st.integers(50, 400))
+    n_terms = data.draw(st.integers(2, 4))
+    k = data.draw(st.sampled_from([3, 10]))
+    rng = np.random.default_rng(data.draw(st.integers(0, 10**6)))
+    dls = rng.integers(1, 200, size=n_docs)
+    norm_ids = fieldnorm_to_id(dls.astype(np.int64))
+    terms = [f"t{i}" for i in range(n_terms)]
+    posting_docs, posting_tfs = {}, {}
+    for t in terms:
+        density = data.draw(st.sampled_from([0.05, 0.3, 0.9]))
+        docs = np.flatnonzero(rng.random(n_docs) < density)
+        if docs.size == 0:
+            docs = np.array([int(rng.integers(0, n_docs))])
+        posting_docs[t] = docs
+        posting_tfs[t] = rng.integers(1, 12, size=docs.size)
+    # encode one segment
+    all_t, all_d, all_tf, all_n = [], [], [], []
+    for t in terms:
+        all_t.extend([t] * posting_docs[t].size)
+        all_d.extend(posting_docs[t].tolist())
+        all_tf.extend(posting_tfs[t].tolist())
+        all_n.extend(norm_ids[posting_docs[t]].tolist())
+    import pandas as _pd
+
+    codes, uniq = _pd.factorize(np.array(all_t, dtype=object), sort=True)
+    ids_arr = np.array(all_d, dtype=np.int64)
+    order = np.lexsort((ids_arr, codes))
+    blocks = encode_segment_arrays(
+        0, codes[order], np.asarray(uniq, dtype=object), ids_arr[order],
+        np.array(all_tf, dtype=np.int64)[order],
+        np.array(all_n, dtype=np.int64)[order],
+    )
+    by_term = {t: g.sort_values("block_id") for t, g in blocks.groupby("term")}
+    avgdl = float(dls.mean())
+    qweights = {t: weight(posting_docs[t].size, n_docs) for t in terms}
+    dl_table = FIELD_NORMS_TABLE.astype(np.float64)
+    dl_of = lambda ids: dl_table[norm_ids[ids]]
+    ids, score = _should_topk_blockmax(
+        by_term, terms, qweights, avgdl, k, dl_of, dl_table, n_docs
+    )
+    ordr = np.lexsort((ids, -score))[:k]
+    got = list(zip(ids[ordr].tolist(), score[ordr].tolist()))
+    # brute force in the same canonical term order
+    dense = np.zeros(n_docs)
+    touched = np.zeros(n_docs, dtype=bool)
+    for t in sorted(terms):
+        d, tf = posting_docs[t], posting_tfs[t]
+        dense[d] += qweights[t] * _tf_comp(
+            tf.astype(np.float64), dl_table[norm_ids[d]], avgdl
+        )
+        touched[d] = True
+    cand = np.flatnonzero(touched)
+    bru = sorted(
+        ((int(c), float(dense[c])) for c in cand), key=lambda x: (-x[1], x[0])
+    )[:k]
+    assert [d for d, _ in got] == [d for d, _ in bru]
+    for (_, s1), (_, s2) in zip(got, bru):
+        assert s1 == s2  # bit-identical
