@@ -242,11 +242,17 @@ def build_index_fused_multifield(
     analyzer: str = "ascii",
     docs_per_segment: int = 4096,
     field_boosts: dict[str, float] | None = None,
+    positions: bool = False,
 ):
     """Fused multi-field build: ONE shuffle (groupBy segment) + ONE Arrow
     pass tokenizing every field; per-field posting blocks, per-field
     packed norms, per-field exact avgdl in stats.json.  Returns
-    IndexPaths; open with :class:`MultiFieldSegmentIndex`."""
+    IndexPaths; open with :class:`MultiFieldSegmentIndex`.
+
+    ``positions=True`` stores per-field position streams (positions are
+    within the FIELD's own token sequence), enabling per-field
+    PhraseQueries (reference: phrases live inside the per-field Should,
+    src/query/parser.rs:54-91)."""
     import json
     import os
 
@@ -284,6 +290,7 @@ def build_index_fused_multifield(
         all_docs: list[int] = []
         all_tfs: list[int] = []
         all_norms: list[int] = []
+        all_pos: list[list[int]] = []  # per posting row (positions mode)
         sentinel_rows = []
         total_tokens = 0
         for f_ in fields:
@@ -294,6 +301,17 @@ def build_index_fused_multifield(
             for i, text in enumerate(texts):
                 toks = tokenize(text or "")
                 dls[i] = len(toks)
+                if positions:
+                    posmap: dict[str, list[int]] = {}
+                    for j, tok in enumerate(toks):
+                        posmap.setdefault(tok, []).append(j)
+                    for tok, plist in posmap.items():
+                        all_terms.append(pref + tok)
+                        all_docs.append(doc_ids_in[i])
+                        all_tfs.append(len(plist))
+                        all_norms.append(i)
+                        all_pos.append(plist)
+                    continue
                 tf = Counter(toks)
                 for tok, c in tf.items():
                     all_terms.append(pref + tok)
@@ -340,9 +358,19 @@ def build_index_fused_multifield(
         norms_arr = np.array(all_norms, dtype=np.int64)
         codes, uniq = pd.factorize(terms_arr, sort=True)
         order = np.lexsort((ids_arr, codes))
+        positions_flat = None
+        if positions:
+            pos_obj = np.empty(len(all_pos), dtype=object)
+            pos_obj[:] = all_pos
+            pos_obj = pos_obj[order]
+            positions_flat = np.fromiter(
+                (v for sub in pos_obj for v in sub),
+                dtype=np.int64, count=int(tfs_arr.sum()),
+            )
         blocks = encode_segment_arrays(
             seg, codes[order], np.asarray(uniq, dtype=object),
             ids_arr[order], tfs_arr[order], norms_arr[order],
+            positions_flat,
         )
         return pd.concat([meta, blocks], ignore_index=True)
 
@@ -373,7 +401,7 @@ def build_index_fused_multifield(
         "analyzer": analyzer,
         "docs_per_segment": docs_per_segment,
         "layout": "fused",
-        "positions": False,
+        "positions": positions,
         "multifield": {
             "fields": fields,
             "boosts": {f_: float(boosts.get(f_, 1.0)) for f_ in fields},
@@ -436,15 +464,30 @@ class MultiFieldSegmentIndex:
         rows = self.term_stats.filter(F.col("term").isin(phys_terms)).collect()
         return {r["term"]: r["df"] for r in rows}
 
-    def search(self, query: str, k: int = 10, mode: str = "must") -> DataFrame:
-        pq = parse_query(query, self.analyzer)
+    def search(
+        self, query: str, k: int = 10, mode: str = "must",
+        phrase: bool = False,
+    ) -> DataFrame:
+        from ..functions.bm25 import idf as idf_fn
+
+        if phrase and not self.stats.get("positions"):
+            raise ValueError(
+                "phrase queries need a multifield index built with "
+                "positions=True"
+            )
+        pq = parse_query(query, self.analyzer, phrase=phrase)
         uniq = pq.uniq_terms
+        phrases = pq.phrases
         spark = self.spark
-        if not uniq:
+        if not uniq and not phrases:
             return spark.createDataFrame([], "doc_id long, score double")
         counts = pq.term_counts
         fields = sorted(self.fields)
-        phys = {(t, f_): mf_term(f_, t) for t in uniq for f_ in fields}
+        ph_members = sorted({t for ph in phrases for t in ph})
+        phys = {
+            (t, f_): mf_term(f_, t)
+            for t in set(uniq) | set(ph_members) for f_ in fields
+        }
         neg_phys = [mf_term(f_, t) for t in set(pq.neg_terms) for f_ in fields]
         dfs = self.term_df(list(phys.values()) + neg_phys)
         if mode == "must" and any(
@@ -457,17 +500,32 @@ class MultiFieldSegmentIndex:
         weights = {
             p: counts[t] * self.boosts[f_] * weight(dfs.get(p, 0), num_docs)
             for (t, f_), p in phys.items()
-            if dfs.get(p, 0) > 0
+            if t in counts and dfs.get(p, 0) > 0
+        }
+        # per-(phrase, field) weight: boost_f · Σ member idf_f · (K1+1)
+        # (reference PhraseQuery weight inside the per-field Should)
+        pweights = {
+            (pi, f_): self.boosts[f_] * (
+                sum(idf_fn(dfs.get(phys[(t, f_)], 0), num_docs) for t in ph)
+                * (K1 + 1.0)
+            )
+            for pi, ph in enumerate(phrases) for f_ in fields
         }
         avgdl = dict(self.avgdl)
-        boosted_terms = [p for p in weights]
-        scan_terms = boosted_terms + neg_phys
-        seg_filtered = self.segments.filter(
-            F.col("term").isin(scan_terms)
-        ).select(
+        scan_terms = sorted(
+            set(weights)
+            | {phys[(t, f_)] for t in ph_members for f_ in fields
+               if dfs.get(phys[(t, f_)], 0) > 0}
+        ) + neg_phys
+        cols = [
             "segment_id", "term", "block_id", "first_doc_id", "last_doc_id",
             "num_docs", "id_bytes", "tf_bytes", "max_tf", "min_norm_id",
-        )
+        ]
+        if phrases:
+            cols.insert(8, "pos_bytes")
+        seg_filtered = self.segments.filter(
+            F.col("term").isin(scan_terms)
+        ).select(*[c for c in cols if c in self.segments.columns])
         uniq_sorted = sorted(uniq)
         fields_sorted = fields
         k_eff = k
@@ -475,7 +533,7 @@ class MultiFieldSegmentIndex:
         def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
             return _mf_segment_topk(
                 blocks_pdf, norms_pdf, uniq_sorted, fields_sorted, weights,
-                avgdl, k_eff, mode, neg_phys,
+                avgdl, k_eff, mode, neg_phys, phrases, pweights,
             )
 
         return (
@@ -504,16 +562,23 @@ def _mf_segment_topk(
     k: int,
     mode: str,
     neg_phys: list[str],
+    phrases: list[list[str]] | None = None,
+    pweights: dict[tuple[int, str], float] | None = None,
 ) -> pd.DataFrame:
     """Per-segment multi-field exact top-k: per logical term the docset is
     the union over fields; Must intersects logical docsets, Should unions;
-    score folds sorted (term, field) contributions (canonical fp order,
-    identical to MultiFieldOracle)."""
+    score folds sorted (term, field) contributions, then phrases in
+    (joined-text, field) order (canonical fp order, identical to
+    MultiFieldOracle).  A phrase matches per field via that field's
+    position streams; its Must docset is the union over fields."""
     import numpy as np
 
     from ..functions.bm25 import B, K1
     from ..functions.fieldnorm import FIELD_NORMS_TABLE
     from .segments import decode_term_blocks
+
+    phrases = phrases or []
+    pweights = pweights or {}
 
     empty = pd.DataFrame(
         {"segment_id": pd.Series([], dtype="int32"),
@@ -543,7 +608,18 @@ def _mf_segment_topk(
                 decoded[p] = (ids.astype(np.int64), tfs.astype(np.int64))
         return decoded[p]
 
-    # per logical term: union of field docsets
+    def phrase_freqs_field(ph: list[str], f_: str, cand: np.ndarray) -> np.ndarray:
+        """Exact-adjacency phrase frequency per candidate in field f_
+        (0 where any member or the adjacency is missing)."""
+        from .wand import _phrase_freqs
+
+        members = [mf_term(f_, t) for t in ph]
+        if any(m not in by_term for m in members):
+            return np.zeros(cand.size, dtype=np.int64)
+        sub = {m: by_term[m] for m in members}
+        return _phrase_freqs(sub, members, cand)
+
+    # per logical unit (term or phrase): union of field docsets
     term_docsets = []
     for t in uniq_sorted:
         parts = [decode(mf_term(f_, t))[0] for f_ in fields_sorted
@@ -552,13 +628,37 @@ def _mf_segment_topk(
             np.unique(np.concatenate(parts)) if parts
             else np.zeros(0, dtype=np.int64)
         )
+    phrase_docsets = []
+    for ph in phrases:
+        # candidates: docs containing ALL members in SOME single field,
+        # verified by adjacency in that field
+        per_field_hits = []
+        for f_ in fields_sorted:
+            members = [mf_term(f_, t) for t in ph]
+            if any(m not in by_term for m in members):
+                continue
+            sets = [decode(m)[0] for m in members]
+            inter = sets[0]
+            for s_ in sets[1:]:
+                inter = inter[np.isin(inter, s_)]
+            if inter.size == 0:
+                continue
+            pf = phrase_freqs_field(ph, f_, inter)
+            hit = inter[pf > 0]
+            if hit.size:
+                per_field_hits.append(hit)
+        phrase_docsets.append(
+            np.unique(np.concatenate(per_field_hits)) if per_field_hits
+            else np.zeros(0, dtype=np.int64)
+        )
+    unit_docsets = term_docsets + phrase_docsets
     if mode == "must":
-        cand = term_docsets[0] if term_docsets else np.zeros(0, dtype=np.int64)
-        for ds in term_docsets[1:]:
+        cand = unit_docsets[0] if unit_docsets else np.zeros(0, dtype=np.int64)
+        for ds in unit_docsets[1:]:
             cand = cand[np.isin(cand, ds)]
     else:
         cand = (
-            np.unique(np.concatenate(term_docsets)) if term_docsets
+            np.unique(np.concatenate(unit_docsets)) if unit_docsets
             else np.zeros(0, dtype=np.int64)
         )
     if neg_phys:
@@ -587,6 +687,22 @@ def _mf_segment_topk(
             tfc = tfs[pos_c[match]].astype(np.float64)
             norm = K1 * (1.0 - B + B * (dls / avgdl[f_]))
             score[match] += w * (tfc / (tfc + norm))
+    # phrases fold AFTER terms, in (joined text, field) canonical order
+    ph_order = sorted(range(len(phrases)), key=lambda i: " ".join(phrases[i]))
+    for pi in ph_order:
+        for f_ in fields_sorted:
+            w = pweights.get((pi, f_))
+            if not w:
+                continue
+            pf = phrase_freqs_field(phrases[pi], f_, cand)
+            m = pf > 0
+            if not m.any():
+                continue
+            narr = norms_by_field[f_]
+            dls = dl_table[narr[(cand[m] - base)]]
+            tfc = pf[m].astype(np.float64)
+            norm = K1 * (1.0 - B + B * (dls / avgdl[f_]))
+            score[m] += w * (tfc / (tfc + norm))
     ordr = np.lexsort((cand, -score))[:k]
     return pd.DataFrame(
         {"segment_id": pd.Series(np.full(ordr.size, seg), dtype="int32"),
@@ -612,26 +728,40 @@ class MultiFieldOracle:
         for f_, idx in self.fields.items():
             idx.add(doc_id, field_values.get(f_, ""))
 
-    def search(self, query: str, k: int = 10, mode: str = "must"):
+    def search(self, query: str, k: int = 10, mode: str = "must",
+               phrase: bool = False):
+        from ..functions.bm25 import idf as idf_fn
         from ..functions.bm25 import tf_component
 
-        pq = parse_query(query, self.analyzer)
+        pq = parse_query(query, self.analyzer, phrase=phrase)
         uniq = pq.uniq_terms
-        if not uniq:
+        phrases = pq.phrases
+        if not uniq and not phrases:
             return []
         counts = pq.term_counts
         fields = sorted(self.boosts)
-        # candidates: per term the union over fields; then AND/OR over terms
+        # candidates: per logical unit (term or phrase) the union over
+        # fields; then AND/OR over units
         term_docs = {
             t: set().union(*(set(self.fields[f_].postings.get(t, {})) for f_ in fields))
             for t in uniq
         }
+        phrase_docs = []
+        for ph in phrases:
+            hit: set[int] = set()
+            for f_ in fields:
+                fidx = self.fields[f_]
+                sets = [set(fidx.postings.get(t, {})) for t in ph]
+                inter = set.intersection(*sets) if sets else set()
+                hit |= {d for d in inter if fidx.phrase_freq(ph, d) > 0}
+            phrase_docs.append(hit)
+        units = list(term_docs.values()) + phrase_docs
         if mode == "must":
-            if any(not s for s in term_docs.values()):
+            if any(not s for s in units):
                 return []
-            cand = set.intersection(*term_docs.values())
+            cand = set.intersection(*units)
         else:
-            cand = set.union(*term_docs.values())
+            cand = set.union(*units) if units else set()
         for t in set(pq.neg_terms):
             for f_ in fields:
                 cand -= set(self.fields[f_].postings.get(t, {}))
@@ -651,5 +781,21 @@ class MultiFieldOracle:
                     if tf is not None:
                         scores[d] += wt * float(
                             tf_component(tf, fidx.doc_dl[d], avgdl)
+                        )
+        # phrases fold after terms, (joined text, field) order — matches
+        # the persisted kernel exactly
+        for pi in sorted(range(len(phrases)), key=lambda i: " ".join(phrases[i])):
+            ph = phrases[pi]
+            for f_ in fields:
+                fidx = self.fields[f_]
+                wt = self.boosts[f_] * (
+                    sum(idf_fn(len(fidx.postings.get(t, {})), self.num_docs)
+                        for t in ph) * (K1 + 1.0)
+                )
+                for d in cand:
+                    pf = fidx.phrase_freq(ph, d)
+                    if pf > 0:
+                        scores[d] += wt * float(
+                            tf_component(pf, fidx.doc_dl[d], fidx.avgdl)
                         )
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

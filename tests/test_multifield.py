@@ -155,3 +155,64 @@ def test_persisted_multifield_term_scan_pruned(spark, mf):
     # the physical-term predicate reaches the scan (In for multi-term,
     # EqualTo when only one physical term has postings)
     assert "In(term" in plan or "EqualTo(term" in plan
+
+
+@pytest.fixture(scope="module")
+def mf_positions(spark, mf):
+    """Positions-enabled persisted multi-field index for phrase queries."""
+    import shutil
+
+    from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
+        build_index_fused_multifield,
+    )
+
+    docs, _, _, oracle, rows = mf
+    d = "/tmp/stractt_test_mf_pos_idx"
+    shutil.rmtree(d, ignore_errors=True)
+    build_index_fused_multifield(
+        spark, docs, d, {"path": "path", "content": "content"},
+        docs_per_segment=96, positions=True,
+    )
+    return MultiFieldSegmentIndex(spark, d).cache(), oracle
+
+
+PHRASE_QUERIES_MF = [
+    ("merge.sort", "must"),        # content-side method chain
+    ("merge.sort", "should"),
+    ("src/mod1", "must"),          # path-side phrase (slash-separated)
+    ("buffer ()", "should"),
+    ("scan_count", "must"),        # single token (underscore word) → term
+]
+
+
+@pytest.mark.parametrize("query,mode", PHRASE_QUERIES_MF)
+def test_mf_phrase_rank_identity(mf_positions, query, mode):
+    """Per-field phrases through the persisted multi-field index must be
+    rank- and score-identical to the MultiFieldOracle (phrase matches in
+    ANY field satisfy the unit; weight = boost_f·Σ idf_f·(K1+1))."""
+    idx, oracle = mf_positions
+    got = [
+        (r["doc_id"], r["score"])
+        for r in idx.search(query, k=10, mode=mode, phrase=True).collect()
+    ]
+    expected = oracle.search(query, k=10, mode=mode, phrase=True)
+    assert [d for d, _ in got] == [d for d, _ in expected], (query, mode)
+    for (d1, s1), (_, s2) in zip(got, expected):
+        assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12), (query, d1)
+
+
+def test_mf_phrase_requires_positions(mf_persisted):
+    idx, _ = mf_persisted
+    with pytest.raises(ValueError, match="positions"):
+        idx.search("merge.sort", phrase=True)
+
+
+@pytest.mark.parametrize("query,mode", QUERIES)
+def test_mf_positions_index_term_queries_unchanged(mf_positions, query, mode):
+    """Term queries over the positions build stay identical to the oracle
+    (positions are additive, never change term scoring)."""
+    idx, oracle = mf_positions
+    got = idx.search_list(query, k=10, mode=mode)
+    expected = oracle.search(query, k=10, mode=mode)
+    assert [d for d, _ in got] == [d for d, _ in expected], (query, mode)
