@@ -71,6 +71,45 @@ def run(sf_dir: str, cpus: int, corpus_docs: int) -> dict:
         qtimes[name] = round(time.time() - t0, 3)
         out.setdefault("query_rows", {})[name] = len(rows)
 
+    # --- round-2 paths: presorted+quota (sound early termination) and the
+    # persisted multi-field index
+    from pyspark.sql import functions as SF
+
+    from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
+        build_index_fused_multifield,
+    )
+
+    pre_scores = docs.select(
+        "doc_id",
+        (SF.lit(2048.0) * ((SF.col("doc_id") * SF.lit(2654435761)) % 1000)
+         / SF.lit(1000.0)).alias("pre_score"),
+    )
+    pidx_dir = "/tmp/stractt_bench_pidx"
+    shutil.rmtree(pidx_dir, ignore_errors=True)
+    build_index_fused(
+        spark, docs, pidx_dir, text_col="text", id_col="doc_id",
+        analyzer="ascii", docs_per_segment=1024, pre_scores=pre_scores,
+    )
+    pidx = SegmentIndex(spark, pidx_dir).cache()
+    t0 = time.time()
+    rows = pidx.search("hash join", k=10, mode="should", with_pre_score=True,
+                       max_docs_per_segment=96).collect()
+    qtimes["q5_presorted_quota"] = round(time.time() - t0, 3)
+    out["query_rows"]["q5_presorted_quota"] = len(rows)
+
+    mf_dir = "/tmp/stractt_bench_mfidx"
+    shutil.rmtree(mf_dir, ignore_errors=True)
+    build_index_fused_multifield(
+        spark, docs, mf_dir, {"source": "source", "text": "text"},
+        docs_per_segment=1024, field_boosts={"source": 10.0, "text": 4.0},
+    )
+    mfidx = MultiFieldSegmentIndex(spark, mf_dir).cache()
+    t0 = time.time()
+    rows = mfidx.search("src3 merge", k=10, mode="must").collect()
+    qtimes["q6_multifield"] = round(time.time() - t0, 3)
+    out["query_rows"]["q6_multifield"] = len(rows)
+
     # --- synthetic code-corpus build throughput (docs/sec headline).
     # Generation is NOT part of the measured build (the production input
     # already exists as a table) — generate once, cache, then measure.

@@ -216,3 +216,62 @@ def test_mf_positions_index_term_queries_unchanged(mf_positions, query, mode):
     got = idx.search_list(query, k=10, mode=mode)
     expected = oracle.search(query, k=10, mode=mode)
     assert [d for d, _ in got] == [d for d, _ in expected], (query, mode)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["merge", "sort", "scan", "hash", "join", "read", "file", "src",
+          "mod", "util", "the", "buffer"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_mf_kernel_equals_oracle_random(spark, data):
+    """Property: the persisted multi-field kernel is rank- and
+    score-identical to MultiFieldOracle on random two-field corpora and
+    random queries (terms + phrases, must/should)."""
+    import shutil
+
+    from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
+        build_index_fused_multifield,
+    )
+
+    rng_seed = data.draw(st.integers(0, 10**6))
+    import random
+
+    rng = random.Random(rng_seed)
+    n = data.draw(st.integers(20, 60))
+    rows = []
+    for i in range(n):
+        path = "/".join(rng.choices(_WORDS, k=rng.randint(1, 3)))
+        content = " ".join(rng.choices(_WORDS, k=rng.randint(3, 30)))
+        rows.append((i, path, content))
+    docs = spark.createDataFrame(rows, "doc_id long, path string, content string")
+    d = f"/tmp/stractt_mf_prop_{rng_seed % 8}"
+    shutil.rmtree(d, ignore_errors=True)
+    build_index_fused_multifield(
+        spark, docs, d, {"path": "path", "content": "content"},
+        docs_per_segment=16, positions=True,
+    )
+    idx = MultiFieldSegmentIndex(spark, d)
+    oracle = MultiFieldOracle()
+    for i, p, c in rows:
+        oracle.add(i, {"path": p, "content": c})
+
+    terms = rng.sample(_WORDS, k=data.draw(st.integers(1, 3)))
+    use_phrase = data.draw(st.booleans())
+    if use_phrase:
+        a, b = rng.sample(_WORDS, k=2)
+        terms.append(f"{a}/{b}")  # two-token phrase unit under ascii
+    query = " ".join(terms)
+    mode = data.draw(st.sampled_from(["must", "should"]))
+    got = [
+        (r["doc_id"], r["score"])
+        for r in idx.search(query, k=10, mode=mode, phrase=True).collect()
+    ]
+    expected = oracle.search(query, k=10, mode=mode, phrase=True)
+    assert [d_ for d_, _ in got] == [d_ for d_, _ in expected], (query, mode)
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12), (query, mode)
