@@ -608,6 +608,41 @@ def _mf_segment_topk(
                 decoded[p] = (ids.astype(np.int64), tfs.astype(np.int64))
         return decoded[p]
 
+    if mode != "must" and not phrases and not neg_phys:
+        # pruned multi-field OR: physical terms are independent additive
+        # scoring units (per-field dl/avgdl), so the single-field
+        # block-max union applies directly — with the fold order pinned
+        # to (token, field) so results stay bit-identical to the exact
+        # path and the oracle
+        from .wand import _should_topk_blockmax
+
+        def fld(p: str) -> str:
+            return p[len(MF_TERM_PREFIX):].split(MF_TERM_SEP, 1)[0]
+
+        def tok(p: str) -> str:
+            return p.split(MF_TERM_SEP, 1)[1]
+
+        present_phys = [p for p in weights if p in by_term]
+        if not present_phys:
+            return empty
+        order_ = sorted(present_phys, key=lambda p: (tok(p), fld(p)))
+        seg_n = max(arr.size for arr in norms_by_field.values())
+
+        def dl_of_term(p: str, ids: np.ndarray) -> np.ndarray:
+            return dl_table[norms_by_field[fld(p)][(ids - base)]]
+
+        ids, score = _should_topk_blockmax(
+            by_term, present_phys, weights, 0.0, k, None, dl_table, seg_n,
+            dl_of_term=dl_of_term, avgdl_term=lambda p: avgdl[fld(p)],
+            score_order=order_,
+        )
+        ordr = np.lexsort((ids, -score))[:k]
+        return pd.DataFrame(
+            {"segment_id": pd.Series(np.full(ordr.size, seg), dtype="int32"),
+             "doc_id": pd.Series(ids[ordr], dtype="int64"),
+             "score": pd.Series(score[ordr], dtype="float64")}
+        )
+
     def phrase_freqs_field(ph: list[str], f_: str, cand: np.ndarray) -> np.ndarray:
         """Exact-adjacency phrase frequency per candidate in field f_
         (0 where any member or the adjacency is missing)."""

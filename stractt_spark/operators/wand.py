@@ -231,13 +231,15 @@ def _score_candidates(
     present_sorted: list[str],
     qweights: dict[str, float],
     cand: np.ndarray,
-    dls: np.ndarray,
-    avgdl: float,
+    dl_for,
+    avgdl_for,
     cache: dict[str, dict],
 ) -> np.ndarray:
     """EXACT OR-scores for the sorted candidate ids: per-doc sum over its
-    present terms in canonical (sorted-term) order — the same fp
-    association as the dense TAAT path and the oracle."""
+    present terms in the given canonical order — the same fp association
+    as the dense TAAT path and the oracle.  ``dl_for(t, ids)`` /
+    ``avgdl_for(t)`` allow per-term (per-field) length statistics for the
+    multi-field physical-term layout."""
     score = np.zeros(cand.size, dtype=np.float64)
     for t in present_sorted:
         tfs = _lookup_tfs(by_term, t, cand, cache)
@@ -245,8 +247,9 @@ def _score_candidates(
             continue
         m = tfs > 0
         if m.any():
+            dls = dl_for(t, cand)
             score[m] += qweights[t] * _tf_comp(
-                tfs[m].astype(np.float64), dls[m], avgdl
+                tfs[m].astype(np.float64), dls[m], avgdl_for(t)
             )
     return score
 
@@ -262,6 +265,9 @@ def _should_topk_blockmax(
     seg_n: int,
     excluded: np.ndarray | None = None,
     metrics: dict | None = None,
+    dl_of_term=None,
+    avgdl_term=None,
+    score_order: list[str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Multi-term OR top-k with block-max pruning (exact).
 
@@ -283,7 +289,9 @@ def _should_topk_blockmax(
     Reference: score-ordered early termination, src/collector.rs:187-194 +
     src/inverted_index.rs:100-106 ([tantivy contract] block-max skips).
     """
-    present_s = sorted(present)
+    present_s = score_order if score_order is not None else sorted(present)
+    dl_for = dl_of_term or (lambda _t, ids: dl_of(ids))
+    avgdl_for = avgdl_term or (lambda _t: avgdl)
     counts = {t: int(by_term[t]["num_docs"].sum()) for t in present}
     cheap_limit = max(2 * k, seg_n // 16)
     cheap = [t for t in present if counts[t] <= cheap_limit]
@@ -300,9 +308,8 @@ def _should_topk_blockmax(
             cand = cand[~np.isin(cand, excluded)]
         if not cand.size:
             return
-        dls = dl_of(cand)
         sc = _score_candidates(
-            by_term, present_s, qweights, cand, dls, avgdl, cache
+            by_term, present_s, qweights, cand, dl_for, avgdl_for, cache
         )
         banked_ids.append(cand)
         banked_sc.append(sc)
@@ -330,7 +337,7 @@ def _should_topk_blockmax(
             t: qweights[t] * _tf_comp(
                 by_term[t]["max_tf"].to_numpy(dtype=np.float64),
                 dl_table[by_term[t]["min_norm_id"].to_numpy(dtype=np.int64)],
-                avgdl,
+                avgdl_for(t),
             )
             for t in expensive
         }
