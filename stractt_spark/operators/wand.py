@@ -21,9 +21,9 @@ Per-segment kernel (numpy, no per-posting Python):
   every other term decode ONLY blocks whose [first_doc_id, last_doc_id]
   ranges intersect surviving candidates (searchsorted on block fences —
   this is the skip); candidates missing from any term are dropped before
-  the next term is touched.  Blocks whose block-max impact bound
-  (max_tf, min_norm_id) cannot lift ANY candidate above the running
-  threshold are skipped once k candidates are banked.
+  the next term is touched.  No impact-bound pruning here: every AND
+  survivor is scored (required-term blocks filter candidates, so
+  skipping them would change the result set).
 * **should (OR)** — multi-term block-max pruning
   (:func:`_should_topk_blockmax`): cheap (low-df) terms are decoded fully
   and their docs scored exactly (banking a true k-th-best threshold),
