@@ -262,3 +262,27 @@ def test_goggle_bm25_alteration(spark, goggle_corpus):
         assert sc in (0.0, 1000.0), (d, sc)
     assert by_id[2] == 1000.0
     assert 0 not in by_id  # doc 0 doesn't match the base query
+
+
+def test_goggle_over_persisted_index(spark, goggle_corpus):
+    """Goggles compose with the persisted segment index: an uncut
+    idx.search(k=large) is a valid base for apply_goggle."""
+    import shutil
+
+    from stractt_spark.operators.goggles import apply_goggle
+    from stractt_spark.plans.build import SegmentIndex, build_index_fused
+
+    d = "/tmp/stractt_test_goggle_idx"
+    shutil.rmtree(d, ignore_errors=True)
+    build_index_fused(spark, goggle_corpus.select("doc_id", "text"), d,
+                      text_col="text", docs_per_segment=8)
+    idx = SegmentIndex(spark, d)
+    base = idx.search("hash join", k=10**6, mode="should")
+    out = apply_goggle(
+        base, goggle_corpus, "text", "doc_id",
+        "$discard,site=b.com\n$boost=10,site=a.com",
+        k=10, site_col="site",
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 not in ids and 4 not in ids
+    assert ids[0] == 2
