@@ -268,8 +268,16 @@ def _should_topk_blockmax(
     dl_of_term=None,
     avgdl_term=None,
     score_order: list[str] | None = None,
+    pre: np.ndarray | None = None,
+    base: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Multi-term OR top-k with block-max pruning (exact).
+
+    ``pre``: per-doc pre-computed scores (PRESORTED index: doc ids ascend
+    as pre DESCENDS, so a block's max pre is its FIRST doc's) — banked
+    scores become pre + bm25 and every block bound gains the block's max
+    pre, keeping the skip sound for the combined rank score (the
+    reference's sorted-segments early termination composed with BMW).
 
     1. **Seed**: terms with few postings ("cheap", ≤ max(2k, seg_n/16))
        are decoded fully; the union of their docs is scored EXACTLY over
@@ -311,6 +319,8 @@ def _should_topk_blockmax(
         sc = _score_candidates(
             by_term, present_s, qweights, cand, dl_for, avgdl_for, cache
         )
+        if pre is not None:
+            sc = sc + pre[(cand - base).astype(np.int64)]
         banked_ids.append(cand)
         banked_sc.append(sc)
         n_banked += cand.size
@@ -346,6 +356,10 @@ def _should_topk_blockmax(
         flat_bound: list[float] = []
         for t in expensive:
             bound = ubs[t].copy()
+            if pre is not None:
+                # presorted: ids ascend ⇔ pre descends, so the block's
+                # first doc carries its maximum pre-score
+                bound = bound + pre[(firsts[t] - base).astype(np.int64)]
             for t2 in expensive:
                 if t2 == t:
                     continue
@@ -598,16 +612,18 @@ def _segment_topk_kernel(
         and not phrases
         and not filter_terms
         and max_docs is None
-        and pre is None
         and not with_count
     ):
         # multi-term OR: block-max pruned union (exact; MustNot handled
-        # inside so exclusions land before the threshold is banked)
+        # inside so exclusions land before the threshold is banked; on a
+        # presorted index the bounds and banked scores include pre, so
+        # pruning stays sound for the combined rank)
         ids, score = _should_topk_blockmax(
             by_term, present, qweights, avgdl, k, dl_of, dl_table,
-            norms.size, excluded=excluded,
+            norms.size, excluded=excluded, pre=pre, base=base,
         )
         excluded = None  # already applied
+        pre = None       # already folded into the banked scores
     else:
         # exact TAAT: dense accumulator over the segment's doc range
         n = norms.size

@@ -139,3 +139,56 @@ def test_orig_id_mapping(presorted):
         key=lambda t: (-t[1], t[0]),
     )
     assert orig == mapped
+
+
+def test_pre_aware_blockmax_prunes_blocks():
+    """On a presorted layout with a dominant pre-score, the OR union stops
+    after the first high-pre blocks: remaining blocks' bounds (block max
+    pre + bm25 envelope) fall below the banked k-th total."""
+    import numpy as np
+
+    from stractt_spark.functions.bm25 import weight
+    from stractt_spark.functions.fieldnorm import (
+        FIELD_NORMS_TABLE,
+        fieldnorm_to_id,
+    )
+    from stractt_spark.operators.segments import encode_segment_arrays
+    from stractt_spark.operators.wand import _should_topk_blockmax
+
+    n = 2048
+    ids_all = np.arange(n, dtype=np.int64)
+    tf_a = (ids_all % 3 + 1).astype(np.int64)
+    tf_b = (ids_all % 2 + 1).astype(np.int64)
+    norm_id = int(fieldnorm_to_id(np.array([10]))[0])
+    doc_ids = np.concatenate((ids_all, ids_all))
+    tfs = np.concatenate((tf_a, tf_b))
+    term_codes = np.concatenate(
+        (np.zeros(n, dtype=np.int64), np.ones(n, dtype=np.int64))
+    )
+    blocks = encode_segment_arrays(
+        0, term_codes, np.array(["aaa", "bbb"], dtype=object), doc_ids, tfs,
+        np.full(2 * n, norm_id, dtype=np.int64),
+    )
+    by_term = {t: g.sort_values("block_id") for t, g in blocks.groupby("term")}
+    qweights = {"aaa": weight(n, n), "bbb": weight(n, n)}
+    dl_table = FIELD_NORMS_TABLE.astype(np.float64)
+    dl_of = lambda ids: np.full(len(ids), dl_table[norm_id])
+    # pre strictly descending with gaps ≫ any bm25 delta
+    pre = (2048.0 - ids_all.astype(np.float64)) * 10.0
+    metrics = {}
+    ids, score = _should_topk_blockmax(
+        by_term, ["aaa", "bbb"], qweights, 10.0, 10, dl_of, dl_table, n,
+        metrics=metrics, pre=pre, base=0,
+    )
+    ordr = np.lexsort((ids, -score))[:10]
+    # exact: the top-10 are the 10 highest-pre docs (ids 0..9)
+    assert ids[ordr].tolist() == list(range(10))
+    expected = pre[:10] + np.array(
+        [qweights["aaa"] * (tf_a[i] / (tf_a[i] + 1.2 * (0.25 + 0.75)))
+         + qweights["bbb"] * (tf_b[i] / (tf_b[i] + 1.2 * (0.25 + 0.75)))
+         for i in range(10)]
+    )
+    assert np.allclose(np.sort(score[ordr])[::-1], np.sort(expected)[::-1],
+                       rtol=1e-9)
+    # pruning: only the first bound-ordered chunks decoded
+    assert metrics["blocks_decoded"] < metrics["blocks_total"] // 2, metrics
