@@ -654,52 +654,121 @@ def _mf_segment_topk(
         sub = {m: by_term[m] for m in members}
         return _phrase_freqs(sub, members, cand)
 
-    # per logical unit (term or phrase): union of field docsets
-    term_docsets = []
-    for t in uniq_sorted:
-        parts = [decode(mf_term(f_, t))[0] for f_ in fields_sorted
-                 if mf_term(f_, t) in by_term]
-        term_docsets.append(
-            np.unique(np.concatenate(parts)) if parts
-            else np.zeros(0, dtype=np.int64)
-        )
-    phrase_docsets = []
-    for ph in phrases:
-        # candidates: docs containing ALL members in SOME single field,
-        # verified by adjacency in that field
-        per_field_hits = []
+    from .wand import _cache_term_blocks, _lookup_tfs
+
+    blk_cache: dict[str, dict] = {}
+
+    def full_union(t: str) -> np.ndarray:
+        """All docs containing logical term t in any field (full decode,
+        cached per block for later candidate lookups)."""
+        parts = []
         for f_ in fields_sorted:
-            members = [mf_term(f_, t) for t in ph]
-            if any(m not in by_term for m in members):
+            p = mf_term(f_, t)
+            g = by_term.get(p)
+            if g is None:
                 continue
-            sets = [decode(m)[0] for m in members]
-            inter = sets[0]
-            for s_ in sets[1:]:
-                inter = inter[np.isin(inter, s_)]
-            if inter.size == 0:
-                continue
-            pf = phrase_freqs_field(ph, f_, inter)
-            hit = inter[pf > 0]
-            if hit.size:
-                per_field_hits.append(hit)
-        phrase_docsets.append(
-            np.unique(np.concatenate(per_field_hits)) if per_field_hits
-            else np.zeros(0, dtype=np.int64)
-        )
-    unit_docsets = term_docsets + phrase_docsets
+            tc = blk_cache.setdefault(p, {})
+            need = g[~g["block_id"].isin(list(tc))]
+            if len(need):
+                _cache_term_blocks(g, need, tc)
+            parts.append(np.concatenate(
+                [tc[int(b)][0] for b in g["block_id"].to_numpy()]
+            ))
+        return (np.unique(np.concatenate(parts)) if parts
+                else np.zeros(0, dtype=np.int64))
+
+    def member_mask(t: str, cand: np.ndarray) -> np.ndarray:
+        """cand ∈ term t in ANY field — candidate-intersecting block
+        lookups only (the multi-field leapfrog step)."""
+        m = np.zeros(cand.size, dtype=bool)
+        for f_ in fields_sorted:
+            tfs = _lookup_tfs(by_term, mf_term(f_, t), cand, blk_cache)
+            if tfs is not None:
+                m |= tfs > 0
+        return m
+
     if mode == "must":
-        cand = unit_docsets[0] if unit_docsets else np.zeros(0, dtype=np.int64)
-        for ds in unit_docsets[1:]:
-            cand = cand[np.isin(cand, ds)]
+        # rarest logical term drives; later terms decode only candidate-
+        # intersecting blocks (never a common term's full lists)
+        sizes = {
+            t: sum(int(by_term[mf_term(f_, t)]["num_docs"].sum())
+                   for f_ in fields_sorted if mf_term(f_, t) in by_term)
+            for t in uniq_sorted
+        }
+        order_l = sorted(uniq_sorted, key=lambda t: (sizes[t], t))
+        cand = (full_union(order_l[0]) if order_l
+                else np.zeros(0, dtype=np.int64))
+        if not order_l and phrases:
+            # phrase-only Must: drive from the first phrase's docset
+            cand = None  # filled by the first phrase below
+        for t in order_l[1:]:
+            if cand.size == 0:
+                return empty
+            cand = cand[member_mask(t, cand)]
+        for ph in phrases:
+            if cand is None:
+                per_field_hits = []
+                for f_ in fields_sorted:
+                    members = [mf_term(f_, t) for t in ph]
+                    if any(m not in by_term for m in members):
+                        continue
+                    sets = [decode(m)[0] for m in members]
+                    inter = sets[0]
+                    for s_ in sets[1:]:
+                        inter = inter[np.isin(inter, s_)]
+                    if inter.size:
+                        pf = phrase_freqs_field(ph, f_, inter)
+                        hit = inter[pf > 0]
+                        if hit.size:
+                            per_field_hits.append(hit)
+                cand = (np.unique(np.concatenate(per_field_hits))
+                        if per_field_hits else np.zeros(0, dtype=np.int64))
+                continue
+            if cand.size == 0:
+                return empty
+            m = np.zeros(cand.size, dtype=bool)
+            for f_ in fields_sorted:
+                pf = phrase_freqs_field(ph, f_, cand)
+                m |= pf > 0
+            cand = cand[m]
+        if cand is None:
+            cand = np.zeros(0, dtype=np.int64)
     else:
+        # should with phrases/negations: exact union of unit docsets
+        term_docsets = [full_union(t) for t in uniq_sorted]
+        phrase_docsets = []
+        for ph in phrases:
+            per_field_hits = []
+            for f_ in fields_sorted:
+                members = [mf_term(f_, t) for t in ph]
+                if any(m not in by_term for m in members):
+                    continue
+                sets = [decode(m)[0] for m in members]
+                inter = sets[0]
+                for s_ in sets[1:]:
+                    inter = inter[np.isin(inter, s_)]
+                if inter.size == 0:
+                    continue
+                pf = phrase_freqs_field(ph, f_, inter)
+                hit = inter[pf > 0]
+                if hit.size:
+                    per_field_hits.append(hit)
+            phrase_docsets.append(
+                np.unique(np.concatenate(per_field_hits)) if per_field_hits
+                else np.zeros(0, dtype=np.int64)
+            )
+        unit_docsets = term_docsets + phrase_docsets
         cand = (
             np.unique(np.concatenate(unit_docsets)) if unit_docsets
             else np.zeros(0, dtype=np.int64)
         )
-    if neg_phys:
-        ex_parts = [decode(p)[0] for p in neg_phys if p in by_term]
-        if ex_parts:
-            cand = cand[~np.isin(cand, np.unique(np.concatenate(ex_parts)))]
+    if neg_phys and cand.size:
+        exm = np.zeros(cand.size, dtype=bool)
+        for p in neg_phys:
+            tfs = _lookup_tfs(by_term, p, cand, blk_cache)
+            if tfs is not None:
+                exm |= tfs > 0
+        cand = cand[~exm]
     if cand.size == 0:
         return empty
     score = np.zeros(cand.size, dtype=np.float64)
@@ -709,17 +778,15 @@ def _mf_segment_topk(
             w = weights.get(p)
             if w is None or p not in by_term:
                 continue
-            ids, tfs = decode(p)
-            if ids.size == 0:
+            tfs = _lookup_tfs(by_term, p, cand, blk_cache)
+            if tfs is None:
                 continue
-            pos = np.searchsorted(ids, cand)
-            pos_c = np.minimum(pos, ids.size - 1)
-            match = ids[pos_c] == cand
+            match = tfs > 0
             if not match.any():
                 continue
             narr = norms_by_field[f_]
             dls = dl_table[narr[(cand[match] - base)]]
-            tfc = tfs[pos_c[match]].astype(np.float64)
+            tfc = tfs[match].astype(np.float64)
             norm = K1 * (1.0 - B + B * (dls / avgdl[f_]))
             score[match] += w * (tfc / (tfc + norm))
     # phrases fold AFTER terms, in (joined text, field) canonical order
