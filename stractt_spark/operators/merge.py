@@ -138,6 +138,24 @@ def merge_indexes(
     analyzer = stats[0]["analyzer"]
     if any(st["analyzer"] != analyzer for st in stats):
         raise ValueError("cannot merge indexes built with different analyzers")
+    # flavor guards: a multi-field source's per-field norm rows
+    # ('\x02field\x1f…' terms + '\x00__mf__…' sentinels) would be varint-
+    # decoded as single-field posting deltas — silent corruption; a
+    # presorted source's pre-score rank ids would be remapped into a plain
+    # id-ordered space, silently voiding the quota soundness premise
+    for d, st in zip(source_dirs, stats):
+        if "multifield" in st:
+            raise ValueError(
+                f"merge_indexes cannot merge the MULTI-FIELD index at {d}: "
+                "per-field rows would decode as corrupt single-field "
+                "postings; rebuild the union with build_index_fused_multifield"
+            )
+        if st.get("presorted"):
+            raise ValueError(
+                f"merge_indexes cannot merge the PRESORTED index at {d}: "
+                "remapping would break pre-score rank order; rebuild the "
+                "union with build_index_fused(pre_scores=...)"
+            )
     # merged index keeps positions iff EVERY source has them
     positions = all(st.get("positions") for st in stats)
 

@@ -254,6 +254,68 @@ def _score_candidates(
     return score
 
 
+def _sparse_max_table(a: np.ndarray) -> list[np.ndarray]:
+    """Doubling sparse table over ``a`` for O(1) vectorized range-max.
+
+    ``tables[j][i] == max(a[i : i + 2**j])``; build is O(n log n) numpy."""
+    tables = [a]
+    j = 1
+    while (1 << j) <= a.size:
+        prev = tables[-1]
+        half = 1 << (j - 1)
+        tables.append(np.maximum(prev[:-half], prev[half:]))
+        j += 1
+    return tables
+
+
+def _range_max(
+    tables: list[np.ndarray], lo: np.ndarray, hi: np.ndarray
+) -> np.ndarray:
+    """Vectorized ``max(a[lo[i]:hi[i]])`` per element (0 where hi<=lo) via
+    the sparse table — replaces the per-block Python interpreter loop the
+    round-2 envelope used (O(T^2·B) slices)."""
+    out = np.zeros(lo.size)
+    valid = hi > lo
+    if not valid.any():
+        return out
+    lov = lo[valid]
+    hiv = hi[valid]
+    # floor(log2(len)): frexp exponent - 1 (len=1 -> 0, len=3 -> 1, ...)
+    j = np.frexp((hiv - lov).astype(np.float64))[1] - 1
+    res = np.empty(lov.size)
+    for jj in np.unique(j):
+        m = j == jj
+        t = tables[int(jj)]
+        res[m] = np.maximum(t[lov[m]], t[hiv[m] - (1 << int(jj))])
+    out[valid] = res
+    return out
+
+
+def _sorted_isin(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership mask of ``vals`` in the SORTED ``sorted_arr`` —
+    O(m log n) searchsorted instead of np.isin's sort-per-call."""
+    if sorted_arr.size == 0 or vals.size == 0:
+        return np.zeros(vals.size, dtype=bool)
+    pos = np.searchsorted(sorted_arr, vals)
+    pos_c = np.minimum(pos, sorted_arr.size - 1)
+    return sorted_arr[pos_c] == vals
+
+
+def _sorted_merge_disjoint(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Linear merge of two sorted DISJOINT int64 arrays (no re-sort)."""
+    if a.size == 0:
+        return b
+    if b.size == 0:
+        return a
+    out = np.empty(a.size + b.size, dtype=np.int64)
+    ins = np.searchsorted(a, b) + np.arange(b.size)
+    out[ins] = b
+    mask = np.ones(out.size, dtype=bool)
+    mask[ins] = False
+    out[mask] = a
+    return out
+
+
 def _should_topk_blockmax(
     by_term: dict[str, pd.DataFrame],
     present: list[str],
@@ -310,10 +372,12 @@ def _should_topk_blockmax(
     n_banked = 0
     kth = -np.inf
 
+    excluded_sorted = np.sort(excluded) if excluded is not None else None
+
     def bank(cand: np.ndarray) -> None:
         nonlocal n_banked, kth
-        if excluded is not None and cand.size:
-            cand = cand[~np.isin(cand, excluded)]
+        if excluded_sorted is not None and cand.size:
+            cand = cand[~_sorted_isin(excluded_sorted, cand)]
         if not cand.size:
             return
         sc = _score_candidates(
@@ -351,6 +415,7 @@ def _should_topk_blockmax(
             )
             for t in expensive
         }
+        ub_tables = {t: _sparse_max_table(ubs[t]) for t in expensive}
         flat_t: list[str] = []
         flat_row: list[int] = []
         flat_bound: list[float] = []
@@ -364,15 +429,11 @@ def _should_topk_blockmax(
                 if t2 == t:
                     continue
                 # t2-blocks overlapping [first, last] of each t-block form a
-                # contiguous index range (both sides sorted by doc range)
+                # contiguous index range (both sides sorted by doc range);
+                # range-max over it is O(1) per block via the sparse table
                 lo = np.searchsorted(lasts[t2], firsts[t], side="left")
                 hi = np.searchsorted(firsts[t2], lasts[t], side="right")
-                add = np.zeros(bound.size)
-                ub2 = ubs[t2]
-                for i in range(bound.size):
-                    if hi[i] > lo[i]:
-                        add[i] = ub2[lo[i]:hi[i]].max()
-                bound += add
+                bound += _range_max(ub_tables[t2], lo, hi)
             flat_t.extend([t] * bound.size)
             flat_row.extend(range(bound.size))
             flat_bound.extend(bound.tolist())
@@ -381,7 +442,7 @@ def _should_topk_blockmax(
         # already-banked seed docs must not be re-banked from an expensive
         # block (duplicate rows would corrupt the top-k)
         scored_ids: np.ndarray = (
-            np.concatenate(banked_ids) if banked_ids
+            np.unique(np.concatenate(banked_ids)) if banked_ids
             else np.zeros(0, dtype=np.int64)
         )
         CHUNK = 8
@@ -401,9 +462,11 @@ def _should_topk_blockmax(
                     _cache_term_blocks(g, g.iloc[[row]], tcache)
                 new_parts.append(tcache[bid][0])
             cand = np.unique(np.concatenate(new_parts))
+            # sorted membership + linear merge keep the banked-id check
+            # O(m log n) per chunk (round-2 used isin + concat: quadratic)
             if scored_ids.size:
-                cand = cand[~np.isin(cand, scored_ids)]
-            scored_ids = np.concatenate((scored_ids, cand))
+                cand = cand[~_sorted_isin(scored_ids, cand)]
+            scored_ids = _sorted_merge_disjoint(scored_ids, cand)
             bank(cand)
     if metrics is not None:
         metrics["blocks_total"] = int(sum(len(by_term[t]) for t in present))

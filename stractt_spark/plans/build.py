@@ -359,6 +359,24 @@ def build_index_fused(
             docmap.write.mode("overwrite").parquet(paths.docmap)
             mark("docmap")
         docmap_df = spark.read.parquet(paths.docmap)
+        # the docs↔docmap join is INNER: a doc with no pre_score row would
+        # silently vanish from the index (and num_docs/avgdl would quietly
+        # reflect the reduced set) — fail loudly instead
+        missing = (
+            docs.select(F.col(id_col).cast("long").alias("_orig"))
+            .join(
+                docmap_df.select(F.col("orig_id").alias("_orig")),
+                "_orig", "left_anti",
+            )
+            .count()
+        )
+        if missing:
+            raise ValueError(
+                f"presorted build: {missing} doc(s) have no pre_scores row "
+                "and would be dropped by the docmap join — supply a "
+                "pre_score for every doc (coalesce to 0.0 upstream if "
+                "unscored docs are intended)"
+            )
         build_docs = docs.withColumnRenamed(id_col, "_orig") .join(
             docmap_df.select(
                 F.col("orig_id").alias("_orig"), "doc_id",
@@ -504,6 +522,7 @@ class SegmentIndex:
         max_docs_per_segment: int | None = None,
         with_pre_score: bool = False,
         orig_ids: bool = False,
+        unsafe_quota: bool = False,
     ) -> DataFrame:
         """Top-(k+offset) DataFrame; paging slices on the driver
         (reference: top_n = page_size + offset, collector.rs:145-157).
@@ -511,10 +530,15 @@ class SegmentIndex:
         ``with_pre_score`` (presorted indexes): rank by pre_computed_score
         + bm25 — the reference's production scoring, and the mode in which
         the ``max_docs_per_segment`` quota is sound (truncation keeps the
-        highest-pre docs of every posting list).  ``orig_ids``: map
-        internal (pre-score-ranked) doc ids back to the original ids via
+        highest-pre docs of every posting list).  On a NON-presorted
+        (doc-id-ordered) index the quota truncates arbitrary docs — an
+        unsound cut — so it raises unless ``unsafe_quota=True`` explicitly
+        opts into approximate results.  ``orig_ids``: map internal
+        (pre-score-ranked) doc ids back to the original ids via
         docmap.parquet — a broadcast join of the tiny top-k against the
-        map."""
+        map; ties on rounded scores keep the internal pre-rank order
+        (score desc, pre desc, orig id asc — the documented oracle
+        contract)."""
         from ..functions.query_parse import parse_query
         from ..operators.wand import wand_topk
 
@@ -524,6 +548,17 @@ class SegmentIndex:
             )
         if (with_pre_score or orig_ids) and not self.presorted:
             raise ValueError("pre-score options need a presorted index")
+        if (
+            max_docs_per_segment is not None
+            and not self.presorted
+            and not unsafe_quota
+        ):
+            raise ValueError(
+                "max_docs_per_segment on a doc-id-ordered index truncates "
+                "ARBITRARY docs (unsound early termination) — build with "
+                "pre_scores=... for a sound quota, or pass "
+                "unsafe_quota=True to accept approximate results"
+            )
         pq = parse_query(query, self.analyzer, phrase=phrase)
         tdf = self.term_df(pq.all_match_terms)
         top = wand_topk(
@@ -534,11 +569,23 @@ class SegmentIndex:
             add_pre=with_pre_score,
         )
         if orig_ids:
+            # tie contract: the k-cut inside wand_topk breaks score ties on
+            # INTERNAL ids (= pre-score rank), so the emitted order must be
+            # (score desc, pre desc, orig id asc) — ordering by orig id
+            # alone would diverge from the oracle whenever rounded scores
+            # tie across different pre ranks
             top = (
                 F.broadcast(top)
-                .join(self.docmap.select("doc_id", "orig_id"), "doc_id")
-                .select(F.col("orig_id").alias("doc_id"), "score")
-                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .join(
+                    self.docmap.select("doc_id", "orig_id", "pre_score"),
+                    "doc_id",
+                )
+                .select(
+                    F.col("orig_id").alias("doc_id"), "score",
+                    F.col("pre_score").alias("_pre"),
+                )
+                .orderBy(F.desc("score"), F.desc("_pre"), F.asc("doc_id"))
+                .drop("_pre")
             )
         return top
 
@@ -550,13 +597,15 @@ class SegmentIndex:
         phrase: bool = False,
         offset: int = 0,
         max_docs_per_segment: int | None = None,
+        unsafe_quota: bool = False,
     ):
         from ..operators.collector import page
 
         rows = [
             (r["doc_id"], r["score"])
             for r in self.search(
-                query, k, mode, phrase, offset, max_docs_per_segment
+                query, k, mode, phrase, offset, max_docs_per_segment,
+                unsafe_quota=unsafe_quota,
             ).collect()
         ]
         return page(rows, k, offset)

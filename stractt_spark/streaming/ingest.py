@@ -71,6 +71,23 @@ def append_batch(
         stats = json.load(f)
     if batch_id in set(stats.get("stream_batches", [])):
         return  # already committed
+    # flavor guards: appending to a presorted index would write segments
+    # with pre_bytes=None / non-pre-ranked ids (silently breaking the quota
+    # soundness premise), and appending to a multi-field index would
+    # tokenize one column into the un-prefixed term namespace — both are
+    # silent corruption, so refuse loudly until streaming supports them
+    if stats.get("presorted"):
+        raise ValueError(
+            "streaming append to a PRESORTED index is not supported: new "
+            "docs would not be pre-score ranked (quota would be unsound); "
+            "rebuild with build_index_fused(pre_scores=...) instead"
+        )
+    if "multifield" in stats:
+        raise ValueError(
+            "streaming append to a MULTI-FIELD index is not supported: "
+            "batch tokens would land in the un-prefixed term namespace; "
+            "rebuild with build_index_fused_multifield instead"
+        )
     # build options come from the index itself
     text_col = stats.get("text_col", "content")
     analyzer = stats["analyzer"]
@@ -112,12 +129,30 @@ def append_batch(
     # (_folded.json, swapped atomically with the data): a retry after a
     # crash between the swap and the ledger commit skips the re-merge.
     batch_unified = spark.read.parquet(bdir)
+    _recover_dir(paths.term_stats)
     folded_marker = os.path.join(paths.term_stats, "_folded.json")
     folded: list[int] = []
     if os.path.exists(folded_marker):
         with open(folded_marker) as f:
             folded = json.load(f)
-    if batch_id not in folded:
+    ledger = set(stats.get("stream_batches", []))
+    if set(folded) != ledger:
+        # a previous fold landed but its ledger commit never did (or the
+        # marker is missing): the incremental state may include a batch
+        # whose retried content differs — self-heal with a FULL recompute
+        # from the ledgered paths plus this batch (the round-2 incremental
+        # path had no rebuild story for this divergence)
+        full = spark.read.parquet(*registered_paths(index_dir, stats))
+        tmp_dir = paths.term_stats + ".tmp"
+        merged_term_stats(
+            full.filter(F.col("term") != NORMS_SENTINEL)
+            .groupBy("term").agg(F.sum("num_docs").cast("long").alias("df")),
+            batch_unified,
+        ).write.mode("overwrite").parquet(tmp_dir)
+        with open(os.path.join(tmp_dir, "_folded.json"), "w") as f:
+            json.dump(sorted(ledger) + [batch_id], f)
+        _swap_dir(paths.term_stats)
+    elif batch_id not in folded:
         tmp_dir = paths.term_stats + ".tmp"
         merged_term_stats(
             spark.read.parquet(paths.term_stats), batch_unified
@@ -163,13 +198,29 @@ def merged_term_stats(old_stats: DataFrame, batch_unified: DataFrame) -> DataFra
     )
 
 
+def _recover_dir(target: str) -> None:
+    """Heal a crash inside :func:`_swap_dir`'s window (target renamed aside
+    but the new dir not yet in place): restore ``.old`` as target."""
+    old = target + ".old"
+    if not os.path.isdir(target) and os.path.isdir(old):
+        os.replace(old, target)
+
+
 def _swap_dir(target: str) -> None:
+    """Swap ``target.tmp`` into place via rename-aside: the load-bearing
+    term_stats state is never in a deleted-but-not-yet-replaced window (a
+    crash leaves either the old dir, or the new dir + a stale ``.old``)."""
     import shutil
 
     tmp = target + ".tmp"
+    old = target + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     if os.path.isdir(target):
-        shutil.rmtree(target)
+        os.replace(target, old)
     os.replace(tmp, target)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
 
 
 def stream_ingest(

@@ -69,9 +69,21 @@ def test_paging(built):
 def test_quota_subset(built):
     index, _ = built
     full = {d for d, _ in index.search_list("buffer", k=500)}
-    quota = {d for d, _ in index.search_list("buffer", k=500, max_docs_per_segment=20)}
+    quota = {d for d, _ in index.search_list(
+        "buffer", k=500, max_docs_per_segment=20, unsafe_quota=True
+    )}
     assert quota <= full
     assert len(quota) < len(full)
+
+
+def test_quota_raises_on_unsorted_index(built):
+    """max_docs on a doc-id-ordered index is an unsound cut — it must
+    refuse unless the caller explicitly opts into approximation."""
+    import pytest
+
+    index, _ = built
+    with pytest.raises(ValueError, match="unsafe_quota"):
+        index.search_list("buffer", k=10, max_docs_per_segment=20)
 
 
 def test_rerank_diverse():
