@@ -380,20 +380,39 @@ def _q_autosuggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_df(idx.term_stats, "s", k=10).select("term")
 
 
-def _q_goggles_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Goggle program over a base query (reference lowering,
-    src/ranking/goggles/mod.rs:150-312): adjacent-token pattern boost
-    (+2·500), site downrank (−500), site discard (MustNot).  Oracle
-    reproduces the pattern via token ordinality and the const bonuses as
-    CASE terms over the full-scan BM25."""
-    from stractt_spark.operators.goggles import apply_goggle
+def _goggle_index(spark: SparkSession, sf_dir: str):
+    """Persisted positions+attrs index for goggle lowering (site terms as
+    \\x01source:value attr postings, pattern positions in pos_bytes)."""
+    import hashlib
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    eng = _engine(spark, sf_dir)
-    base = eng.search("hash join", k=10**6, mode="should")
-    out = apply_goggle(
-        base, docs, "text", "doc_id", _GOGGLE_PROGRAM, k=10,
-        site_col="source",
+    from stractt_spark.plans.build import SegmentIndex, build_index_fused
+
+    key = "goggles:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = "/tmp/stractt_entry_goggles_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        build_index_fused(
+            spark, docs, out, text_col="text", id_col="doc_id",
+            analyzer="ascii", docs_per_segment=256, positions=True,
+            attr_cols=["source"],
+        )
+        _WAND_INDEX_CACHE[key] = SegmentIndex(spark, out)
+    return _WAND_INDEX_CACHE[key]
+
+
+def _q_goggles_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goggle program LOWERED INTO THE INDEX QUERY TREE (reference
+    lowering, src/ranking/goggles/mod.rs:150-312): adjacent-token pattern
+    boost (+2·500) runs the pattern automaton over stored positions, site
+    downrank (−500) is an attr-term const clause, site discard a MustNot
+    attr term — all inside the per-segment kernel, no corpus text scan, no
+    uncut base.  Oracle reproduces the pattern via token ordinality and
+    the const bonuses as CASE terms over the full-scan BM25."""
+    idx = _goggle_index(spark, sf_dir)
+    out = idx.search_goggle(
+        "hash join", _GOGGLE_PROGRAM, k=10, mode="should", site_col="source"
     )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -123,6 +123,64 @@ def instruction_match_set(
     return None
 
 
+def lower_goggle(
+    goggle: Goggle | str,
+    analyzer: str = "ascii",
+    site_col: str | None = None,
+) -> tuple[list[dict], list[str], float | None, bool]:
+    """Lower a goggle program into the index query tree (the reference's
+    as_searchable lowering, goggles/mod.rs:166-260):
+
+    * site-only Discard → a MustNot attr term (``\\x01site_col:value``) —
+      excluded by the kernel BEFORE scoring, like any ``-site:`` filter;
+    * every other instruction → a const clause dict the per-segment kernel
+      evaluates over the PERSISTED index (site attr-term lookups +
+      pattern-automaton runs over stored positions — never the doc text);
+    * ``@bm25 = c`` → a score coefficient on the relevance signal.
+
+    → (const_clauses, neg_site_terms, bm25_coeff, has_empty_discard)."""
+    from ..operators.segments import attr_term
+
+    g = parse_goggle(goggle) if isinstance(goggle, str) else goggle
+    clauses: list[dict] = []
+    neg_terms: list[str] = []
+    for inst in g.instructions:
+        if inst.is_empty_discard:
+            continue
+        if inst.site is not None and site_col is None:
+            raise ValueError("goggle uses site= but no site_col given")
+        if inst.field_sel is not None:
+            raise ValueError(
+                "field-selector patterns need the multi-field index path; "
+                "use apply_goggle(field_cols=...) for the scan fallback"
+            )
+        site_term = (
+            attr_term(site_col, inst.site) if inst.site is not None else None
+        )
+        if inst.action == "discard" and not inst.patterns:
+            if site_term is not None:
+                neg_terms.append(site_term)
+            continue
+        if not inst.patterns and site_term is None:
+            continue
+        terms, ops = (
+            compile_pattern(inst.patterns, analyzer)
+            if inst.patterns else ([], [])
+        )
+        clauses.append({
+            "action": inst.action,
+            "bonus": (
+                0.0 if inst.action == "discard"
+                else float(inst.value)
+                * (SCALE if inst.action == "boost" else -SCALE)
+            ),
+            "site_term": site_term,
+            "pattern_terms": terms or None,
+            "pattern_ops": ops or None,
+        })
+    return clauses, neg_terms, g.alterations.get("bm25"), g.has_empty_discard
+
+
 def apply_goggle(
     base_scores: DataFrame,
     docs: DataFrame,

@@ -358,11 +358,22 @@ def build_segments_fused(
         def meta_row(n_postings: int, n_blocks: int, bytes_compressed: int):
             # all per-segment build metrics ride in the sentinel row so the
             # stats/lineage stage reads ONLY pruned sentinel columns, never
-            # the block binaries
-            stats_vals = np.array(
-                [int(dls.sum()), len(texts), n_postings, n_blocks, bytes_compressed],
-                dtype=np.uint64,
-            )
+            # the block binaries.  After the 5 metric values the varint
+            # stream carries the EXACT per-doc token counts (span-aligned,
+            # 0 for absent docs) — the reference's num_tokens fast field
+            # (src/ranking/goggles/pattern_query.rs:243,290 reads it for
+            # trailing-anchor pattern matching); quantized norms alone
+            # cannot answer "is this the document's last token".
+            dl_span = np.zeros(span, dtype=np.uint64)
+            dl_span[local] = dls.astype(np.uint64)
+            stats_vals = np.concatenate([
+                np.array(
+                    [int(dls.sum()), len(texts), n_postings, n_blocks,
+                     bytes_compressed],
+                    dtype=np.uint64,
+                ),
+                dl_span,
+            ])
             return pd.DataFrame(
                 {
                     "segment_id": pd.Series([seg], dtype="int32"),
@@ -454,6 +465,9 @@ def split_unified(unified: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("num_docs").alias("n_docs"),
         F.col("id_bytes").alias("norm_bytes"),
         F.col("pos_bytes").alias("pre_bytes"),
+        # varint [5 metrics, then exact per-doc token counts] — the query
+        # kernel decodes the tail for trailing-anchor goggle patterns
+        F.col("tf_bytes").alias("meta_bytes"),
     )
     return segments, norms
 

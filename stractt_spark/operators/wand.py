@@ -478,6 +478,69 @@ def _should_topk_blockmax(
     return np.concatenate(banked_ids), np.concatenate(banked_sc)
 
 
+def _clause_match_mask(
+    by_term: dict[str, pd.DataFrame],
+    clause: dict,
+    ids: np.ndarray,
+    dl_exact: np.ndarray | None,
+    base: int,
+) -> np.ndarray:
+    """Boolean mask over the (sorted) candidate ``ids`` matching one
+    lowered goggle instruction — evaluated entirely over the PERSISTED
+    index: the site predicate is an attr-term posting lookup, the token
+    pattern runs over candidate-intersecting position blocks via the
+    pattern automaton (reference execution:
+    src/ranking/goggles/pattern_query.rs:271-342).  Never touches the
+    document text."""
+    from ..functions.goggles import pattern_phrase_count
+
+    mask = np.ones(ids.size, dtype=bool)
+    st = clause.get("site_term")
+    if st is not None:
+        g = by_term.get(st)
+        if g is None:
+            return np.zeros(ids.size, dtype=bool)
+        sub = _blocks_for_candidates(g.sort_values("block_id"), ids)
+        if sub is None:
+            return np.zeros(ids.size, dtype=bool)
+        s_ids, _ = decode_block_subset(sub)
+        mask &= _sorted_isin(s_ids.astype(np.int64), ids)
+    pterms = clause.get("pattern_terms")
+    if pterms:
+        uniq_p = list(dict.fromkeys(pterms))
+        cand = ids[mask]
+        if cand.size == 0 or any(t not in by_term for t in uniq_p):
+            return np.zeros(ids.size, dtype=bool)
+        member = _candidate_positions(by_term, uniq_p, cand)
+        if member is None:
+            return np.zeros(ids.size, dtype=bool)
+        ops = clause["pattern_ops"]
+        needs_len = bool(ops) and ops[-1][0] == "anchor_end"
+        if needs_len and dl_exact is None:
+            raise ValueError(
+                "trailing-anchor goggle patterns need exact doc lengths — "
+                "rebuild the index (sentinel meta now stores num_tokens)"
+            )
+        pmask = np.zeros(cand.size, dtype=bool)
+        for ci, d in enumerate(cand):
+            posd: dict[str, np.ndarray] = {}
+            ok = True
+            for t, (t_ids, pos, offs) in zip(uniq_p, member):
+                j = int(np.searchsorted(t_ids, d))
+                if j >= len(t_ids) or t_ids[j] != d:
+                    ok = False
+                    break
+                posd[t] = pos[offs[j]:offs[j + 1]].astype(np.int64)
+            if not ok:
+                continue
+            ntok = int(dl_exact[d - base]) if needs_len else 0
+            pmask[ci] = pattern_phrase_count(posd, ops, ntok) > 0
+        out = np.zeros(ids.size, dtype=bool)
+        out[np.flatnonzero(mask)[pmask]] = True
+        return out
+    return mask
+
+
 def _segment_topk_kernel(
     terms: list[str],
     neg_terms: list[str],
@@ -493,6 +556,9 @@ def _segment_topk_kernel(
     max_docs: int | None = None,
     add_pre: bool = False,
     with_count: bool = False,
+    const_clauses: list[dict] | None = None,
+    has_empty_discard: bool = False,
+    score_coeff: float | None = None,
 ) -> pd.DataFrame:
     """``max_docs``: early-termination quota — consider at most this many
     docs of the driving posting list per segment (the reference's
@@ -627,6 +693,7 @@ def _segment_topk_kernel(
         and max_docs is None
         and pre is None
         and not with_count
+        and not const_clauses
     ):
         # single-term block-max pruning (exact): per-block upper bound
         # ub = w · tf_comp(max_tf, dl(min_norm_id)) dominates every doc in
@@ -676,6 +743,7 @@ def _segment_topk_kernel(
         and not filter_terms
         and max_docs is None
         and not with_count
+        and not const_clauses
     ):
         # multi-term OR: block-max pruned union (exact; MustNot handled
         # inside so exclusions land before the threshold is banked; on a
@@ -733,12 +801,47 @@ def _segment_topk_kernel(
         ids = idx + base
         score = score_dense[idx]
 
+    if score_coeff is not None and ids.size:
+        # @bm25 alteration: scales ONLY the relevance signal, before the
+        # pre-computed signal and const bonuses land (signal.rs:343-387)
+        score = score * score_coeff
     if excluded is not None and ids.size:
         keep = ~np.isin(ids, excluded, assume_unique=False)
         ids, score = ids[keep], score[keep]
     if pre is not None and ids.size:
         # final rank score = pre_computed + query score (signal.rs:296-333)
         score = score + pre[(ids - base).astype(np.int64)]
+    if const_clauses and ids.size:
+        # goggle instructions evaluated over the INDEX for this segment's
+        # base-query matches only (reference: instructions are query-tree
+        # clauses, goggles/mod.rs:166-260) — the collector below sees
+        # FINAL scores, so no uncut base and no driver-side match sets
+        dl_exact: np.ndarray | None = None
+        mb = (
+            norm_row["meta_bytes"].iloc[0]
+            if "meta_bytes" in norm_row.columns else None
+        )
+        if mb is not None:
+            from ..functions.codec import varint_decode
+
+            mvals = varint_decode(bytes(mb))
+            if mvals.size > 5:
+                dl_exact = mvals[5:].astype(np.int64)
+        drop = np.zeros(ids.size, dtype=bool)
+        keep_union = np.zeros(ids.size, dtype=bool)
+        for cl in const_clauses:
+            m = _clause_match_mask(by_term, cl, ids, dl_exact, base)
+            if cl["action"] == "discard":
+                drop |= m
+            else:
+                # + 0.0 on non-matches keeps the exact fp association of
+                # the oracle's sequential CASE additions
+                score = score + np.where(m, cl["bonus"], 0.0)
+                keep_union |= m
+        sel = ~drop
+        if has_empty_discard:
+            sel &= keep_union
+        ids, score = ids[sel], score[sel]
     n_matched = int(ids.size)
     # bounded top-k with the FULL tie order (score desc, doc_id asc): a
     # bare argpartition cut breaks score ties at the k boundary by array
@@ -779,12 +882,22 @@ def wand_topk(
     analyzer: str = "ascii",
     max_docs_per_segment: int | None = None,
     add_pre: bool = False,
+    const_clauses: list[dict] | None = None,
+    has_empty_discard: bool = False,
+    score_coeff: float | None = None,
+    extra_neg_terms: list[str] | None = None,
 ) -> DataFrame:
     """→ (doc_id, score) global top-k from the segment index.
 
     ``term_df`` is the global document frequency of each query term (from
     the term_stats table — a driver-side dict of ≤ a few entries).
-    """
+
+    ``const_clauses``: lowered goggle instructions
+    (operators.goggles.lower_goggle) — site attr-term predicates and token
+    patterns evaluated INSIDE the per-segment kernel against the base
+    query's matches, adding ±n·SCALE const bonuses / discarding before the
+    top-k cut (reference lowering goggles/mod.rs:166-260).  ``score_coeff``
+    scales the bm25 signal (@bm25 alteration)."""
     spark = segments.sparkSession
     pq = parse_query(query, analyzer) if isinstance(query, str) else query
     uniq = pq.uniq_terms
@@ -813,25 +926,44 @@ def wand_topk(
     neg = sorted(
         set(pq.neg_terms)
         | {attr_term(f_, v) for f_, v in pq.anti_filters.items()}
+        | set(extra_neg_terms or [])
     )
 
-    # scan pruned to the query's pos+neg+filter terms (pushed to parquet);
-    # the position streams — the widest column — are read ONLY when a
-    # phrase needs them (column pruning reaches the parquet ReadSchema)
+    # goggle clause terms join the pruned scan like any query term: site
+    # attr terms + pattern terms (their positions are needed iff a clause
+    # carries a pattern)
+    clause_terms: list[str] = []
+    clause_patterns = False
+    for cl in const_clauses or []:
+        if cl.get("site_term"):
+            clause_terms.append(cl["site_term"])
+        if cl.get("pattern_terms"):
+            clause_terms.extend(cl["pattern_terms"])
+            clause_patterns = True
+
+    # scan pruned to the query's pos+neg+filter(+clause) terms (pushed to
+    # parquet); the position streams — the widest column — are read ONLY
+    # when a phrase or a pattern clause needs them (column pruning reaches
+    # the parquet ReadSchema)
     cols = [
         "segment_id", "term", "block_id", "first_doc_id", "last_doc_id",
         "num_docs", "id_bytes", "tf_bytes", "max_tf", "min_norm_id",
     ]
-    if phrases:
+    if phrases or clause_patterns:
         cols.insert(8, "pos_bytes")
     seg_filtered = segments.filter(
-        F.col("term").isin(all_terms + neg + filter_terms)
+        F.col("term").isin(
+            sorted(set(all_terms + neg + filter_terms + clause_terms))
+        )
     ).select(*[c for c in cols if c in segments.columns])
 
     def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_topk_kernel(
             uniq, neg, qweights, avgdl, k, mode, blocks_pdf, norms_pdf,
             phrases, pweights, filter_terms, max_docs_per_segment, add_pre,
+            const_clauses=const_clauses,
+            has_empty_discard=has_empty_discard,
+            score_coeff=score_coeff,
         )
 
     return (

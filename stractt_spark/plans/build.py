@@ -610,6 +610,55 @@ class SegmentIndex:
         ]
         return page(rows, k, offset)
 
+    def search_goggle(
+        self,
+        query: str,
+        goggle,
+        k: int = 10,
+        mode: str = "must",
+        site_col: str | None = None,
+    ) -> DataFrame:
+        """Top-k with a goggle program LOWERED INTO THE QUERY TREE
+        (reference goggles/mod.rs:166-260): site-only discards become
+        MustNot attr terms, boosts/downranks/pattern-discards become const
+        clauses the per-segment kernel evaluates over the persisted index
+        (attr-term posting lookups + pattern-automaton runs over stored
+        positions).  The collector sees final scores, so there is no uncut
+        base, no corpus text scan, and no driver-side match sets.
+
+        ``site_col`` must be one of the index's ``attr_cols``; pattern
+        instructions need an index built with ``positions=True``."""
+        from ..functions.query_parse import parse_query
+        from ..operators.goggles import lower_goggle
+        from ..operators.wand import wand_topk
+
+        clauses, neg_site, coeff, has_empty_discard = lower_goggle(
+            goggle, self.analyzer, site_col
+        )
+        if site_col is not None and site_col not in (
+            self.stats.get("attr_cols") or []
+        ):
+            raise ValueError(
+                f"site_col {site_col!r} is not an indexed attr column "
+                f"(attr_cols={self.stats.get('attr_cols')}); rebuild with "
+                "attr_cols=[...] to lower site instructions into the index"
+            )
+        if any(cl.get("pattern_terms") for cl in clauses) and not self.stats.get(
+            "positions"
+        ):
+            raise ValueError(
+                "pattern instructions need an index built with positions=True"
+            )
+        pq = parse_query(query, self.analyzer)
+        tdf = self.term_df(pq.all_match_terms)
+        return wand_topk(
+            self.segments, self.norms, pq,
+            self.stats["num_docs"], self.stats["avgdl"], tdf,
+            k=k, mode=mode, analyzer=self.analyzer,
+            const_clauses=clauses, has_empty_discard=has_empty_discard,
+            score_coeff=coeff, extra_neg_terms=neg_site,
+        )
+
     def search_with_count(
         self, query: str, k: int = 10, mode: str = "must"
     ) -> tuple[list[tuple[int, float]], int]:
