@@ -330,6 +330,107 @@ def _mf_sql(terms: list[str], boosts: dict[str, float]) -> str:
     )
 
 
+def _mf_sql_ctes(terms: list[str], boosts: dict[str, float]) -> tuple[str, str]:
+    """(CTE prefix, units subquery) of the per-field BM25 oracle — shared
+    by the plain multi-field gate shape and the presorted composition."""
+    tlist = ", ".join("'" + t + "'" for t in terms)
+    unit_parts = []
+    for f_ in ("source", "text"):
+        b = boosts[f_]
+        unit_parts.append(
+            f"SELECT tf.doc_id, tf.term, "
+            f"{b} * (ln(1 + (s.n_docs - d.c + 0.5) / (d.c + 0.5)) * 2.2) * "
+            f"(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * (q.dl_quant / s.avgdl_{f_})))) AS ts "
+            f"FROM tf_{f_} tf JOIN dlq_{f_} q USING (doc_id) "
+            f"JOIN df_{f_} d USING (term) CROSS JOIN stats s "
+            f"WHERE tf.term IN ({tlist})"
+        )
+    units = " UNION ALL ".join(unit_parts)
+    field_ctes = []
+    for f_, col in [("source", "source"), ("text", "text")]:
+        field_ctes.append(
+            f"toks_{f_} AS (SELECT d.doc_id AS doc_id, t.term AS term "
+            f"FROM documents d, unnest(regexp_extract_all(lower(d.{col}), "
+            f"'{TOKEN_RE}')) AS t(term)), "
+            f"tf_{f_} AS (SELECT doc_id, term, count(*) AS tf FROM toks_{f_} "
+            "GROUP BY doc_id, term), "
+            f"dl_{f_} AS (SELECT doc_id, count(*) AS dl FROM toks_{f_} GROUP BY doc_id), "
+            f"dlq_{f_} AS (SELECT dl.doc_id, "
+            f"(SELECT max(v) FROM norm WHERE v <= dl.dl) AS dl_quant FROM dl_{f_} dl), "
+            f"df_{f_} AS (SELECT term, count(*) AS c FROM tf_{f_} GROUP BY term)"
+        )
+    stats = (
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs, "
+        "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl_source) / "
+        "(SELECT count(*) FROM documents) AS avgdl_source, "
+        "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl_text) / "
+        "(SELECT count(*) FROM documents) AS avgdl_text)"
+    )
+    prefix = f"WITH {_NORM_CTE}, {', '.join(field_ctes)}, {stats}"
+    return prefix, units
+
+
+def _mf_presorted_sql(terms: list[str], boosts: dict[str, float]) -> str:
+    """FULL-SCAN oracle for the presorted multi-field composition:
+    score = pre(doc) + Σ boost_f·bm25_f units, should-mode, tie order
+    (score desc, pre desc, orig doc_id asc) — the engine runs quota ON, so
+    a hash match proves the quota dropped nothing."""
+    prefix, units = _mf_sql_ctes(terms, boosts)
+    return (
+        f"{prefix}, units AS ({units}) "
+        f"SELECT doc_id, round(sum(ts) + {_PRE_SQL}, 4) AS score "
+        "FROM units GROUP BY doc_id "
+        f"ORDER BY sum(ts) + {_PRE_SQL} DESC, {_PRE_SQL} DESC, doc_id ASC "
+        "LIMIT 10"
+    )
+
+
+def _q_bm25_mf_presorted_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED index flavors (reference: one index holds BOTH the
+    pre-score sort order and per-field postings,
+    src/inverted_index.rs:100-106 + src/schema.rs:294-315): a presorted
+    multi-field build, queried with per-field boosted BM25 + pre score,
+    max-docs quota ON and orig-id mapping — gated against a full-scan
+    per-field oracle, so the hash match proves the quota sound on the
+    composed layout too."""
+    import hashlib
+
+    from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
+        build_index_fused_multifield,
+    )
+
+    key = "mfpre:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pre_scores = docs.select(
+            "doc_id",
+            (
+                F.lit(2048.0) * ((F.col("doc_id") * F.lit(2654435761)) % 1000)
+                / F.lit(1000.0)
+            ).alias("pre_score"),
+        )
+        out = "/tmp/stractt_entry_mfpre_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        build_index_fused_multifield(
+            spark, docs, out, {"source": "source", "text": "text"},
+            id_col="doc_id", analyzer="ascii", docs_per_segment=256,
+            field_boosts={"source": 10.0, "text": 4.0},
+            pre_scores=pre_scores,
+        )
+        _WAND_INDEX_CACHE[key] = MultiFieldSegmentIndex(spark, out)
+    idx = _WAND_INDEX_CACHE[key]
+    top = idx.search(
+        "hash join", k=10, mode="should", with_pre_score=True,
+        max_docs_per_segment=96, orig_ids=True,
+    )
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over a Stemmed-analyzer index: the inflected query ("merges
     sorting") matches base-form docs via Porter stemming both directions
@@ -819,6 +920,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": _q_snippets,
         "bm25_stemmed": _q_bm25_stemmed,
         "bm25_multifield": _q_bm25_multifield,
+        "bm25_mf_presorted_quota": _q_bm25_mf_presorted_quota,
         "goggles_rerank": _q_goggles_rerank,
         "autosuggest_prefix": _q_autosuggest,
         # dedup family
@@ -919,6 +1021,9 @@ def oracle_sql() -> dict[str, str]:
         # full-scan oracle — the Spark side runs with the quota ON, so a
         # hash match proves the early termination dropped nothing
         "bm25_presorted_quota": _bm25_presorted_sql(["hash", "join"], "should"),
+        "bm25_mf_presorted_quota": _mf_presorted_sql(
+            ["hash", "join"], {"source": 10.0, "text": 4.0}
+        ),
         "bm25_count": (
             f"WITH {_NORM_CTE}, {_TOKS_CTE}, {_TF_CTE}, {_DL_CTE}, {_DLQ_CTE}, "
             f"{_STATS_CTE}, per_term AS ("

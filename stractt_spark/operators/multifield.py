@@ -243,6 +243,7 @@ def build_index_fused_multifield(
     docs_per_segment: int = 4096,
     field_boosts: dict[str, float] | None = None,
     positions: bool = False,
+    pre_scores: DataFrame | None = None,
 ):
     """Fused multi-field build: ONE shuffle (groupBy segment) + ONE Arrow
     pass tokenizing every field; per-field posting blocks, per-field
@@ -252,7 +253,16 @@ def build_index_fused_multifield(
     ``positions=True`` stores per-field position streams (positions are
     within the FIELD's own token sequence), enabling per-field
     PhraseQueries (reference: phrases live inside the per-field Should,
-    src/query/parser.rs:54-91)."""
+    src/query/parser.rs:54-91).
+
+    ``pre_scores``: (id_col, pre_score) — the build becomes PRESORTED
+    exactly like the single-field flavor (internal doc ids by pre-score
+    rank, docmap.parquet, packed f32 pre-scores in the main sentinel's
+    pos_bytes).  This composes the reference's index-wide sort order with
+    per-field postings (src/inverted_index.rs:100-106 sort order +
+    src/schema.rs:294-315 per-field schema — one index, both properties),
+    making the max-docs quota and pre+bm25 ranking available on
+    multi-field queries."""
     import json
     import os
 
@@ -270,9 +280,49 @@ def build_index_fused_multifield(
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
+    pre_col = None
+    if pre_scores is not None:
+        from .postings import assign_doc_ids
+
+        pre_col = "_pre"
+        ranked = (
+            pre_scores.select(
+                F.col(id_col).cast("long").alias("orig_id"),
+                F.col("pre_score").cast("double").alias("pre_score"),
+            )
+            .withColumn("_neg_pre", -F.col("pre_score"))
+        )
+        docmap = assign_doc_ids(ranked, ["_neg_pre", "orig_id"]).select(
+            "doc_id", "orig_id", "pre_score"
+        )
+        docmap.write.mode("overwrite").parquet(paths.docmap)
+        docmap_df = spark.read.parquet(paths.docmap)
+        missing = (
+            docs.select(F.col(id_col).cast("long").alias("_orig"))
+            .join(
+                docmap_df.select(F.col("orig_id").alias("_orig")),
+                "_orig", "left_anti",
+            )
+            .count()
+        )
+        if missing:
+            raise ValueError(
+                f"presorted build: {missing} doc(s) have no pre_scores row "
+                "and would be dropped by the docmap join"
+            )
+        docs = docs.withColumnRenamed(id_col, "_orig").join(
+            docmap_df.select(
+                F.col("orig_id").alias("_orig"), "doc_id",
+                F.col("pre_score").alias(pre_col),
+            ),
+            "_orig",
+        )
+        id_col = "doc_id"
+
     src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         *[F.col(field_cols[f_]).alias(f"_f_{f_}") for f_ in fields],
+        *([F.col(pre_col).cast("double").alias("_pre")] if pre_col else []),
     ).withColumn(
         "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("int")
     )
@@ -337,7 +387,14 @@ def build_index_fused_multifield(
                     "pos_bytes": None, "max_tf": 0, "min_norm_id": 0,
                 }
             )
-        # main sentinel: build metrics (docs, postings, tokens over fields)
+        # main sentinel: build metrics (docs, postings, tokens over
+        # fields); presorted builds pack the per-doc f32 pre-scores into
+        # its pos_bytes (same convention as the single-field flavor)
+        pre_packed = None
+        if pre_col:
+            parr = np.zeros(span, dtype=np.float32)
+            parr[local] = pdf["_pre"].to_numpy("float64").astype(np.float32)
+            pre_packed = parr.tobytes()
         stats_vals = np.array(
             [total_tokens, len(pdf), len(all_terms), 0, 0], dtype=np.uint64
         )
@@ -347,7 +404,7 @@ def build_index_fused_multifield(
             "num_docs": span,
             "id_bytes": np.zeros(span, dtype=np.uint8).tobytes(),
             "tf_bytes": varint_encode(stats_vals),
-            "pos_bytes": None, "max_tf": 0, "min_norm_id": 0,
+            "pos_bytes": pre_packed, "max_tf": 0, "min_norm_id": 0,
         })
         meta = pd.DataFrame(sentinel_rows)
         if not all_terms:
@@ -402,6 +459,7 @@ def build_index_fused_multifield(
         "docs_per_segment": docs_per_segment,
         "layout": "fused",
         "positions": positions,
+        "presorted": pre_scores is not None,
         "multifield": {
             "fields": fields,
             "boosts": {f_: float(boosts.get(f_, 1.0)) for f_ in fields},
@@ -442,15 +500,24 @@ class MultiFieldSegmentIndex:
         self.analyzer = self.stats["analyzer"]
         unified = spark.read.parquet(self.paths.index)
         self.segments = unified.filter(~F.col("term").startswith("\x00"))
-        self.norms = unified.filter(
-            F.col("term").startswith(MF_NORMS_PREFIX)
-        ).select(
+        # ALL sentinel rows (per-field norms + the main meta row whose
+        # pos_bytes carries packed pre-scores on presorted builds) — the
+        # kernel splits them by term prefix
+        # NOTE: the sentinel term column is aliased — a column named 'term'
+        # on BOTH cogroup sides is silently dropped from the right-side
+        # pandas frame by pyspark's cogroup apply
+        self.norms = unified.filter(F.col("term").startswith("\x00")).select(
             "segment_id",
-            F.expr(f"substring(term, {len(MF_NORMS_PREFIX) + 1})").alias("field"),
+            F.col("term").alias("sentinel"),
             F.col("first_doc_id").alias("base_doc_id"),
             F.col("id_bytes").alias("norm_bytes"),
+            F.col("pos_bytes").alias("pre_bytes"),
         )
         self.term_stats = spark.read.parquet(self.paths.term_stats)
+        self.presorted = bool(self.stats.get("presorted"))
+        self.docmap = (
+            spark.read.parquet(self.paths.docmap) if self.presorted else None
+        )
 
     def cache(self) -> "MultiFieldSegmentIndex":
         self.segments = self.segments.cache()
@@ -467,13 +534,37 @@ class MultiFieldSegmentIndex:
     def search(
         self, query: str, k: int = 10, mode: str = "must",
         phrase: bool = False,
+        max_docs_per_segment: int | None = None,
+        with_pre_score: bool = False,
+        orig_ids: bool = False,
+        unsafe_quota: bool = False,
     ) -> DataFrame:
+        """Top-k over the per-field index.  ``with_pre_score`` /
+        ``max_docs_per_segment`` / ``orig_ids`` compose the presorted
+        machinery with per-field scoring (the reference keeps one index
+        with BOTH the index-wide sort order and per-field postings,
+        src/inverted_index.rs:100-106 + src/schema.rs:294-315): rank =
+        pre + Σ_f boost_f·bm25_f, the quota keeps each term's best-pre
+        docs per segment, orig_ids maps back through docmap.parquet with
+        the (score desc, pre desc, orig id asc) tie contract."""
         from ..functions.bm25 import idf as idf_fn
 
         if phrase and not self.stats.get("positions"):
             raise ValueError(
                 "phrase queries need a multifield index built with "
                 "positions=True"
+            )
+        if (with_pre_score or orig_ids) and not self.presorted:
+            raise ValueError("pre-score options need a presorted index")
+        if (
+            max_docs_per_segment is not None
+            and not self.presorted
+            and not unsafe_quota
+        ):
+            raise ValueError(
+                "max_docs_per_segment on a doc-id-ordered index truncates "
+                "ARBITRARY docs — build with pre_scores=... for a sound "
+                "quota, or pass unsafe_quota=True"
             )
         pq = parse_query(query, self.analyzer, phrase=phrase)
         uniq = pq.uniq_terms
@@ -530,13 +621,17 @@ class MultiFieldSegmentIndex:
         fields_sorted = fields
         k_eff = k
 
+        max_docs = max_docs_per_segment
+        add_pre = with_pre_score
+
         def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
             return _mf_segment_topk(
                 blocks_pdf, norms_pdf, uniq_sorted, fields_sorted, weights,
                 avgdl, k_eff, mode, neg_phys, phrases, pweights,
+                max_docs=max_docs, add_pre=add_pre,
             )
 
-        return (
+        top = (
             seg_filtered.groupBy("segment_id")
             .cogroup(self.norms.groupBy("segment_id"))
             .applyInPandas(run, "segment_id int, doc_id long, score double")
@@ -544,11 +639,27 @@ class MultiFieldSegmentIndex:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+        if orig_ids:
+            top = (
+                F.broadcast(top)
+                .join(
+                    self.docmap.select("doc_id", "orig_id", "pre_score"),
+                    "doc_id",
+                )
+                .select(
+                    F.col("orig_id").alias("doc_id"), "score",
+                    F.col("pre_score").alias("_pre"),
+                )
+                .orderBy(F.desc("score"), F.desc("_pre"), F.asc("doc_id"))
+                .drop("_pre")
+            )
+        return top
 
-    def search_list(self, query: str, k: int = 10, mode: str = "must"):
+    def search_list(self, query: str, k: int = 10, mode: str = "must",
+                    **kwargs):
         return [
             (r["doc_id"], r["score"])
-            for r in self.search(query, k, mode).collect()
+            for r in self.search(query, k, mode, **kwargs).collect()
         ]
 
 
@@ -564,18 +675,25 @@ def _mf_segment_topk(
     neg_phys: list[str],
     phrases: list[list[str]] | None = None,
     pweights: dict[tuple[int, str], float] | None = None,
+    max_docs: int | None = None,
+    add_pre: bool = False,
 ) -> pd.DataFrame:
     """Per-segment multi-field exact top-k: per logical term the docset is
     the union over fields; Must intersects logical docsets, Should unions;
     score folds sorted (term, field) contributions, then phrases in
     (joined-text, field) order (canonical fp order, identical to
     MultiFieldOracle).  A phrase matches per field via that field's
-    position streams; its Must docset is the union over fields."""
+    position streams; its Must docset is the union over fields.
+
+    ``max_docs`` / ``add_pre``: the presorted composition — each logical
+    term's driving docset is truncated to its best-pre max_docs docs (ids
+    follow pre-score rank on presorted builds), and the final score adds
+    the packed per-doc pre (rank = pre + Σ boosted bm25)."""
     import numpy as np
 
     from ..functions.bm25 import B, K1
     from ..functions.fieldnorm import FIELD_NORMS_TABLE
-    from .segments import decode_term_blocks
+    from .segments import NORMS_SENTINEL, decode_term_blocks
 
     phrases = phrases or []
     pweights = pweights or {}
@@ -590,9 +708,19 @@ def _mf_segment_topk(
     seg = int(blocks_pdf["segment_id"].iloc[0])
     base = int(norms_pdf["base_doc_id"].iloc[0])
     norms_by_field = {
-        r["field"]: np.frombuffer(r["norm_bytes"], dtype=np.uint8)
+        r["sentinel"][len(MF_NORMS_PREFIX):]: np.frombuffer(
+            r["norm_bytes"], dtype=np.uint8
+        )
         for _, r in norms_pdf.iterrows()
+        if r["sentinel"].startswith(MF_NORMS_PREFIX)
     }
+    pre: np.ndarray | None = None
+    if add_pre:
+        main = norms_pdf[norms_pdf["sentinel"] == NORMS_SENTINEL]
+        pb = main["pre_bytes"].iloc[0] if len(main) else None
+        if pb is None:
+            raise ValueError("add_pre requires a presorted index (pre_bytes)")
+        pre = np.frombuffer(pb, dtype=np.float32).astype(np.float64)
     dl_table = FIELD_NORMS_TABLE.astype(np.float64)
     by_term = {t: g.sort_values("block_id") for t, g in blocks_pdf.groupby("term")}
 
@@ -608,12 +736,13 @@ def _mf_segment_topk(
                 decoded[p] = (ids.astype(np.int64), tfs.astype(np.int64))
         return decoded[p]
 
-    if mode != "must" and not phrases and not neg_phys:
+    if mode != "must" and not phrases and not neg_phys and max_docs is None:
         # pruned multi-field OR: physical terms are independent additive
         # scoring units (per-field dl/avgdl), so the single-field
         # block-max union applies directly — with the fold order pinned
         # to (token, field) so results stay bit-identical to the exact
-        # path and the oracle
+        # path and the oracle; on presorted builds ``pre`` composes into
+        # the bounds/banked scores exactly as in the single-field kernel
         from .wand import _should_topk_blockmax
 
         def fld(p: str) -> str:
@@ -634,7 +763,7 @@ def _mf_segment_topk(
         ids, score = _should_topk_blockmax(
             by_term, present_phys, weights, 0.0, k, None, dl_table, seg_n,
             dl_of_term=dl_of_term, avgdl_term=lambda p: avgdl[fld(p)],
-            score_order=order_,
+            score_order=order_, pre=pre, base=base,
         )
         ordr = np.lexsort((ids, -score))[:k]
         return pd.DataFrame(
@@ -660,7 +789,12 @@ def _mf_segment_topk(
 
     def full_union(t: str) -> np.ndarray:
         """All docs containing logical term t in any field (full decode,
-        cached per block for later candidate lookups)."""
+        cached per block for later candidate lookups).  With the quota on,
+        the union is truncated to its first max_docs ids — on a presorted
+        build those are the term's best-pre docs (every truncated doc has
+        ≥ max_docs higher-pre docs containing the term; admitted docs
+        still score EXACTLY over all terms and fields, a strictly tighter
+        cut than per-list truncation)."""
         parts = []
         for f_ in fields_sorted:
             p = mf_term(f_, t)
@@ -674,8 +808,9 @@ def _mf_segment_topk(
             parts.append(np.concatenate(
                 [tc[int(b)][0] for b in g["block_id"].to_numpy()]
             ))
-        return (np.unique(np.concatenate(parts)) if parts
-                else np.zeros(0, dtype=np.int64))
+        u = (np.unique(np.concatenate(parts)) if parts
+             else np.zeros(0, dtype=np.int64))
+        return u[:max_docs] if max_docs is not None else u
 
     def member_mask(t: str, cand: np.ndarray) -> np.ndarray:
         """cand ∈ term t in ANY field — candidate-intersecting block
@@ -723,6 +858,8 @@ def _mf_segment_topk(
                             per_field_hits.append(hit)
                 cand = (np.unique(np.concatenate(per_field_hits))
                         if per_field_hits else np.zeros(0, dtype=np.int64))
+                if max_docs is not None:
+                    cand = cand[:max_docs]
                 continue
             if cand.size == 0:
                 return empty
@@ -753,9 +890,12 @@ def _mf_segment_topk(
                 hit = inter[pf > 0]
                 if hit.size:
                     per_field_hits.append(hit)
-            phrase_docsets.append(
+            hits = (
                 np.unique(np.concatenate(per_field_hits)) if per_field_hits
                 else np.zeros(0, dtype=np.int64)
+            )
+            phrase_docsets.append(
+                hits[:max_docs] if max_docs is not None else hits
             )
         unit_docsets = term_docsets + phrase_docsets
         cand = (
@@ -805,6 +945,10 @@ def _mf_segment_topk(
             tfc = pf[m].astype(np.float64)
             norm = K1 * (1.0 - B + B * (dls / avgdl[f_]))
             score[m] += w * (tfc / (tfc + norm))
+    if pre is not None and cand.size:
+        # final rank = pre_computed + Σ boosted per-field bm25
+        # (signal.rs:296-333 composed with the per-field Should)
+        score = score + pre[(cand - base).astype(np.int64)]
     ordr = np.lexsort((cand, -score))[:k]
     return pd.DataFrame(
         {"segment_id": pd.Series(np.full(ordr.size, seg), dtype="int32"),
