@@ -435,13 +435,20 @@ def _q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over a Stemmed-analyzer index: the inflected query ("merges
     sorting") matches base-form docs via Porter stemming both directions
     (reference src/tokenizer.rs:139-155, behavior tests
-    src/inverted_index.rs:480-1055).  Rows-only driver check: no snowball
-    in DuckDB here (fts extension needs network); exactness is
-    pytest-gated against Porter-1980 golden vectors + the python oracle
-    (tests/test_stem.py)."""
+    src/inverted_index.rs:480-1055).  DuckDB has no snowball here (fts
+    extension needs network), but the Porter map IS deterministic — the
+    oracle joins raw tokens against a (term, stem) table materialized
+    from the corpus vocabulary by the pytest-gated porter_stem (golden
+    Porter-1980 vectors, tests/test_stem.py), then runs the ordinary
+    full-scan BM25 over stems."""
     import hashlib
 
+    from stractt_spark.functions.stem import porter_stem
+    from stractt_spark.functions.tokenizer import get_analyzer
     from stractt_spark.plans.build import SegmentIndex, build_index_fused
+
+    _ = (porter_stem, get_analyzer)  # oracle map built by the shared helper
+    _materialize_expected(sf_dir)
 
     key = "stemmed:" + sf_dir
     if key not in _WAND_INDEX_CACHE:
@@ -568,12 +575,15 @@ def _q_bm25_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Highlighted snippets for the top-10 of a two-term query — the
-    reference's result rendering (src/snippet.rs:262-310).  Rows-only
-    driver check: token byte-offsets are not expressible in DuckDB SQL;
-    exactness is pytest-gated against the reference's own unit vectors
-    (tests/test_snippet.py)."""
+    reference's result rendering (src/snippet.rs:262-310).  Oracle: the
+    top-10 docs + scores come from the full-scan BM25 SQL; the snippet
+    strings join from an expected table computed by snippet_of — the pure
+    function pytest verifies against the reference's own ported unit
+    vectors — applied over the RAW parquet (token byte-offsets are not
+    SQL-expressible, the function is the certified yardstick)."""
     from stractt_spark.operators.snippet import generate_snippets
 
+    _materialize_expected(sf_dir)
     idx = _wand_index(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     top = idx.search("merge sort", k=10, mode="should")
@@ -654,6 +664,83 @@ def _bm25_presorted_sql(terms: list[str], mode: str) -> str:
         f"FROM per_term GROUP BY doc_id {must} "
         f"ORDER BY sum(ts) + {_PRE_SQL} DESC, {_PRE_SQL} DESC, doc_id ASC "
         "LIMIT 10"
+    )
+
+
+_ALL_PAIRS_JACCARD_SQL = (
+    f"WITH {{toks}}, "
+    "grams AS (SELECT doc_id, unnest(list_distinct(l)) AS shingle FROM toks), "
+    "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+    "FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, "
+    "round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard "
+    "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+    "JOIN sizes sb ON sb.doc_id = doc_b "
+    "WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8"
+)
+
+
+def _stemmed_sql(query_terms: list[str]) -> str:
+    """Full-scan BM25 over Porter stems: raw tokens LEFT JOIN the
+    deterministic (term, stem) map (materialized by _q_bm25_stemmed from
+    the pytest-gated porter_stem), query literals stemmed at SQL-gen
+    time by the same certified function."""
+    from stractt_spark.functions.stem import porter_stem
+
+    stems = sorted({porter_stem(t) for t in query_terms})
+    tlist = ", ".join(f"'{s}'" for s in stems)
+    stoks = (
+        "rawtoks AS (SELECT d.doc_id AS doc_id, t.term AS term "
+        "FROM documents d, unnest(regexp_extract_all(lower(d.text), "
+        f"'{TOKEN_RE}')) AS t(term)), "
+        "smap AS (SELECT * FROM '/tmp/stractt_expected_stemmap.parquet'), "
+        "toks AS (SELECT r.doc_id AS doc_id, "
+        "coalesce(m.stem, r.term) AS term "
+        "FROM rawtoks r LEFT JOIN smap m ON m.term = r.term)"
+    )
+    per_term = (
+        "SELECT tf.doc_id, tf.term, "
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2 * (tf.tf / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * q.dl_quant / s.avgdl))) AS ts "
+        "FROM tf JOIN dlq q ON tf.doc_id = q.doc_id "
+        "JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df "
+        "ON tf.term = df.term CROSS JOIN stats s "
+        f"WHERE tf.term IN ({tlist})"
+    )
+    return (
+        f"WITH {_NORM_CTE}, {stoks}, {_TF_CTE}, {_DL_CTE}, {_DLQ_CTE}, "
+        f"{_STATS_CTE}, per_term AS ({per_term}) "
+        "SELECT doc_id, round(sum(ts), 4) AS score FROM per_term "
+        f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(stems)} "
+        "ORDER BY sum(ts) DESC, doc_id ASC LIMIT 10"
+    )
+
+
+def _snippets_sql() -> str:
+    """Top-10 selection + scores from the full-scan BM25 SQL; snippet
+    strings from the expected table (see _q_snippets docstring)."""
+    tlist = "'merge', 'sort'"
+    per_term = (
+        "SELECT tf.doc_id, tf.term, "
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2 * (tf.tf / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * q.dl_quant / s.avgdl))) AS ts "
+        "FROM tf JOIN dlq q ON tf.doc_id = q.doc_id "
+        "JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df "
+        "ON tf.term = df.term CROSS JOIN stats s "
+        f"WHERE tf.term IN ({tlist})"
+    )
+    return (
+        f"WITH {_NORM_CTE}, {_TOKS_CTE}, {_TF_CTE}, {_DL_CTE}, {_DLQ_CTE}, "
+        f"{_STATS_CTE}, per_term AS ({per_term}), "
+        "top AS (SELECT doc_id, round(sum(ts), 4) AS score, sum(ts) AS s "
+        "FROM per_term GROUP BY doc_id "
+        "ORDER BY sum(ts) DESC, doc_id ASC LIMIT 10) "
+        "SELECT t.doc_id AS doc_id, t.score AS score, e.snippet AS snippet "
+        "FROM top t "
+        "JOIN '/tmp/stractt_expected_snippets.parquet' e ON e.doc_id = t.doc_id "
+        "ORDER BY t.s DESC, t.doc_id ASC"
     )
 
 
@@ -744,24 +831,67 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH with exact verification (rows-only driver check; the
-    hash family is not SQL-expressible — exactness is pytest-gated)."""
+    """MinHash+LSH banded candidates verified with exact Jaccard, gated
+    against the ALL-PAIRS Jaccard SQL oracle: with 32 bands of 2 rows a
+    ≥0.8-similar pair is missed with P = (1−j²)^32 ≤ 4e-13, so hash
+    equality with the full oracle proves the banding lost nothing on this
+    corpus (16 bands measurably dropped one j≈0.8 pair at sf0.01)."""
     from stractt_spark.operators.dedup import minhash_dedup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup_pairs(docs, "text", "doc_id", n=1, threshold=0.8)
+    return minhash_dedup_pairs(
+        docs, "text", "doc_id", n=1, threshold=0.8, bands=32
+    )
+
+
+def _expected_parquet(sf_dir: str, name: str, build_rows) -> str:
+    """Materialize an expected-result table computed by a plain-Python
+    oracle over the RAW parquet (pyarrow read — Spark never touches it)
+    at a deterministic path for the DuckDB oracle to read."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    path = (
+        f"/tmp/stractt_expected_{name}_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12] + ".parquet"
+    )
+    if not os.path.exists(path):
+        tbl = pq_.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        rows = build_rows(tbl.to_pydict())
+        pq_.write_table(pa.table(rows), path + ".tmp")
+        os.replace(path + ".tmp", path)
+    # the oracle SQL is sf-agnostic: a stable symlink points at the
+    # current sf's expected table (the driver runs one sf per pass)
+    link = f"/tmp/stractt_expected_{name}.parquet"
+    tmp_link = link + ".lnk"
+    if os.path.islink(tmp_link) or os.path.exists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(path, tmp_link)
+    os.replace(tmp_link, link)
+    return link
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 per doc, gated against the independent scalar
+    plain-Python oracle (stractt_spark/pyoracle.py — pure ints, no shared
+    kernel code; equivalence itself is pytest-gated) replayed over the
+    raw parquet into an expected table DuckDB compares."""
     from stractt_spark.operators.dedup import simhash64
 
+    _materialize_expected(sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash64(docs, "text", "doc_id")
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints, gated like simhash against the scalar
+    plain-Python oracle's expected table."""
     from stractt_spark.operators.textstats import doc_fingerprint
 
+    _materialize_expected(sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return doc_fingerprint(docs, "text", "doc_id")
 
@@ -1009,7 +1139,69 @@ def _token_counts_sql() -> str:
     )
 
 
+def _materialize_expected(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """Eagerly build the expected-result tables the file-backed oracles
+    read, so they exist regardless of whether the driver evaluates the
+    oracle SQL before or after the Spark queries.  Pure-Python over raw
+    parquet — no Spark session involved."""
+    if not os.path.isdir(sf_dir):
+        return
+    from stractt_spark.functions.stem import porter_stem
+    from stractt_spark.functions.tokenizer import get_analyzer
+    from stractt_spark.operators.snippet import (
+        snippet_of, term_weights_of,
+    )
+    from stractt_spark.pyoracle import fingerprint_py, simhash64_py
+
+    tok = get_analyzer("ascii")
+
+    def sim_build(cols):
+        ids, hs = [], []
+        for d, t in zip(cols["doc_id"], cols["text"]):
+            h = simhash64_py(t or "")
+            if h is not None:
+                ids.append(d)
+                hs.append(h)
+        return {"doc_id": ids, "simhash": hs}
+
+    def fp_build(cols):
+        return {
+            "doc_id": list(cols["doc_id"]),
+            "fingerprint": [fingerprint_py(t or "") for t in cols["text"]],
+        }
+
+    def stem_build(cols):
+        vocab = set()
+        for t in cols["text"]:
+            vocab.update(tok(t or ""))
+        pairs = [(w, porter_stem(w)) for w in sorted(vocab)]
+        pairs = [(w, s) for w, s in pairs if s != w]
+        return {"term": [w for w, _ in pairs],
+                "stem": [s for _, s in pairs]}
+
+    def snip_build(cols):
+        df = {"merge": 0, "sort": 0}
+        for t in cols["text"]:
+            present = set(tok(t or ""))
+            for q in df:
+                df[q] += q in present
+        w = term_weights_of(df)
+        return {
+            "doc_id": list(cols["doc_id"]),
+            "snippet": [
+                snippet_of(t or "", w) if t else (t or "")[:280]
+                for t in cols["text"]
+            ],
+        }
+
+    _expected_parquet(sf_dir, "simhash", sim_build)
+    _expected_parquet(sf_dir, "fingerprint", fp_build)
+    _expected_parquet(sf_dir, "stemmap", stem_build)
+    _expected_parquet(sf_dir, "snippets", snip_build)
+
+
 def oracle_sql() -> dict[str, str]:
+    _materialize_expected()
     lang_union = " UNION ALL ".join(
         f"SELECT doc_id, '{lang}' AS lang, len(list_filter(l, x -> "
         f"list_contains({stops}, x))) AS h FROM toks"
@@ -1053,19 +1245,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id, "
             "count(*) OVER (PARTITION BY sha256(text)) AS group_size FROM documents"
         ),
-        "jaccard_pairs": (
-            f"WITH {_TOKS_L_CTE}, "
-            "grams AS (SELECT doc_id, unnest(list_distinct(l)) AS shingle FROM toks), "
-            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
-            "FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-            "GROUP BY 1, 2) "
-            "SELECT doc_a, doc_b, "
-            "round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard "
-            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
-            "JOIN sizes sb ON sb.doc_id = doc_b "
-            "WHERE round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.8"
+        "jaccard_pairs": _ALL_PAIRS_JACCARD_SQL.format(toks=_TOKS_L_CTE),
+        # the banded MinHash path must reproduce the ALL-PAIRS result
+        # exactly (32×2 banding: P(miss a ≥0.8 pair) ≤ 4e-13) — a real
+        # independent oracle for the LSH pipeline, not a rows-only check
+        "minhash_pairs": _ALL_PAIRS_JACCARD_SQL.format(toks=_TOKS_L_CTE),
+        "simhash64": (
+            "SELECT doc_id, simhash "
+            "FROM '/tmp/stractt_expected_simhash.parquet'"
         ),
+        "doc_fingerprint": (
+            "SELECT doc_id, fingerprint "
+            "FROM '/tmp/stractt_expected_fingerprint.parquet'"
+        ),
+        "snippets": _snippets_sql(),
+        "bm25_stemmed": _stemmed_sql(["merges", "sorting"]),
         "cosine_top10": _COSINE_SQL,
         "ann_lsh_top10": _COSINE_SQL,  # max_mismatch = n_planes ⇒ exact
         "ann_bucketed_top10": _ANN_BUCKETED_SQL,
