@@ -744,6 +744,86 @@ def _snippets_sql() -> str:
     )
 
 
+def _q_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND page (offset 10, page size 10) of a one-term query —
+    the reference's top_n = page_size + offset collector cut + driver
+    slice (src/collector.rs:145-157, searcher/local.rs:113-115); oracle is
+    the same ranking with LIMIT/OFFSET."""
+    idx = _wand_index(spark, sf_dir)
+    rows = idx.search_list("the", k=10, offset=10, mode="should")
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 4)) for d, s in rows],
+        "doc_id long, score double",
+    )
+
+
+def _q_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-diversity re-rank keyed on the source column (reference
+    multiplicative same-site penalty scale/(scale+count),
+    src/collector.rs:33-36,247-343).  The greedy fixpoint is provably
+    order-equivalent to a closed form — each doc's emitted score is
+    raw · scale/(scale + rank_within_key − 1), emitted in (adjusted desc,
+    raw desc, doc asc) order — which the oracle expresses with one window
+    function over the overfetched base."""
+    from stractt_spark.operators.collector import rerank_diverse
+
+    idx = _wand_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_map = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    base = [
+        (r["doc_id"], r["score"])
+        for r in idx.search("hash join", k=50, mode="should").collect()
+    ]
+    out = rerank_diverse(base, [lambda d: src_map[d]], scales=(14.0,), k=10)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 4)) for d, s in out],
+        "doc_id long, score double",
+    )
+
+
+def _diverse_sql() -> str:
+    per_term = (
+        "SELECT tf.doc_id, tf.term, "
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2 * (tf.tf / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * q.dl_quant / s.avgdl))) AS ts "
+        "FROM tf JOIN dlq q ON tf.doc_id = q.doc_id "
+        "JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df "
+        "ON tf.term = df.term CROSS JOIN stats s "
+        "WHERE tf.term IN ('hash', 'join')"
+    )
+    return (
+        f"WITH {_NORM_CTE}, {_TOKS_CTE}, {_TF_CTE}, {_DL_CTE}, {_DLQ_CTE}, "
+        f"{_STATS_CTE}, per_term AS ({per_term}), "
+        "base AS (SELECT doc_id, sum(ts) AS s FROM per_term GROUP BY doc_id "
+        "ORDER BY s DESC, doc_id ASC LIMIT 50), "
+        "r AS (SELECT b.doc_id, b.s, row_number() OVER "
+        "(PARTITION BY d.source ORDER BY b.s DESC, b.doc_id ASC) AS rnk "
+        "FROM base b JOIN documents d USING (doc_id)), "
+        "adj AS (SELECT doc_id, s, CASE WHEN rnk = 1 THEN s "
+        "ELSE s * (14.0 / (14.0 + (rnk - 1))) END AS a FROM r) "
+        "SELECT doc_id, round(a, 4) AS score FROM adj "
+        "ORDER BY a DESC, s DESC, doc_id ASC LIMIT 10"
+    )
+
+
+def _q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase proximity retrieval (reference Should-phrase ladder at
+    (boost, slop) rungs, src/query/mod.rs:45-93): WAND top-40, ladder
+    rescore over the persisted position streams, top-10.  Oracle: an
+    expected table computed by a plain-Python ladder over the raw parquet
+    (OracleIndex positions + the shared sloppy_chain_count)."""
+    _materialize_expected(sf_dir)
+    idx = _goggle_index(spark, sf_dir)  # positions=True build
+    rows = idx.search_proximity("hash join", k=10, mode="should", overfetch=4)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 4)) for d, s in rows],
+        "doc_id long, score double",
+    )
+
+
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stractt_spark.operators.dedup import exact_dedup_groups
 
@@ -1051,6 +1131,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stemmed": _q_bm25_stemmed,
         "bm25_multifield": _q_bm25_multifield,
         "bm25_mf_presorted_quota": _q_bm25_mf_presorted_quota,
+        "paging_offset": _q_paging,
+        "diverse_rerank": _q_diverse,
+        "proximity_ladder": _q_proximity,
         "goggles_rerank": _q_goggles_rerank,
         "autosuggest_prefix": _q_autosuggest,
         # dedup family
@@ -1194,10 +1277,57 @@ def _materialize_expected(sf_dir: str = "/root/testdata/sf0.01") -> None:
             ],
         }
 
+    def prox_build(cols):
+        # plain-Python proximity ladder over the raw corpus: OracleIndex
+        # base (pytest rank-identity yardstick) + per-rung sloppy-chain
+        # phrase frequencies; mirrors SegmentIndex.search_proximity
+        # semantics end-to-end without touching Spark or the index
+        from stractt_spark.functions.bm25 import K1
+        from stractt_spark.functions.bm25 import idf as idf_fn
+        from stractt_spark.functions.bm25 import tf_component
+        from stractt_spark.operators.wand import (
+            PROXIMITY_LADDER,
+            sloppy_chain_count,
+        )
+        from stractt_spark.oracle import OracleIndex
+
+        oracle = OracleIndex(analyzer="ascii")
+        for d, t in zip(cols["doc_id"], cols["text"]):
+            oracle.add(int(d), t or "")
+        terms = ["hash", "join"]
+        base = oracle.search("hash join", k=40, mode="should")
+        w_phrase = sum(
+            idf_fn(oracle.doc_freq(t), oracle.num_docs) for t in terms
+        ) * (K1 + 1.0)
+        rescored = []
+        for d, s in base:
+            pos_lists = [
+                oracle.positions.get(t, {}).get(d) for t in terms
+            ]
+            bonus = 0.0
+            if all(p is not None for p in pos_lists):
+                import numpy as _np
+
+                arrs = [_np.asarray(p) for p in pos_lists]
+                for b, slop in PROXIMITY_LADDER:
+                    f = sloppy_chain_count(arrs, slop)
+                    if f:
+                        bonus += b * w_phrase * float(
+                            tf_component(f, oracle.doc_dl[d], oracle.avgdl)
+                        )
+            rescored.append((d, s + bonus))
+        rescored.sort(key=lambda r: (-r[1], r[0]))
+        top = rescored[:10]
+        return {
+            "doc_id": [d for d, _ in top],
+            "score": [round(s, 4) for _, s in top],
+        }
+
     _expected_parquet(sf_dir, "simhash", sim_build)
     _expected_parquet(sf_dir, "fingerprint", fp_build)
     _expected_parquet(sf_dir, "stemmap", stem_build)
     _expected_parquet(sf_dir, "snippets", snip_build)
+    _expected_parquet(sf_dir, "proximity", prox_build)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1260,6 +1390,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snippets": _snippets_sql(),
         "bm25_stemmed": _stemmed_sql(["merges", "sorting"]),
+        "paging_offset": _bm25_sql(["the"], "should").replace(
+            "LIMIT 10", "LIMIT 10 OFFSET 10"
+        ),
+        "diverse_rerank": _diverse_sql(),
+        "proximity_ladder": (
+            "SELECT doc_id, score "
+            "FROM '/tmp/stractt_expected_proximity.parquet'"
+        ),
         "cosine_top10": _COSINE_SQL,
         "ann_lsh_top10": _COSINE_SQL,  # max_mismatch = n_planes ⇒ exact
         "ann_bucketed_top10": _ANN_BUCKETED_SQL,
