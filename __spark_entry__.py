@@ -744,6 +744,71 @@ def _snippets_sql() -> str:
     )
 
 
+def _q_bm25_multilang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a per-language-stemmed index (analyzer=stemmed_multi):
+    each text is language-detected and stemmed with the matching Snowball
+    stemmer (es→Spanish, de→German, else English Porter — the reference's
+    whatlang dispatch, src/tokenizer.rs:24-47,139-155).  Oracle: raw SQL
+    tokens joined against the materialized per-(lang, term) stem table
+    via each doc's detected language, then the ordinary full-scan BM25."""
+    import hashlib
+
+    from stractt_spark.plans.build import SegmentIndex, build_index_fused
+
+    _materialize_expected(sf_dir)
+    key = "multilang:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = "/tmp/stractt_entry_multilang_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        build_index_fused(
+            spark, docs, out, text_col="text", id_col="doc_id",
+            analyzer="stemmed_multi", docs_per_segment=256,
+        )
+        _WAND_INDEX_CACHE[key] = SegmentIndex(spark, out)
+    idx = _WAND_INDEX_CACHE[key]
+    top = idx.search("merges sorting", k=10, mode="should")
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _multilang_sql(query: str) -> str:
+    from stractt_spark.functions.tokenizer import get_analyzer
+
+    qstems = sorted(set(get_analyzer("stemmed_multi")(query)))
+    tlist = ", ".join(f"'{s}'" for s in qstems)
+    stoks = (
+        "rawtoks AS (SELECT d.doc_id AS doc_id, t.term AS term "
+        "FROM documents d, unnest(regexp_extract_all(lower(d.text), "
+        f"'{TOKEN_RE}')) AS t(term)), "
+        "dlang AS (SELECT * FROM '/tmp/stractt_expected_doclang.parquet'), "
+        "smap AS (SELECT * FROM '/tmp/stractt_expected_multistem.parquet'), "
+        "toks AS (SELECT r.doc_id AS doc_id, "
+        "coalesce(m.stem, r.term) AS term "
+        "FROM rawtoks r JOIN dlang dl ON dl.doc_id = r.doc_id "
+        "LEFT JOIN smap m ON m.term = r.term AND m.lang = dl.lang)"
+    )
+    per_term = (
+        "SELECT tf.doc_id, tf.term, "
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2 * (tf.tf / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * q.dl_quant / s.avgdl))) AS ts "
+        "FROM tf JOIN dlq q ON tf.doc_id = q.doc_id "
+        "JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df "
+        "ON tf.term = df.term CROSS JOIN stats s "
+        f"WHERE tf.term IN ({tlist})"
+    )
+    return (
+        f"WITH {_NORM_CTE}, {stoks}, {_TF_CTE}, {_DL_CTE}, {_DLQ_CTE}, "
+        f"{_STATS_CTE}, per_term AS ({per_term}) "
+        "SELECT doc_id, round(sum(ts), 4) AS score FROM per_term "
+        "GROUP BY doc_id "
+        "ORDER BY sum(ts) DESC, doc_id ASC LIMIT 10"
+    )
+
+
 def _q_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SECOND page (offset 10, page size 10) of a one-term query —
     the reference's top_n = page_size + offset collector cut + driver
@@ -1131,6 +1196,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stemmed": _q_bm25_stemmed,
         "bm25_multifield": _q_bm25_multifield,
         "bm25_mf_presorted_quota": _q_bm25_mf_presorted_quota,
+        "bm25_multilang": _q_bm25_multilang,
         "paging_offset": _q_paging,
         "diverse_rerank": _q_diverse,
         "proximity_ladder": _q_proximity,
@@ -1323,11 +1389,44 @@ def _materialize_expected(sf_dir: str = "/root/testdata/sf0.01") -> None:
             "score": [round(s, 4) for _, s in top],
         }
 
+    def doclang_build(cols):
+        # per-doc detected language (the dispatching analyzer's own
+        # heuristic — its Spark/SQL twin is separately gated by lang_id)
+        from stractt_spark.functions.stem_multi import detect_lang_tokens
+
+        return {
+            "doc_id": list(cols["doc_id"]),
+            "lang": [detect_lang_tokens(tok(t or "")) for t in cols["text"]],
+        }
+
+    def multistem_build(cols):
+        # (lang, term, stem) over the corpus vocabulary for every
+        # detectable language — the per-language Snowball/Porter maps are
+        # deterministic, so the oracle can JOIN instead of stemming
+        from stractt_spark.functions.stem_multi import stem_for_lang
+        from stractt_spark.operators.textstats import LANG_STOPWORDS
+
+        vocab = set()
+        for t in cols["text"]:
+            vocab.update(tok(t or ""))
+        langs, terms_, stems = [], [], []
+        for lang in sorted(LANG_STOPWORDS):
+            stemmer = stem_for_lang(lang)
+            for w in sorted(vocab):
+                s = stemmer(w)
+                if s != w:
+                    langs.append(lang)
+                    terms_.append(w)
+                    stems.append(s)
+        return {"lang": langs, "term": terms_, "stem": stems}
+
     _expected_parquet(sf_dir, "simhash", sim_build)
     _expected_parquet(sf_dir, "fingerprint", fp_build)
     _expected_parquet(sf_dir, "stemmap", stem_build)
     _expected_parquet(sf_dir, "snippets", snip_build)
     _expected_parquet(sf_dir, "proximity", prox_build)
+    _expected_parquet(sf_dir, "doclang", doclang_build)
+    _expected_parquet(sf_dir, "multistem", multistem_build)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1390,6 +1489,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snippets": _snippets_sql(),
         "bm25_stemmed": _stemmed_sql(["merges", "sorting"]),
+        "bm25_multilang": _multilang_sql("merges sorting"),
         "paging_offset": _bm25_sql(["the"], "should").replace(
             "LIMIT 10", "LIMIT 10 OFFSET 10"
         ),

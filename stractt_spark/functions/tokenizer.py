@@ -159,6 +159,39 @@ def tokenize_stemmed_ascii(text: str) -> list[str]:
     return [_STEM_CACHE(t) for t in _ASCII_RE.findall(text.lower())]
 
 
+class _LangStemCaches:
+    def __init__(self) -> None:
+        self._caches: dict[str, dict[str, str]] = {}
+
+    def stem(self, lang: str, token: str) -> str:
+        cache = self._caches.setdefault(lang, {})
+        s = cache.get(token)
+        if s is None:
+            from .stem_multi import stem_for_lang
+
+            s = stem_for_lang(lang)(token)
+            if len(cache) >= (1 << 20):
+                cache.clear()
+            cache[token] = s
+        return s
+
+
+_MULTI_STEM_CACHE = _LangStemCaches()
+
+
+def tokenize_stemmed_multi(text: str) -> list[str]:
+    """Language-dispatching Stemmed analyzer: detect the text's language
+    (stopword-overlap heuristic — the dependency-free analogue of the
+    reference's per-stream whatlang call, tokenizer.rs:139-155) and stem
+    with the matching Snowball stemmer (es→Spanish, de→German, everything
+    else→English Porter, mirroring the reference's fallback arm)."""
+    from .stem_multi import detect_lang_tokens
+
+    toks = _SIMPLE_RE.findall(text.lower())
+    lang = detect_lang_tokens(toks)
+    return [_MULTI_STEM_CACHE.stem(lang, t) for t in toks]
+
+
 ANALYZERS = {
     "simple": tokenize_simple,
     "normal": tokenize_normal,
@@ -167,6 +200,7 @@ ANALYZERS = {
     "identity": tokenize_identity,
     "stemmed": tokenize_stemmed,
     "stemmed_ascii": tokenize_stemmed_ascii,
+    "stemmed_multi": tokenize_stemmed_multi,
 }
 
 
