@@ -496,9 +496,17 @@ class SegmentIndex:
         self.term_stats = spark.read.parquet(self.paths.term_stats)
         self.analyzer = self.stats["analyzer"]
         self.presorted = bool(self.stats.get("presorted"))
-        self.docmap = (
-            spark.read.parquet(self.paths.docmap) if self.presorted else None
-        )
+        self.docmap = None
+        if self.presorted:
+            # docmap = the batch build's map ∪ every LEDGERED streamed
+            # batch's map (same visibility rule as the segment dirs)
+            dm_dirs = [self.paths.docmap] + [
+                os.path.join(root, "batches", f"b{b}_docmap.parquet")
+                for b in self.stats.get("stream_batches", [])
+            ]
+            self.docmap = spark.read.parquet(
+                *[d for d in dm_dirs if os.path.isdir(d)]
+            )
 
     def cache(self) -> "SegmentIndex":
         self.segments = self.segments.cache()
@@ -598,6 +606,8 @@ class SegmentIndex:
         offset: int = 0,
         max_docs_per_segment: int | None = None,
         unsafe_quota: bool = False,
+        with_pre_score: bool = False,
+        orig_ids: bool = False,
     ):
         from ..operators.collector import page
 
@@ -605,7 +615,8 @@ class SegmentIndex:
             (r["doc_id"], r["score"])
             for r in self.search(
                 query, k, mode, phrase, offset, max_docs_per_segment,
-                unsafe_quota=unsafe_quota,
+                unsafe_quota=unsafe_quota, with_pre_score=with_pre_score,
+                orig_ids=orig_ids,
             ).collect()
         ]
         return page(rows, k, offset)

@@ -51,6 +51,10 @@ def batch_dir(index_dir: str, batch_id: int) -> str:
     return os.path.join(index_dir, "batches", f"b{batch_id}.parquet")
 
 
+def batch_docmap_dir(index_dir: str, batch_id: int) -> str:
+    return os.path.join(index_dir, "batches", f"b{batch_id}_docmap.parquet")
+
+
 def registered_paths(index_dir: str, stats: dict) -> list[str]:
     paths = IndexPaths(index_dir)
     return [paths.index] + [
@@ -64,29 +68,43 @@ def append_batch(
     batch_id: int,
     index_dir: str,
     order_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    pre_score_col: str | None = None,
 ) -> None:
-    """Append one micro-batch of docs as new segments (idempotent)."""
+    """Append one micro-batch of docs as new segments (idempotent).
+
+    PRESORTED indexes: the batch must carry its docs' pre-computed scores
+    (``pre_score_col``) and a numeric original-id column named like the
+    build's ``id_col``.  New internal ids are assigned by pre-score rank
+    WITHIN the batch's fresh segments only — the deferred-remap
+    discipline: every segment stays internally pre-ordered (which is what
+    the per-segment quota soundness needs), global re-sort is deferred to
+    a future full merge exactly like the reference's deferred docID remap
+    (src/inverted_index.rs:100-106 sort order is per-segment at commit).
+    The batch's (doc_id, orig_id, pre_score) rows land in a per-batch
+    docmap dir, visible only once the batch id is ledgered."""
     paths = IndexPaths(index_dir)
     with open(paths.stats) as f:
         stats = json.load(f)
     if batch_id in set(stats.get("stream_batches", [])):
         return  # already committed
-    # flavor guards: appending to a presorted index would write segments
-    # with pre_bytes=None / non-pre-ranked ids (silently breaking the quota
-    # soundness premise), and appending to a multi-field index would
-    # tokenize one column into the un-prefixed term namespace — both are
-    # silent corruption, so refuse loudly until streaming supports them
-    if stats.get("presorted"):
-        raise ValueError(
-            "streaming append to a PRESORTED index is not supported: new "
-            "docs would not be pre-score ranked (quota would be unsound); "
-            "rebuild with build_index_fused(pre_scores=...) instead"
-        )
+    # flavor guard: appending to a multi-field index would tokenize one
+    # column into the un-prefixed term namespace — silent corruption
     if "multifield" in stats:
         raise ValueError(
             "streaming append to a MULTI-FIELD index is not supported: "
             "batch tokens would land in the un-prefixed term namespace; "
             "rebuild with build_index_fused_multifield instead"
+        )
+    presorted = bool(stats.get("presorted"))
+    if presorted and pre_score_col is None:
+        raise ValueError(
+            "this index is PRESORTED: streaming appends must supply "
+            "pre_score_col so new segments stay internally pre-ordered "
+            "(quota soundness premise)"
+        )
+    if not presorted and pre_score_col is not None:
+        raise ValueError(
+            "pre_score_col given but the index is not presorted"
         )
     # build options come from the index itself
     text_col = stats.get("text_col", "content")
@@ -103,14 +121,40 @@ def append_batch(
     base = ((hwm + dps - 1) // dps) * dps
     from ..operators.postings import assign_doc_ids
 
-    src = batch_df.drop("doc_id") if "doc_id" in batch_df.columns else batch_df
-    docs = assign_doc_ids(src, list(order_cols)).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(base)
-    )
+    pre_col = None
+    if presorted:
+        id_col = stats.get("id_col", "doc_id")
+        if id_col not in batch_df.columns:
+            raise ValueError(
+                f"presorted append needs the original id column {id_col!r} "
+                "in the batch (docmap orig_id)"
+            )
+        pre_col = "_pre"
+        ranked = (
+            batch_df.withColumnRenamed(id_col, "_orig")
+            .withColumn(pre_col, F.col(pre_score_col).cast("double"))
+            .withColumn("_neg_pre", -F.col(pre_col))
+        )
+        docs = assign_doc_ids(ranked, ["_neg_pre", "_orig"]).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(base)
+        )
+        bdocmap = batch_docmap_dir(index_dir, batch_id)
+        (
+            docs.select(
+                "doc_id", F.col("_orig").cast("long").alias("orig_id"),
+                F.col(pre_col).alias("pre_score"),
+            )
+            .write.mode("overwrite").parquet(bdocmap)
+        )
+    else:
+        src = batch_df.drop("doc_id") if "doc_id" in batch_df.columns else batch_df
+        docs = assign_doc_ids(src, list(order_cols)).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(base)
+        )
 
     unified = build_segments_fused(
         docs, text_col, "doc_id", analyzer, dps,
-        include_positions=positions, attr_cols=attr_cols,
+        include_positions=positions, attr_cols=attr_cols, pre_col=pre_col,
     )
     bdir = batch_dir(index_dir, batch_id)
     (
@@ -231,6 +275,7 @@ def stream_ingest(
     checkpoint_dir: str,
     order_cols: tuple[str, ...] = ("repo", "path", "commit"),
     available_now: bool = True,
+    pre_score_col: str | None = None,
     **_compat,
 ):
     """readStream(parquet files in input_dir) → incremental index appends.
@@ -238,12 +283,14 @@ def stream_ingest(
     ``available_now=True`` drains everything currently present and stops
     (test/backfill mode); False runs continuously per micro-batch.
     Tokenizer/positions/attr options always come from the target index's
-    stats.json.
+    stats.json.  ``pre_score_col``: required when the target index is
+    PRESORTED (see append_batch).
     """
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        append_batch(spark, batch_df, batch_id, index_dir, order_cols=order_cols)
+        append_batch(spark, batch_df, batch_id, index_dir,
+                     order_cols=order_cols, pre_score_col=pre_score_col)
 
     writer = (
         stream.writeStream.foreachBatch(process)
