@@ -11,15 +11,23 @@ optional stop-word removal (``src/tokenizer.rs:127-137``); ``Identity``
 keeps the whole string as one token (``:157-202``).
 
 Python's ``\\w`` (unicode by default) already contains Han / Hiragana /
-Katakana / Cyrillic / Arabic letters, so ``\\w+|[^\\w\\s]`` reproduces the
-reference token stream on ordinary text: greedy word runs, then each
-remaining non-space char alone.  Two deliberate divergences from the
-reference lexer (kept for regex-engine parity, documented rather than
-mirrored): (a) the reference word class contains a literal ``|`` (its
-Logos class ``[\\w|...]+`` — ``a|b`` is ONE token there, three here);
-(b) the reference skip set is exactly ``[ \\t\\n\\f]+`` — it emits ``\\r``
-and Unicode spaces as single-char tokens, while Python ``\\s`` skips
-them.
+Katakana / Cyrillic / Arabic letters, so the run class ``[\\w|]`` below is
+EXACTLY the reference's Logos class ``[\\w|\\p{Han}|...]+``: Logos compiles
+``#[regex]`` patterns through ``regex-syntax``, whose ``\\w`` is
+Unicode-aware — the explicit script alternatives in the reference class
+are redundant with ``\\w`` (each named script is Alphabetic, hence in
+``\\w``), and the class also contains the LITERAL ``|`` characters of the
+alternation-free class syntax, so ``a|b`` lexes as ONE token.  That
+``\\w`` is Unicode there (not ASCII) is independently forced by the
+reference's own design: the ``Stemmed`` analyzer feeds these tokens to
+per-language Snowball stemmers picked by whatlang
+(``src/tokenizer.rs:24-47,139-155``) — accented Latin (``schön``,
+``año``) must lex as word runs or German/Spanish stemming could never
+fire.  Consequently Greek/Hebrew/accented-Latin are run-class in BOTH
+engines.  The skip set is exactly ``[ \\t\\n\\f]+`` — ``\\r``, ``\\v`` and
+Unicode spaces are NOT skipped and fall to the Error arm, i.e. they are
+emitted as single-char tokens consuming a position; the single-char
+class below excludes exactly the four skip characters to match.
 
 Two extra analyzers exist for the code corpus (north star: "code-aware
 tokenizer: identifier splitting, lowercase, stoplist"):
@@ -41,9 +49,11 @@ from __future__ import annotations
 import re
 from collections.abc import Iterable
 
-# Reference-exact pattern (unicode \w covers Han/Hiragana/Katakana/
-# Cyrillic/Arabic, matching the Logos lexer classes).
-_SIMPLE_RE = re.compile(r"\w+|[^\w\s]")
+# Reference-exact pattern: word runs over [\w|] (unicode \w covers the
+# Logos class's named scripts; the literal | is part of the class), then
+# every char outside the exact [ \t\n\f] skip set as its own token
+# (tokenizer.rs:204-212 — the Error arm is emitted, not skipped).
+_SIMPLE_RE = re.compile(r"[\w|]+|[^\w| \t\n\f]")
 
 # Engine-agnostic ASCII variant; keep in sync with SQL_TOKEN_PATTERN.
 _ASCII_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
@@ -75,8 +85,11 @@ def tokenize_simple(text: str) -> list[str]:
 
 def tokenize_normal(text: str, stopwords: frozenset[str] = frozenset()) -> list[str]:
     """Reference ``Normal`` analyzer: Simple → lowercase → stoplist
-    (tokenizer.rs:127-137)."""
-    toks = _SIMPLE_RE.findall(text.lower())
+    (tokenizer.rs:127-137).  Lowercasing happens PER TOKEN after lexing
+    (the reference's LowerCaser is a token filter) — lowercasing the text
+    first would change tokenization for chars whose lowercase adds a
+    combining mark (``İ`` → ``i`` + U+0307, and U+0307 is not ``\\w``)."""
+    toks = [t.lower() for t in _SIMPLE_RE.findall(text)]
     if stopwords:
         toks = [t for t in toks if t not in stopwords]
     return toks
@@ -151,7 +164,7 @@ def tokenize_stemmed(text: str) -> list[str]:
     (tokenizer.rs:139-155; empty stoplist there too).  Re-scope: English
     Porter uniformly — the reference picks snowball by whatlang detection,
     but this corpus is source code with English identifiers/comments."""
-    return [_STEM_CACHE(t) for t in _SIMPLE_RE.findall(text.lower())]
+    return [_STEM_CACHE(t.lower()) for t in _SIMPLE_RE.findall(text)]
 
 
 def tokenize_stemmed_ascii(text: str) -> list[str]:
@@ -187,7 +200,7 @@ def tokenize_stemmed_multi(text: str) -> list[str]:
     else→English Porter, mirroring the reference's fallback arm)."""
     from .stem_multi import detect_lang_tokens
 
-    toks = _SIMPLE_RE.findall(text.lower())
+    toks = [t.lower() for t in _SIMPLE_RE.findall(text)]
     lang = detect_lang_tokens(toks)
     return [_MULTI_STEM_CACHE.stem(lang, t) for t in toks]
 

@@ -34,6 +34,53 @@ def test_simple_unicode_classes():
     assert tokenize_simple("مرحبا") == ["مرحبا"]
 
 
+def test_simple_greek_hebrew_accented_runs():
+    # Greek/Hebrew/accented Latin are \w in regex-syntax (which Logos
+    # compiles the reference class through), so they are RUN-class in both
+    # engines — the reference's whatlang→Snowball stemming design
+    # (tokenizer.rs:24-47,139-155) only works if accented Latin lexes as
+    # word runs, which pins \w there to the Unicode definition.
+    assert tokenize_simple("αλφα βητα") == ["αλφα", "βητα"]
+    assert tokenize_simple("שלום עולם") == ["שלום", "עולם"]
+    assert tokenize_simple("schön año élan") == ["schön", "año", "élan"]
+    # mixed scripts in one string: each run is one token, punctuation alone
+    assert tokenize_simple("get_data(αλφα).解析") == [
+        "get_data", "(", "αλφα", ")", ".", "解析",
+    ]
+
+
+def test_simple_literal_pipe_is_word_class():
+    # The reference Logos class [\w|\p{Han}|...] contains LITERAL '|'
+    # characters (class syntax has no alternation), so "a|b" is ONE token
+    # there (tokenizer.rs:206) — and now here.
+    assert tokenize_simple("a|b") == ["a|b"]
+    assert tokenize_simple("x || y") == ["x", "||", "y"]
+    assert tokenize_normal("A|B c") == ["a|b", "c"]
+
+
+def test_simple_skip_set_is_exact():
+    # Reference skip set is exactly [ \t\n\f]+ (tokenizer.rs:210-211):
+    # \r, \v and Unicode spaces are NOT skipped — they hit the Error arm
+    # and are emitted as single-char tokens consuming a position.
+    assert tokenize_simple("a \t\n\f b") == ["a", "b"]
+    assert tokenize_simple("a\r\nb") == ["a", "\r", "b"]
+    assert tokenize_simple("a\vb") == ["a", "\v", "b"]
+    assert tokenize_simple("a b") == ["a", " ", "b"]
+    # positions shift accordingly (Error tokens consume positions)
+    assert term_positions(tokenize_simple("a\r\nb")) == {
+        "a": [0], "\r": [1], "b": [2],
+    }
+
+
+def test_normal_lowercases_after_lexing():
+    # The reference LowerCaser is a TOKEN filter (lex original text, then
+    # lowercase each token).  'İ'.lower() adds a combining dot (U+0307,
+    # not \w) — lowering first would split the token; lowering per token
+    # keeps it whole.
+    assert tokenize_normal("İstanbul") == ["i̇stanbul"]
+    assert len(tokenize_normal("İstanbul")) == 1
+
+
 def test_normal_lowercases_and_stops():
     assert tokenize_normal("Foo.BAR") == ["foo", ".", "bar"]
     assert tokenize_normal("the Foo", stopwords=frozenset({"the"})) == ["foo"]
