@@ -233,99 +233,29 @@ def mf_term(field: str, token: str) -> str:
     return f"{MF_TERM_PREFIX}{field}{MF_TERM_SEP}{token}"
 
 
-def build_index_fused_multifield(
-    spark,
-    docs: DataFrame,
-    out_dir: str,
-    field_cols: dict[str, str],
-    id_col: str = "doc_id",
-    analyzer: str = "ascii",
-    docs_per_segment: int = 4096,
-    field_boosts: dict[str, float] | None = None,
+def build_segments_fused_multifield(
+    src: DataFrame,
+    fields: list[str],
+    analyzer: str,
+    docs_per_segment: int,
     positions: bool = False,
-    pre_scores: DataFrame | None = None,
-):
-    """Fused multi-field build: ONE shuffle (groupBy segment) + ONE Arrow
-    pass tokenizing every field; per-field posting blocks, per-field
-    packed norms, per-field exact avgdl in stats.json.  Returns
-    IndexPaths; open with :class:`MultiFieldSegmentIndex`.
-
-    ``positions=True`` stores per-field position streams (positions are
-    within the FIELD's own token sequence), enabling per-field
-    PhraseQueries (reference: phrases live inside the per-field Should,
-    src/query/parser.rs:54-91).
-
-    ``pre_scores``: (id_col, pre_score) — the build becomes PRESORTED
-    exactly like the single-field flavor (internal doc ids by pre-score
-    rank, docmap.parquet, packed f32 pre-scores in the main sentinel's
-    pos_bytes).  This composes the reference's index-wide sort order with
-    per-field postings (src/inverted_index.rs:100-106 sort order +
-    src/schema.rs:294-315 per-field schema — one index, both properties),
-    making the max-docs quota and pre+bm25 ranking available on
-    multi-field queries."""
-    import json
-    import os
-
+    with_pre: bool = False,
+) -> DataFrame:
+    """``src`` (doc_id, segment_id, _f_<field>..., [_pre]) → unified
+    multi-field index rows (per-field posting blocks + per-field packed
+    norm sentinels + the main meta sentinel) in ONE Arrow pass per
+    segment.  Shared by the batch build and streaming appends — a
+    streamed batch must produce byte-identical segment rows or appends
+    silently drift from the batch build."""
     import numpy as np
 
     from ..functions.codec import varint_encode
     from ..functions.fieldnorm import fieldnorm_to_id
     from ..functions.tokenizer import get_analyzer
-    from ..plans.build import IndexPaths
     from .segments import NORMS_SENTINEL, SEGMENTS_SCHEMA, encode_segment_arrays
 
     tokenize = get_analyzer(analyzer)
-    fields = sorted(field_cols)
-    boosts = field_boosts or DEFAULT_FIELD_BOOSTS
-    paths = IndexPaths(out_dir)
-    os.makedirs(out_dir, exist_ok=True)
-
-    pre_col = None
-    if pre_scores is not None:
-        from .postings import assign_doc_ids
-
-        pre_col = "_pre"
-        ranked = (
-            pre_scores.select(
-                F.col(id_col).cast("long").alias("orig_id"),
-                F.col("pre_score").cast("double").alias("pre_score"),
-            )
-            .withColumn("_neg_pre", -F.col("pre_score"))
-        )
-        docmap = assign_doc_ids(ranked, ["_neg_pre", "orig_id"]).select(
-            "doc_id", "orig_id", "pre_score"
-        )
-        docmap.write.mode("overwrite").parquet(paths.docmap)
-        docmap_df = spark.read.parquet(paths.docmap)
-        missing = (
-            docs.select(F.col(id_col).cast("long").alias("_orig"))
-            .join(
-                docmap_df.select(F.col("orig_id").alias("_orig")),
-                "_orig", "left_anti",
-            )
-            .count()
-        )
-        if missing:
-            raise ValueError(
-                f"presorted build: {missing} doc(s) have no pre_scores row "
-                "and would be dropped by the docmap join"
-            )
-        docs = docs.withColumnRenamed(id_col, "_orig").join(
-            docmap_df.select(
-                F.col("orig_id").alias("_orig"), "doc_id",
-                F.col("pre_score").alias(pre_col),
-            ),
-            "_orig",
-        )
-        id_col = "doc_id"
-
-    src = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        *[F.col(field_cols[f_]).alias(f"_f_{f_}") for f_ in fields],
-        *([F.col(pre_col).cast("double").alias("_pre")] if pre_col else []),
-    ).withColumn(
-        "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("int")
-    )
+    fields = sorted(fields)
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -391,7 +321,7 @@ def build_index_fused_multifield(
         # fields); presorted builds pack the per-doc f32 pre-scores into
         # its pos_bytes (same convention as the single-field flavor)
         pre_packed = None
-        if pre_col:
+        if with_pre:
             parr = np.zeros(span, dtype=np.float32)
             parr[local] = pdf["_pre"].to_numpy("float64").astype(np.float32)
             pre_packed = parr.tobytes()
@@ -431,7 +361,100 @@ def build_index_fused_multifield(
         )
         return pd.concat([meta, blocks], ignore_index=True)
 
-    unified = src.groupBy("segment_id").applyInPandas(encode, SEGMENTS_SCHEMA)
+    return src.groupBy("segment_id").applyInPandas(encode, SEGMENTS_SCHEMA)
+
+
+def build_index_fused_multifield(
+    spark,
+    docs: DataFrame,
+    out_dir: str,
+    field_cols: dict[str, str],
+    id_col: str = "doc_id",
+    analyzer: str = "ascii",
+    docs_per_segment: int = 4096,
+    field_boosts: dict[str, float] | None = None,
+    positions: bool = False,
+    pre_scores: DataFrame | None = None,
+):
+    """Fused multi-field build: ONE shuffle (groupBy segment) + ONE Arrow
+    pass tokenizing every field; per-field posting blocks, per-field
+    packed norms, per-field exact avgdl in stats.json.  Returns
+    IndexPaths; open with :class:`MultiFieldSegmentIndex`.
+
+    ``positions=True`` stores per-field position streams (positions are
+    within the FIELD's own token sequence), enabling per-field
+    PhraseQueries (reference: phrases live inside the per-field Should,
+    src/query/parser.rs:54-91).
+
+    ``pre_scores``: (id_col, pre_score) — the build becomes PRESORTED
+    exactly like the single-field flavor (internal doc ids by pre-score
+    rank, docmap.parquet, packed f32 pre-scores in the main sentinel's
+    pos_bytes).  This composes the reference's index-wide sort order with
+    per-field postings (src/inverted_index.rs:100-106 sort order +
+    src/schema.rs:294-315 per-field schema — one index, both properties),
+    making the max-docs quota and pre+bm25 ranking available on
+    multi-field queries."""
+    import json
+    import os
+
+    from ..plans.build import IndexPaths
+
+    fields = sorted(field_cols)
+    boosts = field_boosts or DEFAULT_FIELD_BOOSTS
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    pre_col = None
+    if pre_scores is not None:
+        from .postings import assign_doc_ids
+
+        pre_col = "_pre"
+        ranked = (
+            pre_scores.select(
+                F.col(id_col).cast("long").alias("orig_id"),
+                F.col("pre_score").cast("double").alias("pre_score"),
+            )
+            .withColumn("_neg_pre", -F.col("pre_score"))
+        )
+        docmap = assign_doc_ids(ranked, ["_neg_pre", "orig_id"]).select(
+            "doc_id", "orig_id", "pre_score"
+        )
+        docmap.write.mode("overwrite").parquet(paths.docmap)
+        docmap_df = spark.read.parquet(paths.docmap)
+        missing = (
+            docs.select(F.col(id_col).cast("long").alias("_orig"))
+            .join(
+                docmap_df.select(F.col("orig_id").alias("_orig")),
+                "_orig", "left_anti",
+            )
+            .count()
+        )
+        if missing:
+            raise ValueError(
+                f"presorted build: {missing} doc(s) have no pre_scores row "
+                "and would be dropped by the docmap join"
+            )
+        docs = docs.withColumnRenamed(id_col, "_orig").join(
+            docmap_df.select(
+                F.col("orig_id").alias("_orig"), "doc_id",
+                F.col("pre_score").alias(pre_col),
+            ),
+            "_orig",
+        )
+        id_col = "doc_id"
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(field_cols[f_]).alias(f"_f_{f_}") for f_ in fields],
+        *([F.col(pre_col).cast("double").alias("_pre")] if pre_col else []),
+    ).withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("int")
+    )
+
+    unified = build_segments_fused_multifield(
+        src, fields, analyzer, docs_per_segment,
+        positions=positions, with_pre=pre_col is not None,
+    )
     (
         unified.sortWithinPartitions("segment_id", "term", "block_id")
         .write.mode("overwrite").parquet(paths.index)
@@ -445,7 +468,10 @@ def build_index_fused_multifield(
     )
     from ..functions.codec import varint_decode
 
-    n_docs = docs.count()
+    agg = docs.agg(
+        F.count("*").alias("n"), F.max(F.col(id_col).cast("long")).alias("m")
+    ).collect()[0]
+    n_docs, max_id = int(agg["n"]), int(agg["m"]) if agg["m"] is not None else -1
     field_totals: dict[str, int] = {f_: 0 for f_ in fields}
     for r in (
         unified.filter(F.col("term").startswith(MF_NORMS_PREFIX))
@@ -460,9 +486,20 @@ def build_index_fused_multifield(
         "layout": "fused",
         "positions": positions,
         "presorted": pre_scores is not None,
+        # next_doc_id: high-water mark for streaming appends (fresh
+        # segment boundary past it, streaming/ingest.py); non-presorted
+        # builds index the caller's ids verbatim, so the mark is max+1
+        "next_doc_id": max_id + 1,
         "multifield": {
             "fields": fields,
+            # batch-col-per-field mapping: streaming appends read it so a
+            # micro-batch tokenizes the same columns into the same
+            # per-field namespaces as the build
+            "field_cols": dict(field_cols),
             "boosts": {f_: float(boosts.get(f_, 1.0)) for f_ in fields},
+            # exact per-field token totals: incremental avgdl updates on
+            # append use integer totals, never float re-derivation
+            "field_totals": {f_: int(field_totals[f_]) for f_ in fields},
             "avgdl": {
                 f_: (field_totals[f_] / n_docs if n_docs else 0.0)
                 for f_ in fields
@@ -498,7 +535,11 @@ class MultiFieldSegmentIndex:
         self.boosts: dict[str, float] = mf["boosts"]
         self.avgdl: dict[str, float] = mf["avgdl"]
         self.analyzer = self.stats["analyzer"]
-        unified = spark.read.parquet(self.paths.index)
+        # main table ∪ every LEDGERED streamed batch dir (same visibility
+        # rule as the single-field SegmentIndex)
+        from ..streaming.ingest import registered_paths
+
+        unified = spark.read.parquet(*registered_paths(root, self.stats))
         self.segments = unified.filter(~F.col("term").startswith("\x00"))
         # ALL sentinel rows (per-field norms + the main meta row whose
         # pos_bytes carries packed pre-scores on presorted builds) — the
@@ -515,9 +556,19 @@ class MultiFieldSegmentIndex:
         )
         self.term_stats = spark.read.parquet(self.paths.term_stats)
         self.presorted = bool(self.stats.get("presorted"))
-        self.docmap = (
-            spark.read.parquet(self.paths.docmap) if self.presorted else None
-        )
+        self.docmap = None
+        if self.presorted:
+            import os
+
+            from ..streaming.ingest import batch_docmap_dir
+
+            dm_dirs = [self.paths.docmap] + [
+                batch_docmap_dir(root, b)
+                for b in self.stats.get("stream_batches", [])
+            ]
+            self.docmap = spark.read.parquet(
+                *[d for d in dm_dirs if os.path.isdir(d)]
+            )
 
     def cache(self) -> "MultiFieldSegmentIndex":
         self.segments = self.segments.cache()

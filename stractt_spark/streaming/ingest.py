@@ -87,13 +87,14 @@ def append_batch(
         stats = json.load(f)
     if batch_id in set(stats.get("stream_batches", [])):
         return  # already committed
-    # flavor guard: appending to a multi-field index would tokenize one
-    # column into the un-prefixed term namespace — silent corruption
-    if "multifield" in stats:
+    mf = stats.get("multifield")
+    if mf is not None and "field_cols" not in mf:
+        # indexes written before field_cols landed in stats: appending
+        # would have to guess which batch columns feed which fields
         raise ValueError(
-            "streaming append to a MULTI-FIELD index is not supported: "
-            "batch tokens would land in the un-prefixed term namespace; "
-            "rebuild with build_index_fused_multifield instead"
+            "this MULTI-FIELD index predates streaming support (stats has "
+            "no multifield.field_cols); rebuild with "
+            "build_index_fused_multifield to enable appends"
         )
     presorted = bool(stats.get("presorted"))
     if presorted and pre_score_col is None:
@@ -152,10 +153,30 @@ def append_batch(
             "doc_id", F.col("doc_id") + F.lit(base)
         )
 
-    unified = build_segments_fused(
-        docs, text_col, "doc_id", analyzer, dps,
-        include_positions=positions, attr_cols=attr_cols, pre_col=pre_col,
-    )
+    if mf is not None:
+        # per-field namespaces: the batch tokenizes the SAME columns into
+        # the SAME '\x02field\x1ftoken' terms as the build, with per-field
+        # norm sentinel rows — one shared encoder guarantees it
+        from ..operators.multifield import build_segments_fused_multifield
+
+        fields = sorted(mf["fields"])
+        fcols = mf["field_cols"]
+        src = docs.select(
+            "doc_id",
+            *[F.col(fcols[f_]).alias(f"_f_{f_}") for f_ in fields],
+            *([F.col(pre_col).alias("_pre")] if pre_col else []),
+        ).withColumn(
+            "segment_id", (F.col("doc_id") / F.lit(dps)).cast("int")
+        )
+        unified = build_segments_fused_multifield(
+            src, fields, analyzer, dps,
+            positions=positions, with_pre=pre_col is not None,
+        )
+    else:
+        unified = build_segments_fused(
+            docs, text_col, "doc_id", analyzer, dps,
+            include_positions=positions, attr_cols=attr_cols, pre_col=pre_col,
+        )
     bdir = batch_dir(index_dir, batch_id)
     (
         unified.sortWithinPartitions("segment_id", "term", "block_id")
@@ -189,7 +210,7 @@ def append_batch(
         full = spark.read.parquet(*registered_paths(index_dir, stats))
         tmp_dir = paths.term_stats + ".tmp"
         merged_term_stats(
-            full.filter(F.col("term") != NORMS_SENTINEL)
+            full.filter(~F.col("term").startswith("\x00"))
             .groupBy("term").agg(F.sum("num_docs").cast("long").alias("df")),
             batch_unified,
         ).write.mode("overwrite").parquet(tmp_dir)
@@ -220,6 +241,23 @@ def append_batch(
     stats["avgdl"] = (
         stats["total_tokens"] / stats["num_docs"] if stats["num_docs"] else 0.0
     )
+    if mf is not None:
+        # per-field avgdl from exact integer token totals: the batch's
+        # per-field norm sentinel rows carry [field_tokens, n_docs]
+        from ..operators.multifield import MF_NORMS_PREFIX
+
+        for r in (
+            batch_unified.filter(F.col("term").startswith(MF_NORMS_PREFIX))
+            .select("term", "tf_bytes").collect()
+        ):
+            f_ = r["term"][len(MF_NORMS_PREFIX):]
+            mf["field_totals"][f_] += int(
+                varint_decode(bytes(r["tf_bytes"]))[0]
+            )
+        mf["avgdl"] = {
+            f_: mf["field_totals"][f_] / stats["num_docs"]
+            for f_ in mf["field_totals"]
+        }
     stats.setdefault("stream_batches", []).append(batch_id)
     tmp = paths.stats + ".tmp"
     with open(tmp, "w") as f:
@@ -229,9 +267,11 @@ def append_batch(
 
 def merged_term_stats(old_stats: DataFrame, batch_unified: DataFrame) -> DataFrame:
     """old (term, df) ⊎ the new batch's per-term dfs — exact because the
-    batch's doc space is disjoint from everything ledgered."""
+    batch's doc space is disjoint from everything ledgered.  All
+    ``\\x00``-prefixed rows are metadata (the main sentinel AND the
+    multi-field per-field norm rows), never countable terms."""
     delta = (
-        batch_unified.filter(F.col("term") != NORMS_SENTINEL)
+        batch_unified.filter(~F.col("term").startswith("\x00"))
         .groupBy("term")
         .agg(F.sum("num_docs").cast("long").alias("df"))
     )

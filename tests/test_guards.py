@@ -79,11 +79,25 @@ def test_append_refuses_presorted_index(spark, corpora):
         append_batch(spark, extra, 0, presorted_dir)
 
 
-def test_append_refuses_multifield_index(spark, corpora):
+def test_append_refuses_legacy_multifield_index(spark, corpora):
+    """MF appends need the build's field_cols mapping in stats; an index
+    written before that landed must refuse instead of guessing which
+    batch columns feed which fields."""
     _, _, _, mf_dir = corpora
+    with open(f"{mf_dir}/stats.json") as f:
+        stats = json.load(f)
+    legacy = dict(stats)
+    legacy["multifield"] = {
+        k: v for k, v in stats["multifield"].items() if k != "field_cols"
+    }
+    legacy_dir = f"{BASE}/mf_legacy"
+    shutil.rmtree(legacy_dir, ignore_errors=True)
+    shutil.copytree(mf_dir, legacy_dir)
+    with open(f"{legacy_dir}/stats.json", "w") as f:
+        json.dump(legacy, f)
     extra = _df(spark, make_corpus(130)[120:130])
-    with pytest.raises(ValueError, match="MULTI-FIELD"):
-        append_batch(spark, extra, 0, mf_dir)
+    with pytest.raises(ValueError, match="field_cols"):
+        append_batch(spark, extra, 0, legacy_dir)
 
 
 def test_presorted_build_refuses_missing_pre_scores(spark, corpora):
