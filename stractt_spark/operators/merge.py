@@ -150,12 +150,17 @@ def merge_indexes(
                 "per-field rows would decode as corrupt single-field "
                 "postings; rebuild the union with build_index_fused_multifield"
             )
-        if st.get("presorted"):
-            raise ValueError(
-                f"merge_indexes cannot merge the PRESORTED index at {d}: "
-                "remapping would break pre-score rank order; rebuild the "
-                "union with build_index_fused(pre_scores=...)"
-            )
+    n_pre = sum(bool(st.get("presorted")) for st in stats)
+    if n_pre == len(stats) and stats:
+        return _merge_presorted(
+            spark, source_dirs, stats, out_dir, docs_per_segment
+        )
+    if n_pre:
+        raise ValueError(
+            "merge_indexes cannot mix PRESORTED and doc-id-ordered "
+            "sources: the merged order would be neither (docs without "
+            "pre-scores cannot be globally re-ranked)"
+        )
     # merged index keeps positions iff EVERY source has them
     positions = all(st.get("positions") for st in stats)
 
@@ -231,4 +236,294 @@ def merge_indexes(
         json.dump({"stages": {s: {"ok": True, "fingerprint": "merge"} for s in
                               ("postings", "segments", "norms", "term_stats", "stats")}},
                   f)
+    return out
+
+
+def decode_exact_dls(norms: DataFrame) -> DataFrame:
+    """Sentinel rows → exact per-doc token counts ``(doc_id, dl)``.
+
+    The fused build's main sentinel carries the EXACT span-aligned per-doc
+    token counts after its 5 metric values (segments.py meta_row) — the
+    quantized norm bytes alone cannot reproduce them, and the merged
+    index's sentinels must carry them again (trailing-anchor goggle
+    patterns read the tail).  Emits every span slot including dl=0 gap
+    ids; joins against the docmap drop those."""
+    from ..functions.codec import varint_decode
+
+    def run(pdfs):
+        for pdf in pdfs:
+            outs = []
+            for _, r in pdf.iterrows():
+                vals = varint_decode(bytes(r["meta_bytes"]))
+                span = int(r["n_docs"])
+                base = int(r["base_doc_id"])
+                dl = np.asarray(vals[5:5 + span], dtype=np.int64)
+                outs.append(pd.DataFrame({
+                    "doc_id": pd.Series(
+                        base + np.arange(span, dtype=np.int64), dtype="int64"
+                    ),
+                    "dl": pd.Series(dl, dtype="int64"),
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return norms.select("base_doc_id", "n_docs", "meta_bytes").mapInPandas(
+        run, "doc_id long, dl long"
+    )
+
+
+def reencode_fused_presorted(
+    postings: DataFrame,
+    docside: DataFrame,
+    docs_per_segment: int,
+    include_positions: bool,
+) -> DataFrame:
+    """(remapped postings, per-doc (doc_id, pre_score, dl)) → unified fused
+    rows BYTE-IDENTICAL to what ``build_index_fused(pre_scores=...)`` would
+    write for the same logical corpus: same block encode, same packed
+    norms (recomputed from the exact dls), same packed f32 pre-scores and
+    exact dl tail in the sentinel.  One cogroup on the new segment id —
+    postings arrive already remapped, so this is the merge's only wide
+    exchange over posting rows."""
+    from ..functions.codec import varint_encode
+    from ..functions.fieldnorm import fieldnorm_to_id
+    from .segments import NORMS_SENTINEL, SEGMENTS_SCHEMA, encode_segment_arrays
+
+    dps = docs_per_segment
+
+    def run(key, post_pdf: pd.DataFrame, doc_pdf: pd.DataFrame):
+        seg = int(key[0])
+        base = seg * dps
+        local_d = doc_pdf["doc_id"].to_numpy("int64") - base
+        span = int(local_d.max()) + 1 if len(local_d) else 0
+        dls = doc_pdf["dl"].to_numpy("int64")
+        narr = np.zeros(span, dtype=np.uint8)
+        narr[local_d] = fieldnorm_to_id(dls).astype(np.uint8)
+        parr = np.zeros(span, dtype=np.float32)
+        parr[local_d] = doc_pdf["pre_score"].to_numpy("float64").astype(
+            np.float32
+        )
+        dl_span = np.zeros(span, dtype=np.uint64)
+        dl_span[local_d] = dls.astype(np.uint64)
+
+        def meta_row(n_postings: int, n_blocks: int, nbytes: int):
+            stats_vals = np.concatenate([
+                np.array(
+                    [int(dls.sum()), len(doc_pdf), n_postings, n_blocks,
+                     nbytes],
+                    dtype=np.uint64,
+                ),
+                dl_span,
+            ])
+            return pd.DataFrame({
+                "segment_id": pd.Series([seg], dtype="int32"),
+                "term": pd.Series([NORMS_SENTINEL], dtype="object"),
+                "block_id": pd.Series([-1], dtype="int32"),
+                "first_doc_id": pd.Series([base], dtype="int64"),
+                "last_doc_id": pd.Series([base + span - 1], dtype="int64"),
+                "num_docs": pd.Series([span], dtype="int32"),
+                "id_bytes": pd.Series([narr.tobytes()], dtype="object"),
+                "tf_bytes": pd.Series([varint_encode(stats_vals)],
+                                      dtype="object"),
+                "pos_bytes": pd.Series([parr.tobytes()], dtype="object"),
+                "max_tf": pd.Series([0], dtype="int32"),
+                "min_norm_id": pd.Series([0], dtype="int32"),
+            })
+
+        if not len(post_pdf):
+            return meta_row(0, 0, 0)
+        codes, uniq = pd.factorize(post_pdf["term"], sort=True)
+        ids = post_pdf["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, codes))
+        tfs = post_pdf["tf"].to_numpy(dtype=np.int64)[order]
+        positions_flat = None
+        if include_positions:
+            pos_obj = post_pdf["positions"].to_numpy(dtype=object)[order]
+            positions_flat = np.fromiter(
+                (v for sub in pos_obj for v in sub),
+                dtype=np.int64, count=int(tfs.sum()),
+            )
+        ids_sorted = ids[order]
+        blocks = encode_segment_arrays(
+            seg, codes[order], np.asarray(uniq, dtype=object),
+            ids_sorted, tfs,
+            narr[ids_sorted - base].astype(np.int64),
+            positions_flat,
+        )
+        nbytes = int(
+            blocks["id_bytes"].str.len().sum()
+            + blocks["tf_bytes"].str.len().sum()
+        )
+        return pd.concat(
+            [meta_row(len(ids_sorted), len(blocks), nbytes), blocks],
+            ignore_index=True,
+        )
+
+    return (
+        postings.groupBy("segment_id")
+        .cogroup(docside.groupBy("segment_id"))
+        .applyInPandas(run, SEGMENTS_SCHEMA)
+    )
+
+
+def _merge_presorted(
+    spark: SparkSession,
+    source_dirs: list[str],
+    stats: list[dict],
+    out_dir: str,
+    docs_per_segment: int | None,
+) -> "IndexPaths":
+    """Merge N PRESORTED indexes into one globally re-sorted presorted
+    index — the deferred re-sort that completes the streaming story:
+    streamed appends keep each new segment internally pre-ordered
+    (batch-local rank), and the merge restores the INDEX-WIDE pre-score
+    order the reference maintains (src/inverted_index.rs:100-106), so the
+    max-docs quota is sound again with the tightest possible cut.
+
+    Internal ids are reassigned by global (pre desc, orig id asc) rank
+    over the UNION of every source's docmap (build docmap + ledgered
+    batch docmaps); postings are decoded once per source, remapped
+    internal → orig → new id, and re-encoded into fused unified rows
+    byte-identical to a one-shot ``build_index_fused(pre_scores=...)``
+    over the union."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..plans.build import IndexPaths
+    from ..streaming.ingest import batch_docmap_dir, registered_paths
+    from .postings import assign_doc_ids
+    from .segments import split_unified
+
+    analyzer = stats[0]["analyzer"]
+    dps = docs_per_segment or stats[0]["docs_per_segment"]
+    positions = all(st.get("positions") for st in stats)
+    out = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # 1. every source's visible docmap (build map ∪ ledgered batch maps);
+    # read FRESH per use — shared scans across the final cogroup's two
+    # sides trip the analyzer's ambiguous-self-join check
+    def read_src_dm(d: str, st: dict) -> DataFrame:
+        p = IndexPaths(d)
+        dirs = [p.docmap] + [
+            batch_docmap_dir(d, b) for b in st.get("stream_batches", [])
+        ]
+        return spark.read.parquet(*[x for x in dirs if os.path.isdir(x)])
+
+    all_dm = None
+    for d, st in zip(source_dirs, stats):
+        x = read_src_dm(d, st)
+        all_dm = x if all_dm is None else all_dm.unionByName(x)
+    counts = all_dm.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("orig_id").alias("u"),
+    ).collect()[0]
+    if counts["n"] != counts["u"]:
+        raise ValueError(
+            f"presorted merge: original ids collide across sources "
+            f"({counts['n']} docmap rows, {counts['u']} distinct orig ids)"
+        )
+    num_docs = int(counts["n"])
+
+    # 2. global docmap: new internal ids by (pre desc, orig asc) — the
+    # identical ranking rule the presorted build uses
+    ranked = all_dm.select("orig_id", "pre_score").withColumn(
+        "_neg_pre", -F.col("pre_score")
+    )
+    assign_doc_ids(ranked, ["_neg_pre", "orig_id"]).select(
+        "doc_id", "orig_id", "pre_score"
+    ).write.mode("overwrite").parquet(out.docmap)
+    # two INDEPENDENT reads: the remapped postings and the doc side both
+    # descend from the docmap — sharing one scan makes the final cogroup
+    # an (ambiguous) self-join in the analyzer
+    dm_for_posts = spark.read.parquet(out.docmap)
+    dm_for_docside = spark.read.parquet(out.docmap)
+
+    # 3. decode each source once; remap internal → orig → new id
+    post_parts, dl_parts = [], []
+    for d, st in zip(source_dirs, stats):
+        seg, nrm = split_unified(
+            spark.read.parquet(*registered_paths(d, st))
+        )
+        dec = (
+            decode_postings(seg, nrm, include_positions=positions)
+            .drop("dl", "norm_id")
+            .withColumnRenamed("doc_id", "_old")
+            .join(read_src_dm(d, st).select(
+                F.col("doc_id").alias("_old"), "orig_id"), "_old")
+            .drop("_old")
+        )
+        post_parts.append(dec)
+        seg2, nrm2 = split_unified(
+            spark.read.parquet(*registered_paths(d, st))
+        )
+        dls = (
+            decode_exact_dls(nrm2)
+            .withColumnRenamed("doc_id", "_old")
+            .join(read_src_dm(d, st).select(
+                F.col("doc_id").alias("_old"), "orig_id"), "_old")
+            .drop("_old")
+        )
+        dl_parts.append(dls)
+    posts = post_parts[0]
+    for p_ in post_parts[1:]:
+        posts = posts.unionByName(p_)
+    posts = (
+        posts.join(dm_for_posts.select("orig_id", "doc_id"), "orig_id")
+        .drop("orig_id")
+    )
+    dl_all = dl_parts[0]
+    for p_ in dl_parts[1:]:
+        dl_all = dl_all.unionByName(p_)
+    docside = dm_for_docside.join(dl_all, "orig_id").select(
+        "doc_id", "pre_score", "dl"
+    ).withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(dps)).cast("int")
+    )
+    posts = posts.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(dps)).cast("int")
+    )
+
+    unified = reencode_fused_presorted(posts, docside, dps, positions)
+    (
+        unified.sortWithinPartitions("segment_id", "term", "block_id")
+        .write.mode("overwrite").parquet(out.index)
+    )
+    unified = spark.read.parquet(out.index)
+    (
+        unified.filter(~F.col("term").startswith("\x00"))
+        .groupBy("term")
+        .agg(F.sum("num_docs").cast("long").alias("df"))
+        .write.mode("overwrite").parquet(out.term_stats)
+    )
+
+    total_tokens = sum(int(st.get("total_tokens", 0)) for st in stats)
+    merged = {
+        "num_docs": num_docs,
+        "total_tokens": total_tokens,
+        "avgdl": total_tokens / num_docs if num_docs else 0.0,
+        "next_doc_id": num_docs,
+        "analyzer": analyzer,
+        "docs_per_segment": dps,
+        "layout": "fused",
+        "positions": positions,
+        "presorted": True,
+        "text_col": stats[0].get("text_col", "content"),
+        "id_col": stats[0].get("id_col", "doc_id"),
+        "merged_from": [
+            {"dir": d, "num_docs": st["num_docs"]}
+            for d, st in zip(source_dirs, stats)
+        ],
+    }
+    if any("attr_cols" in st for st in stats):
+        merged["attr_cols"] = stats[0].get("attr_cols")
+    with open(out.stats, "w") as f:
+        json.dump(merged, f, indent=2)
+    with open(out.manifest, "w") as f:
+        json.dump(
+            {"stages": {s: {"ok": True, "fingerprint": "merge_presorted"}
+                        for s in ("index", "term_stats", "stats")}}, f,
+        )
     return out
