@@ -138,18 +138,21 @@ def merge_indexes(
     analyzer = stats[0]["analyzer"]
     if any(st["analyzer"] != analyzer for st in stats):
         raise ValueError("cannot merge indexes built with different analyzers")
-    # flavor guards: a multi-field source's per-field norm rows
-    # ('\x02field\x1f…' terms + '\x00__mf__…' sentinels) would be varint-
-    # decoded as single-field posting deltas — silent corruption; a
-    # presorted source's pre-score rank ids would be remapped into a plain
-    # id-ordered space, silently voiding the quota soundness premise
-    for d, st in zip(source_dirs, stats):
-        if "multifield" in st:
-            raise ValueError(
-                f"merge_indexes cannot merge the MULTI-FIELD index at {d}: "
-                "per-field rows would decode as corrupt single-field "
-                "postings; rebuild the union with build_index_fused_multifield"
-            )
+    # flavor dispatch: multi-field sources have per-field norm rows
+    # ('\x02field\x1f…' terms + '\x00__mf__…' sentinels) that the
+    # single-field decode would varint-decode as corrupt posting deltas,
+    # so they route to the dedicated MF merge; mixing MF and single-field
+    # sources has no coherent term namespace
+    n_mf = sum("multifield" in st for st in stats)
+    if n_mf == len(stats) and stats:
+        return _merge_multifield(
+            spark, source_dirs, stats, out_dir, docs_per_segment
+        )
+    if n_mf:
+        raise ValueError(
+            "merge_indexes cannot mix MULTI-FIELD and single-field "
+            "sources: their term namespaces are disjoint by construction"
+        )
     n_pre = sum(bool(st.get("presorted")) for st in stats)
     if n_pre == len(stats) and stats:
         return _merge_presorted(
@@ -364,6 +367,395 @@ def reencode_fused_presorted(
         .cogroup(docside.groupBy("segment_id"))
         .applyInPandas(run, SEGMENTS_SCHEMA)
     )
+
+
+def decode_blocks(
+    segments: DataFrame, include_positions: bool = False
+) -> DataFrame:
+    """Posting block rows → ``(doc_id, term, tf [, positions])`` without
+    touching any norms — the decode half shared by the multi-field merge
+    (phys terms keep their ``\\x02field\\x1f`` prefix; norms travel
+    separately as per-field rows)."""
+    from .segments import decode_subset_positions
+
+    def run(key, pdf: pd.DataFrame):
+        cols = {"doc_id": pd.Series([], dtype="int64"),
+                "term": pd.Series([], dtype="object"),
+                "tf": pd.Series([], dtype="int32")}
+        if include_positions:
+            cols["positions"] = pd.Series([], dtype="object")
+        if not len(pdf):
+            return pd.DataFrame(cols)
+        outs = []
+        for term, g in pdf.groupby("term"):
+            g = g.sort_values("block_id")
+            ids, tfs = decode_term_blocks(g)
+            out = {
+                "doc_id": pd.Series(ids.astype(np.int64), dtype="int64"),
+                "term": pd.Series([term] * len(ids), dtype="object"),
+                "tf": pd.Series(tfs.astype(np.int32), dtype="int32"),
+            }
+            if include_positions:
+                pos, offs = decode_subset_positions(g, tfs)
+                out["positions"] = pd.Series(
+                    [pos[offs[i]:offs[i + 1]].tolist()
+                     for i in range(len(ids))],
+                    dtype="object",
+                )
+            outs.append(pd.DataFrame(out))
+        return pd.concat(outs, ignore_index=True)
+
+    schema = "doc_id long, term string, tf int"
+    if include_positions:
+        schema += ", positions array<long>"
+    return segments.groupBy("segment_id").applyInPandas(run, schema)
+
+
+def decode_mf_norms(mf_norm_rows: DataFrame) -> DataFrame:
+    """Per-field packed norm sentinel rows → ``(doc_id, field, norm_id)``
+    for every span slot (gap slots come out norm 0; callers filter)."""
+    from .multifield import MF_NORMS_PREFIX
+
+    plen = len(MF_NORMS_PREFIX)
+
+    def run(pdfs):
+        for pdf in pdfs:
+            outs = []
+            for _, r in pdf.iterrows():
+                narr = np.frombuffer(bytes(r["id_bytes"]), dtype=np.uint8)
+                base = int(r["first_doc_id"])
+                outs.append(pd.DataFrame({
+                    "doc_id": pd.Series(
+                        base + np.arange(len(narr), dtype=np.int64),
+                        dtype="int64"),
+                    "field": pd.Series([r["term"][plen:]] * len(narr),
+                                       dtype="object"),
+                    "norm_id": pd.Series(narr.astype(np.int32),
+                                         dtype="int32"),
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return mf_norm_rows.select("term", "first_doc_id", "id_bytes").mapInPandas(
+        run, "doc_id long, field string, norm_id int"
+    )
+
+
+def reencode_fused_multifield(
+    postings: DataFrame,
+    docside: DataFrame,
+    fields: list[str],
+    docs_per_segment: int,
+    include_positions: bool,
+    with_pre: bool,
+) -> DataFrame:
+    """(remapped phys-term postings, per-(doc, field) norms [+ per-doc
+    pre]) → unified multi-field rows.  Norm bytes are carried over from
+    the sources (quantized ids are remap-invariant), so merged scores are
+    bit-identical to a one-shot build; the per-field sentinels'
+    diagnostic token totals are the QUANTIZED sums (the MF layout does
+    not store exact per-doc counts — exact totals live in stats.json)."""
+    from ..functions.codec import varint_encode
+    from ..functions.fieldnorm import FIELD_NORMS_TABLE
+    from .multifield import MF_NORMS_PREFIX, MF_TERM_PREFIX, MF_TERM_SEP
+    from .segments import NORMS_SENTINEL, SEGMENTS_SCHEMA, encode_segment_arrays
+
+    dps = docs_per_segment
+    fields = sorted(fields)
+    findex = {f_: i for i, f_ in enumerate(fields)}
+
+    def run(key, post_pdf: pd.DataFrame, doc_pdf: pd.DataFrame):
+        seg = int(key[0])
+        base = seg * dps
+        d_ids = doc_pdf["doc_id"].to_numpy("int64")
+        d_local = d_ids - base
+        span = int(d_local.max()) + 1 if len(d_local) else 0
+        narr_stack = np.zeros((len(fields), span), dtype=np.uint8)
+        f_vals = doc_pdf["field"].to_numpy(dtype=object)
+        n_vals = doc_pdf["norm_id"].to_numpy("int64")
+        sentinel_rows = []
+        total_quant = 0
+        n_docs = len(np.unique(d_local))
+        for f_ in fields:
+            sel = f_vals == f_
+            narr_stack[findex[f_], d_local[sel]] = n_vals[sel].astype(
+                np.uint8
+            )
+            quant_sum = int(
+                FIELD_NORMS_TABLE[n_vals[sel].astype(np.int64)].sum()
+            )
+            total_quant += quant_sum
+            sentinel_rows.append({
+                "segment_id": seg, "term": f"{MF_NORMS_PREFIX}{f_}",
+                "block_id": -1, "first_doc_id": base,
+                "last_doc_id": base + span - 1, "num_docs": span,
+                "id_bytes": narr_stack[findex[f_]].tobytes(),
+                "tf_bytes": varint_encode(
+                    np.array([quant_sum, n_docs], dtype=np.uint64)
+                ),
+                "pos_bytes": None, "max_tf": 0, "min_norm_id": 0,
+            })
+        pre_packed = None
+        if with_pre:
+            parr = np.zeros(span, dtype=np.float32)
+            parr[d_local] = doc_pdf["pre_score"].to_numpy(
+                "float64"
+            ).astype(np.float32)
+            pre_packed = parr.tobytes()
+        n_postings = len(post_pdf)
+        sentinel_rows.insert(0, {
+            "segment_id": seg, "term": NORMS_SENTINEL, "block_id": -1,
+            "first_doc_id": base, "last_doc_id": base + span - 1,
+            "num_docs": span,
+            "id_bytes": np.zeros(span, dtype=np.uint8).tobytes(),
+            "tf_bytes": varint_encode(np.array(
+                [total_quant, n_docs, n_postings, 0, 0], dtype=np.uint64
+            )),
+            "pos_bytes": pre_packed, "max_tf": 0, "min_norm_id": 0,
+        })
+        meta = pd.DataFrame(sentinel_rows)
+        if not n_postings:
+            return meta
+        codes, uniq = pd.factorize(post_pdf["term"], sort=True)
+        uniq_arr = np.asarray(uniq, dtype=object)
+        uniq_fidx = np.array(
+            [findex[t[len(MF_TERM_PREFIX):].split(MF_TERM_SEP, 1)[0]]
+             for t in uniq_arr],
+            dtype=np.int64,
+        )
+        ids = post_pdf["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, codes))
+        ids_sorted = ids[order]
+        tfs = post_pdf["tf"].to_numpy(dtype=np.int64)[order]
+        positions_flat = None
+        if include_positions:
+            pos_obj = post_pdf["positions"].to_numpy(dtype=object)[order]
+            positions_flat = np.fromiter(
+                (v for sub in pos_obj for v in sub),
+                dtype=np.int64, count=int(tfs.sum()),
+            )
+        norms_per_posting = narr_stack[
+            uniq_fidx[codes[order]], ids_sorted - base
+        ].astype(np.int64)
+        blocks = encode_segment_arrays(
+            seg, codes[order], uniq_arr, ids_sorted, tfs,
+            norms_per_posting, positions_flat,
+        )
+        return pd.concat([meta, blocks], ignore_index=True)
+
+    return (
+        postings.groupBy("segment_id")
+        .cogroup(docside.groupBy("segment_id"))
+        .applyInPandas(run, SEGMENTS_SCHEMA)
+    )
+
+
+def _merge_multifield(
+    spark: SparkSession,
+    source_dirs: list[str],
+    stats: list[dict],
+    out_dir: str,
+    docs_per_segment: int | None,
+) -> "IndexPaths":
+    """Merge N MULTI-FIELD indexes (all plain, or all presorted —
+    presorted sources get the same global (pre desc, orig asc) re-rank as
+    the single-field presorted merge; plain sources get prefix-sum offset
+    remap).  Phys terms keep their per-field namespaces; per-field norm
+    bytes are carried over (quantized ids are remap-invariant), so merged
+    query scores are bit-identical to a one-shot
+    ``build_index_fused_multifield`` over the union."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..plans.build import IndexPaths
+    from ..streaming.ingest import batch_docmap_dir, registered_paths
+    from .multifield import MF_NORMS_PREFIX
+    from .postings import assign_doc_ids
+
+    mf0 = stats[0]["multifield"]
+    fields = sorted(mf0["fields"])
+    for d, st in zip(source_dirs, stats):
+        m = st["multifield"]
+        if sorted(m["fields"]) != fields:
+            raise ValueError(
+                f"multi-field merge: {d} has fields {sorted(m['fields'])}, "
+                f"expected {fields}"
+            )
+        if m["boosts"] != mf0["boosts"]:
+            raise ValueError(
+                f"multi-field merge: {d} was built with different field "
+                "boosts — merged scores would silently change"
+            )
+    n_pre = sum(bool(st.get("presorted")) for st in stats)
+    if n_pre not in (0, len(stats)):
+        raise ValueError(
+            "merge_indexes cannot mix PRESORTED and doc-id-ordered "
+            "multi-field sources"
+        )
+    presorted = n_pre > 0
+    analyzer = stats[0]["analyzer"]
+    dps = docs_per_segment or stats[0]["docs_per_segment"]
+    positions = all(st.get("positions") for st in stats)
+    out = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def read_src_dm(d: str, st: dict) -> DataFrame:
+        p = IndexPaths(d)
+        dirs = [p.docmap] + [
+            batch_docmap_dir(d, b) for b in st.get("stream_batches", [])
+        ]
+        return spark.read.parquet(*[x for x in dirs if os.path.isdir(x)])
+
+    if presorted:
+        all_dm = None
+        for d, st in zip(source_dirs, stats):
+            x = read_src_dm(d, st)
+            all_dm = x if all_dm is None else all_dm.unionByName(x)
+        counts = all_dm.agg(
+            F.count("*").alias("n"), F.countDistinct("orig_id").alias("u")
+        ).collect()[0]
+        if counts["n"] != counts["u"]:
+            raise ValueError(
+                f"presorted merge: original ids collide across sources "
+                f"({counts['n']} docmap rows, {counts['u']} distinct)"
+            )
+        num_docs = int(counts["n"])
+        ranked = all_dm.select("orig_id", "pre_score").withColumn(
+            "_neg_pre", -F.col("pre_score")
+        )
+        assign_doc_ids(ranked, ["_neg_pre", "orig_id"]).select(
+            "doc_id", "orig_id", "pre_score"
+        ).write.mode("overwrite").parquet(out.docmap)
+        next_doc_id = num_docs
+    else:
+        offsets, acc = [], 0
+        for st in stats:
+            offsets.append(acc)
+            acc += max(st.get("next_doc_id", 0), st["num_docs"])
+        num_docs = sum(st["num_docs"] for st in stats)
+        next_doc_id = acc
+
+    def remap(df: DataFrame, d: str, st: dict, off: int) -> DataFrame:
+        if not presorted:
+            return df.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+        return (
+            df.withColumnRenamed("doc_id", "_old")
+            .join(read_src_dm(d, st).select(
+                F.col("doc_id").alias("_old"), "orig_id"), "_old")
+            .drop("_old")
+            .join(spark.read.parquet(out.docmap).select(
+                "orig_id", "doc_id"), "orig_id")
+            .drop("orig_id")
+        )
+
+    post_parts, norm_parts = [], []
+    offs = offsets if not presorted else [0] * len(stats)
+    for d, st, off in zip(source_dirs, stats, offs):
+        unified = spark.read.parquet(*registered_paths(d, st))
+        posts = decode_blocks(
+            unified.filter(~F.col("term").startswith("\x00")),
+            include_positions=positions,
+        )
+        post_parts.append(remap(posts, d, st, off))
+        unified2 = spark.read.parquet(*registered_paths(d, st))
+        norms = decode_mf_norms(
+            unified2.filter(F.col("term").startswith(MF_NORMS_PREFIX))
+        )
+        norm_parts.append(remap(norms, d, st, off))
+    posts = post_parts[0]
+    for p_ in post_parts[1:]:
+        posts = posts.unionByName(p_)
+    norms = norm_parts[0]
+    for p_ in norm_parts[1:]:
+        norms = norms.unionByName(p_)
+
+    if presorted:
+        # per-doc pre-scores onto the (doc, field) norm rows
+        dm = spark.read.parquet(out.docmap).select("doc_id", "pre_score")
+        docside = norms.join(dm, "doc_id")
+    else:
+        # drop gap slots / fully-empty docs: a doc whose every field norm
+        # is 0 contributes to no posting list (mirrors the single-field
+        # plain merge, where empty docs likewise vanish from the index)
+        keep = (
+            norms.groupBy("doc_id")
+            .agg(F.max("norm_id").alias("_m"))
+            .filter(F.col("_m") > 0)
+            .select("doc_id")
+        )
+        docside = norms.join(keep, "doc_id").withColumn(
+            "pre_score", F.lit(None).cast("double")
+        )
+    posts = posts.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(dps)).cast("int")
+    )
+    docside = docside.withColumn(
+        "segment_id", (F.col("doc_id") / F.lit(dps)).cast("int")
+    )
+
+    unified_out = reencode_fused_multifield(
+        posts, docside, fields, dps, positions, with_pre=presorted
+    )
+    (
+        unified_out.sortWithinPartitions("segment_id", "term", "block_id")
+        .write.mode("overwrite").parquet(out.index)
+    )
+    unified_out = spark.read.parquet(out.index)
+    (
+        unified_out.filter(~F.col("term").startswith("\x00"))
+        .groupBy("term")
+        .agg(F.sum("num_docs").cast("long").alias("df"))
+        .write.mode("overwrite").parquet(out.term_stats)
+    )
+
+    def totals(st: dict) -> dict:
+        m = st["multifield"]
+        if "field_totals" in m:
+            return m["field_totals"]
+        return {
+            f_: int(round(m["avgdl"][f_] * st["num_docs"])) for f_ in fields
+        }
+
+    field_totals = {
+        f_: sum(totals(st)[f_] for st in stats) for f_ in fields
+    }
+    merged = {
+        "num_docs": num_docs,
+        "analyzer": analyzer,
+        "docs_per_segment": dps,
+        "layout": "fused",
+        "positions": positions,
+        "presorted": presorted,
+        "next_doc_id": next_doc_id,
+        "multifield": {
+            "fields": fields,
+            "field_cols": mf0.get("field_cols", {f_: f_ for f_ in fields}),
+            "boosts": mf0["boosts"],
+            "field_totals": field_totals,
+            "avgdl": {
+                f_: field_totals[f_] / num_docs if num_docs else 0.0
+                for f_ in fields
+            },
+        },
+        "total_tokens": sum(field_totals.values()),
+        "avgdl": (
+            sum(field_totals.values()) / num_docs if num_docs else 0.0
+        ),
+        "merged_from": [
+            {"dir": d, "num_docs": st["num_docs"]}
+            for d, st in zip(source_dirs, stats)
+        ],
+    }
+    with open(out.stats, "w") as f:
+        json.dump(merged, f, indent=2)
+    with open(out.manifest, "w") as f:
+        json.dump(
+            {"stages": {s: {"ok": True, "fingerprint": "merge_multifield"}
+                        for s in ("index", "term_stats", "stats")}}, f,
+        )
+    return out
 
 
 def _merge_presorted(
