@@ -250,6 +250,56 @@ def _q_bm25_wand(terms: list[str], mode: str):
     return run
 
 
+def _q_bm25_merged(terms: list[str], mode: str):
+    """BM25 through a MERGED index: the corpus is split in half, each half
+    built independently (its own dense local id space), then
+    merge_indexes() folds them with deferred docID remap (reference
+    Index::merge + merge_into_segments, src/inverted_index.rs:247-355) —
+    the query result over the merged index must equal the full-corpus
+    oracle bit-for-bit (global stats are sums over disjoint doc spaces,
+    norms/dfs carried exactly)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import hashlib
+
+        from stractt_spark.operators.merge import merge_indexes
+        from stractt_spark.plans.build import SegmentIndex, build_index_fused
+
+        key = "merged:" + sf_dir
+        if key not in _WAND_INDEX_CACHE:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            half = docs.count() // 2
+            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+            a_dir = f"/tmp/stractt_entry_mrg_a_{tag}"
+            b_dir = f"/tmp/stractt_entry_mrg_b_{tag}"
+            out = f"/tmp/stractt_entry_mrg_{tag}"
+            build_index_fused(
+                spark, docs.filter(F.col("doc_id") < half), a_dir,
+                text_col="text", id_col="doc_id", analyzer="ascii",
+                docs_per_segment=256,
+            )
+            # source B re-based to ITS OWN dense [0, n) space — the merge
+            # assigns the global offset (deferred remap), restoring the
+            # original ids because the split was a range split
+            build_index_fused(
+                spark,
+                docs.filter(F.col("doc_id") >= half)
+                .withColumn("doc_id", F.col("doc_id") - F.lit(half)),
+                b_dir, text_col="text", id_col="doc_id", analyzer="ascii",
+                docs_per_segment=256,
+            )
+            merge_indexes(spark, [a_dir, b_dir], out)
+            _WAND_INDEX_CACHE[key] = SegmentIndex(spark, out)
+        idx = _WAND_INDEX_CACHE[key]
+        top = idx.search(" ".join(terms), k=10, mode=mode)
+        return top.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
+    return run
+
+
 def _q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-field boosted BM25 through the PERSISTED per-field segment
     index (reference default query shape: every term lowered to
@@ -1188,6 +1238,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_or": _bm25_query(["hash", "join"], "should"),
         "bm25_wand_and": _q_bm25_wand(["merge", "sort"], "must"),
         "bm25_wand_or": _q_bm25_wand(["hash", "join"], "should"),
+        "bm25_merged": _q_bm25_merged(["merge", "sort"], "should"),
         "bm25_presorted_quota": _q_bm25_presorted_quota(
             ["hash", "join"], "should", quota=96
         ),
@@ -1439,6 +1490,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_wand_and": _bm25_sql(["merge", "sort"], "must"),
         "bm25_wand_or": _bm25_sql(["hash", "join"], "should"),
+        "bm25_merged": _bm25_sql(["merge", "sort"], "should"),
         # full-scan oracle — the Spark side runs with the quota ON, so a
         # hash match proves the early termination dropped nothing
         "bm25_presorted_quota": _bm25_presorted_sql(["hash", "join"], "should"),

@@ -559,6 +559,7 @@ def _segment_topk_kernel(
     const_clauses: list[dict] | None = None,
     has_empty_discard: bool = False,
     score_coeff: float | None = None,
+    with_metrics: bool = False,
 ) -> pd.DataFrame:
     """``max_docs``: early-termination quota — consider at most this many
     docs of the driving posting list per segment (the reference's
@@ -573,7 +574,13 @@ def _segment_topk_kernel(
     ``add_pre``: add the packed per-doc pre-computed score (sentinel
     ``pre_bytes``) to every result score — final rank = pre + bm25
     (signal.rs:296-333).  The bm25-threshold pruning branches are bypassed
-    in this mode (their banked thresholds don't include pre)."""
+    in this mode (their banked thresholds don't include pre).
+
+    ``with_metrics``: append two sentinel rows per segment carrying the
+    pruning win — doc_id −2 → tf blocks DECODED for the scoring terms,
+    doc_id −3 → tf blocks TOTAL (position-stream decodes for phrase
+    verification are not counted).  Paths that evaluate every block
+    (TAAT fallback) honestly report decoded == total."""
     phrases = phrases or []
     pweights = pweights or []
     filter_terms = filter_terms or []
@@ -618,6 +625,13 @@ def _segment_topk_kernel(
     if not present and not (phrases and phrase_ok):
         return empty
 
+    kmetrics: dict | None = None
+    if with_metrics:
+        kmetrics = {
+            "blocks_total": int(sum(len(by_term[t]) for t in present)),
+            "blocks_decoded": 0,
+        }
+
     def dl_of(ids: np.ndarray) -> np.ndarray:
         return dl_table[norms[(ids - base).astype(np.int64)]]
 
@@ -626,6 +640,8 @@ def _segment_topk_kernel(
         returns (ids, {t: aligned tf array for t in track}) or None."""
         order_ = sorted(required, key=lambda t: int(by_term[t]["num_docs"].sum()))
         first = order_[0]
+        if kmetrics is not None and first in qweights:
+            kmetrics["blocks_decoded"] += len(by_term[first])
         ids_, tfs_ = decode_term_blocks(by_term[first])
         ids_ = ids_.astype(np.int64)
         if max_docs is not None and ids_.size > max_docs:
@@ -639,6 +655,8 @@ def _segment_topk_kernel(
             sub = _blocks_for_candidates(by_term[t], ids_)
             if sub is None:
                 return None
+            if kmetrics is not None and t in qweights:
+                kmetrics["blocks_decoded"] += len(sub)
             t_ids, t_tfs = decode_block_subset(sub)
             t_ids = t_ids.astype(np.int64)
             pos = np.searchsorted(t_ids, ids_)
@@ -722,6 +740,8 @@ def _segment_topk_kernel(
             if n_collected >= k and ub[chunk[0]] < kth:
                 break  # no remaining block can beat the k-th best
             sub = g.iloc[np.sort(chunk)]
+            if kmetrics is not None:
+                kmetrics["blocks_decoded"] += len(sub)
             c_ids, c_tfs = decode_block_subset(sub)
             c_ids = c_ids.astype(np.int64)
             s = w * _tf_comp(c_tfs.astype(np.float64), dl_of(c_ids), avgdl)
@@ -752,6 +772,7 @@ def _segment_topk_kernel(
         ids, score = _should_topk_blockmax(
             by_term, present, qweights, avgdl, k, dl_of, dl_table,
             norms.size, excluded=excluded, pre=pre, base=base,
+            metrics=kmetrics,
         )
         excluded = None  # already applied
         pre = None       # already folded into the banked scores
@@ -800,6 +821,10 @@ def _segment_topk_kernel(
         idx = np.flatnonzero(touched)
         ids = idx + base
         score = score_dense[idx]
+        if kmetrics is not None:
+            # the dense-accumulator fallback decodes every scoring-term
+            # block — report it as such (no pruning win to overstate)
+            kmetrics["blocks_decoded"] = kmetrics["blocks_total"]
 
     if score_coeff is not None and ids.size:
         # @bm25 alteration: scales ONLY the relevance signal, before the
@@ -867,6 +892,18 @@ def _segment_topk_kernel(
                  "score": pd.Series([float(n_matched)], dtype="float64")}
             )], ignore_index=True,
         )
+    if kmetrics is not None:
+        # pruning-win sentinels (−2 decoded, −3 total): negative ids never
+        # collide with real docs; the metrics collector splits them off
+        out = pd.concat(
+            [out, pd.DataFrame(
+                {"segment_id": pd.Series([seg, seg], dtype="int32"),
+                 "doc_id": pd.Series([-2, -3], dtype="int64"),
+                 "score": pd.Series(
+                     [float(kmetrics["blocks_decoded"]),
+                      float(kmetrics["blocks_total"])], dtype="float64")}
+            )], ignore_index=True,
+        )
     return out
 
 
@@ -886,8 +923,15 @@ def wand_topk(
     has_empty_discard: bool = False,
     score_coeff: float | None = None,
     extra_neg_terms: list[str] | None = None,
+    with_metrics: bool = False,
 ) -> DataFrame:
     """→ (doc_id, score) global top-k from the segment index.
+
+    ``with_metrics=True`` changes the return into a driver-side
+    ``(top_list, metrics)`` tuple where metrics sums the per-segment
+    pruning sentinels — ``{"blocks_decoded": d, "blocks_total": n}`` over
+    the scoring terms' tf blocks (the bench's measured pruning win; the
+    collected row count stays bounded at segments × (k+2)).
 
     ``term_df`` is the global document frequency of each query term (from
     the term_stats table — a driver-side dict of ≤ a few entries).
@@ -964,12 +1008,29 @@ def wand_topk(
             const_clauses=const_clauses,
             has_empty_discard=has_empty_discard,
             score_coeff=score_coeff,
+            with_metrics=with_metrics,
         )
 
-    return (
+    per_seg = (
         seg_filtered.groupBy("segment_id")
         .cogroup(norms.groupBy("segment_id"))
         .applyInPandas(run, _RESULT_SCHEMA)
+    )
+    if with_metrics:
+        rows = per_seg.collect()
+        metrics = {
+            "blocks_decoded": int(sum(
+                r["score"] for r in rows if r["doc_id"] == -2)),
+            "blocks_total": int(sum(
+                r["score"] for r in rows if r["doc_id"] == -3)),
+        }
+        top = sorted(
+            ((r["doc_id"], r["score"]) for r in rows if r["doc_id"] >= 0),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        return top, metrics
+    return (
+        per_seg
         .select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)

@@ -621,6 +621,40 @@ class SegmentIndex:
         ]
         return page(rows, k, offset)
 
+    def search_with_metrics(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "must",
+        phrase: bool = False,
+        with_pre_score: bool = False,
+        max_docs_per_segment: int | None = None,
+    ) -> tuple[list[tuple[int, float]], dict]:
+        """Top-k (same results as :meth:`search`, internal ids) plus the
+        measured pruning win: ``{"blocks_decoded", "blocks_total"}``
+        summed over segments — the tf blocks the block-max/leapfrog
+        kernels actually touched vs the query terms' full posting blocks.
+        The bench records decoded/total per headline query so the pruning
+        claim is a measured number, not a pytest-only assertion."""
+        from ..functions.query_parse import parse_query
+        from ..operators.wand import wand_topk
+
+        if phrase and not self.stats.get("positions"):
+            raise ValueError(
+                "phrase queries need an index built with positions=True"
+            )
+        if (with_pre_score or max_docs_per_segment) and not self.presorted:
+            raise ValueError("pre-score options need a presorted index")
+        pq = parse_query(query, self.analyzer, phrase=phrase)
+        tdf = self.term_df(pq.all_match_terms)
+        return wand_topk(
+            self.segments, self.norms, pq,
+            self.stats["num_docs"], self.stats["avgdl"], tdf,
+            k=k, mode=mode, analyzer=self.analyzer,
+            max_docs_per_segment=max_docs_per_segment,
+            add_pre=with_pre_score, with_metrics=True,
+        )
+
     def search_goggle(
         self,
         query: str,

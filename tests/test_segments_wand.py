@@ -370,3 +370,53 @@ def test_blockmax_or_equals_bruteforce_random(data):
     assert [d for d, _ in got] == [d for d, _ in bru]
     for (_, s1), (_, s2) in zip(got, bru):
         assert s1 == s2  # bit-identical
+
+
+# ---------------------------------------------------------------- metrics
+
+
+@pytest.mark.parametrize("query,mode", [
+    ("zzz_nope", "should"),  # zero matches → honest 0/0 counters
+    ("hash join", "should"),
+    ("merge sort", "must"),
+    ("buffer", "must"),
+    ("read file into buffer", "should"),
+])
+def test_search_with_metrics_rank_identical(built, query, mode):
+    """search_with_metrics returns the SAME top-k as search() (the
+    metrics sentinels never leak into results) plus sane counters."""
+    index, oracle, _, _ = built
+    got, metrics = index.search_with_metrics(query, k=10, mode=mode)
+    expected = oracle.search(query, k=10, mode=mode)
+    assert [d for d, _ in got] == [d for d, _ in expected], (query, mode)
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12)
+    assert 0 <= metrics["blocks_decoded"] <= metrics["blocks_total"]
+    if expected:
+        assert metrics["blocks_total"] > 0
+
+
+def test_search_with_metrics_records_or_skip(one_big_segment):
+    """Common+rare OR through the FULL distributed search path: the
+    per-segment sentinels must record a real skip (decoded < total),
+    matching the kernel-level assertion above."""
+    from pyspark.sql import functions as F
+
+    from stractt_spark.sources.corpus import _RARE
+
+    idx, oracle = one_big_segment
+    rare_dfs = idx.term_df([f"{r}_marker" for r in _RARE])
+    rare, rare_df = max(sorted(rare_dfs.items()), key=lambda kv: kv[1])
+    assert rare_df >= 10, rare_dfs
+    common = (
+        idx.term_stats.filter(~F.col("term").startswith("\x00"))
+        .filter(~F.col("term").startswith("\x01"))
+        .orderBy(F.desc("df"), F.asc("term")).limit(1).collect()[0]["term"]
+    )
+    got, metrics = idx.search_with_metrics(
+        f"{common} {rare}", k=10, mode="should")
+    expected = oracle.search(f"{common} {rare}", k=10, mode="should")
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12)
+    assert metrics["blocks_decoded"] < metrics["blocks_total"], metrics
