@@ -143,15 +143,16 @@ def run(sf_dir: str, cpus: int, corpus_docs: int) -> dict:
     # overhead-dominated).  Also record the MEASURED pruning win per
     # query (tf blocks decoded / total for the scoring terms) via the
     # kernel's metrics sentinels — the block-max skip as a bench number,
-    # not a pytest-only assertion.  The query index uses 8192-doc
-    # segments (the scale-realistic shape: many 128-doc blocks per
-    # posting list is what makes block-skipping matter; 1024-doc segments
-    # have ≤ 8 blocks per term, nothing to skip).
+    # not a pytest-only assertion.  The query index uses 16384-doc
+    # segments (the scale-realistic shape: block skipping needs many
+    # 128-doc blocks per posting list AND enough rare-term docs per
+    # segment to bank a full k-threshold — at 100 TB segments hold ~10⁶
+    # docs; 1024-doc segments have ≤ 8 blocks per term, nothing to skip).
     cq_dir = "/tmp/stractt_bench_cidx_q"
     shutil.rmtree(cq_dir, ignore_errors=True)
     build_index_fused(
         spark, corpus, cq_dir, text_col="content", id_col="doc_id",
-        analyzer="code", docs_per_segment=8192,
+        analyzer="code", docs_per_segment=16384,
     )
     cidx = SegmentIndex(spark, cq_dir).cache()
     corpus_queries = {
@@ -162,12 +163,8 @@ def run(sf_dir: str, cpus: int, corpus_docs: int) -> dict:
         "qc5_or_rare": ("return dtu_marker", "should"),
     }
     pruning: dict[str, dict] = {}
-    for name, (q, qmode) in corpus_queries.items():
-        t0 = time.time()
-        rows = cidx.search(q, k=10, mode=qmode).collect()
-        qtimes[name] = round(time.time() - t0, 3)
-        out["query_rows"][name] = len(rows)
-        _, m = cidx.search_with_metrics(q, k=10, mode=qmode)
+
+    def record(name, m):
         pruning[name] = {
             "blocks_decoded": m["blocks_decoded"],
             "blocks_total": m["blocks_total"],
@@ -175,7 +172,45 @@ def run(sf_dir: str, cpus: int, corpus_docs: int) -> dict:
                 m["blocks_decoded"] / m["blocks_total"], 4
             ) if m["blocks_total"] else None,
         }
+
+    for name, (q, qmode) in corpus_queries.items():
+        t0 = time.time()
+        rows = cidx.search(q, k=10, mode=qmode).collect()
+        qtimes[name] = round(time.time() - t0, 3)
+        out["query_rows"][name] = len(rows)
+        _, m = cidx.search_with_metrics(q, k=10, mode=qmode)
+        record(name, m)
     out["pruning"] = pruning
+
+    # --- the production ranking shape: pre_computed_score + bm25 over a
+    # PRESORTED index (reference signal composition).  The pre-score
+    # spread (0..2048) dominates the bm25 spread, so after the first
+    # high-pre blocks bank the top-k, every later block's bound
+    # (its max pre + term ub) falls below the threshold — the skip that
+    # makes ranked retrieval sublinear at 100 TB.  Flat-bm25 pruning on
+    # this deliberately UNIFORM synthetic corpus is near zero by
+    # construction (no tf/score skew to exploit) — reported honestly
+    # above; this is the number that transfers.
+    cqp_dir = "/tmp/stractt_bench_cidx_qp"
+    shutil.rmtree(cqp_dir, ignore_errors=True)
+    cpre = corpus.select(
+        "doc_id",
+        (SF.lit(2048.0) * ((SF.col("doc_id") * SF.lit(2654435761)) % 1000)
+         / SF.lit(1000.0)).alias("pre_score"),
+    )
+    build_index_fused(
+        spark, corpus, cqp_dir, text_col="content", id_col="doc_id",
+        analyzer="code", docs_per_segment=16384, pre_scores=cpre,
+    )
+    cqp = SegmentIndex(spark, cqp_dir).cache()
+    t0 = time.time()
+    rows = cqp.search("hash join", k=10, mode="should",
+                      with_pre_score=True).collect()
+    qtimes["qc6_pre_or"] = round(time.time() - t0, 3)
+    out["query_rows"]["qc6_pre_or"] = len(rows)
+    _, m = cqp.search_with_metrics("hash join", k=10, mode="should",
+                                   with_pre_score=True)
+    record("qc6_pre_or", m)
 
     total = time.time() - t_all
     spark.stop()
