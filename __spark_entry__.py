@@ -250,6 +250,65 @@ def _q_bm25_wand(terms: list[str], mode: str):
     return run
 
 
+_BATCH_QUERIES = [
+    ("q_and", ["merge", "sort"], "must"),
+    ("q_or", ["hash", "join"], "should"),
+    ("q_the", ["the"], "should"),
+]
+
+
+def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED query execution: all three query classes evaluated in ONE
+    pass over the persisted index (one pruned scan for the union of
+    terms, one cogroup; per-query top-k identical to the per-query WAND
+    path).  The throughput shape for offline query workloads — N queries
+    cost one scan instead of N jobs."""
+    idx = _wand_index(spark, sf_dir)
+    batch = [(qid, " ".join(ts), mode) for qid, ts, mode in _BATCH_QUERIES]
+    return idx.search_batch(batch, k=10).select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _bm25_batch_sql(queries) -> str:
+    """UNION ALL of the per-query full-scan BM25 oracles, tagged with
+    literal query ids — shared tokenization CTEs computed once."""
+    ctes = [_NORM_CTE, _TOKS_CTE, _TF_CTE, _DL_CTE, _DLQ_CTE, _STATS_CTE]
+    selects = []
+    for i, (qid, terms, mode) in enumerate(queries):
+        tlist = ", ".join("'" + t + "'" for t in terms)
+        per_term = (
+            "SELECT tf.doc_id, tf.term, "
+            "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2 * (tf.tf / "
+            "(tf.tf + 1.2 * (0.25 + 0.75 * q.dl_quant / s.avgdl))) AS ts "
+            "FROM tf JOIN dlq q ON tf.doc_id = q.doc_id "
+            "JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df "
+            "ON tf.term = df.term "
+            "CROSS JOIN stats s "
+            f"WHERE tf.term IN ({tlist})"
+        )
+        must = (
+            f"HAVING count(DISTINCT term) = {len(terms)}"
+            if mode == "must" else ""
+        )
+        ctes.append(f"pt{i} AS ({per_term})")
+        ctes.append(
+            f"top{i} AS (SELECT doc_id, round(sum(ts), 4) AS score "
+            f"FROM pt{i} GROUP BY doc_id {must} "
+            "ORDER BY sum(ts) DESC, doc_id ASC LIMIT 10)"
+        )
+        selects.append(
+            f"SELECT '{qid}' AS query_id, doc_id, score FROM top{i}"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY query_id ASC, score DESC, doc_id ASC"
+    )
+
+
 def _q_bm25_merged(terms: list[str], mode: str):
     """BM25 through a MERGED index: the corpus is split in half, each half
     built independently (its own dense local id space), then
@@ -1239,6 +1298,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_and": _q_bm25_wand(["merge", "sort"], "must"),
         "bm25_wand_or": _q_bm25_wand(["hash", "join"], "should"),
         "bm25_merged": _q_bm25_merged(["merge", "sort"], "should"),
+        "bm25_batch": _q_bm25_batch,
         "bm25_presorted_quota": _q_bm25_presorted_quota(
             ["hash", "join"], "should", quota=96
         ),
@@ -1491,6 +1551,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_and": _bm25_sql(["merge", "sort"], "must"),
         "bm25_wand_or": _bm25_sql(["hash", "join"], "should"),
         "bm25_merged": _bm25_sql(["merge", "sort"], "should"),
+        "bm25_batch": _bm25_batch_sql(_BATCH_QUERIES),
         # full-scan oracle — the Spark side runs with the quota ON, so a
         # hash match proves the early termination dropped nothing
         "bm25_presorted_quota": _bm25_presorted_sql(["hash", "join"], "should"),

@@ -1037,6 +1037,122 @@ def wand_topk(
     )
 
 
+def wand_topk_batch(
+    segments: DataFrame,
+    norms: DataFrame,
+    queries: list[tuple[str, str, str]],
+    num_docs: int,
+    avgdl: float,
+    term_df: dict[str, int],
+    k: int = 10,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Evaluate MANY queries in ONE pass over the index → rows
+    ``(query_id, doc_id, score)``, per-query top-k.
+
+    ``queries``: (query_id, query_string, mode) triples.  The scan is
+    pruned once to the UNION of every query's terms (one parquet read,
+    one cogroup — the per-query fixed job cost is amortized across the
+    whole batch); each segment kernel then runs every query against the
+    already-loaded block frames.  This is the Spark-idiomatic answer to
+    query throughput: the reference serves queries from a resident
+    process (`src/…/search_server`), a batch engine serves them by
+    making N queries cost one scan instead of N.
+
+    Results are identical to running :func:`wand_topk` per query —
+    asserted by tests/test_batch_query.py.  ``term_df`` must cover the
+    union of all queries' match terms."""
+    from ..functions.bm25 import idf as idf_fn
+    from .segments import attr_term
+
+    spark = segments.sparkSession
+    specs = []
+    all_scan_terms: set[str] = set()
+    any_phrases = False
+    for qid, qstr, mode in queries:
+        pq = parse_query(qstr, analyzer) if isinstance(qstr, str) else qstr
+        if not pq.all_match_terms:
+            continue
+        if mode == "must" and any(
+            term_df.get(t, 0) == 0 for t in pq.all_match_terms
+        ):
+            continue
+        counts = pq.term_counts
+        qweights = {
+            t: counts[t] * weight(term_df.get(t, 0), num_docs)
+            for t in pq.uniq_terms
+        }
+        pweights = [
+            sum(idf_fn(term_df.get(t, 0), num_docs) for t in ph)
+            * (K1 + 1.0)
+            for ph in pq.phrases
+        ]
+        filter_terms = sorted(
+            attr_term(f_, v) for f_, v in pq.filters.items()
+        )
+        neg = sorted(
+            set(pq.neg_terms)
+            | {attr_term(f_, v) for f_, v in pq.anti_filters.items()}
+        )
+        specs.append((qid, pq.uniq_terms, neg, qweights, pq.phrases,
+                      pweights, filter_terms, mode))
+        all_scan_terms.update(pq.all_match_terms, neg, filter_terms)
+        any_phrases = any_phrases or bool(pq.phrases)
+    if not specs:
+        return spark.createDataFrame(
+            [], "query_id string, doc_id long, score double"
+        )
+
+    cols = [
+        "segment_id", "term", "block_id", "first_doc_id", "last_doc_id",
+        "num_docs", "id_bytes", "tf_bytes", "max_tf", "min_norm_id",
+    ]
+    if any_phrases:
+        cols.insert(8, "pos_bytes")
+    seg_filtered = segments.filter(
+        F.col("term").isin(sorted(all_scan_terms))
+    ).select(*[c for c in cols if c in segments.columns])
+
+    def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (qid, uniq, neg, qweights, phrases, pweights,
+             filter_terms, mode) in specs:
+            res = _segment_topk_kernel(
+                uniq, neg, qweights, avgdl, k, mode, blocks_pdf,
+                norms_pdf, phrases, pweights, filter_terms, None, False,
+            )
+            if len(res):
+                res = res.drop(columns=["segment_id"])
+                res.insert(0, "query_id", qid)
+                outs.append(res)
+        if not outs:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    from pyspark.sql import Window
+
+    per_seg = (
+        seg_filtered.groupBy("segment_id")
+        .cogroup(norms.groupBy("segment_id"))
+        .applyInPandas(run, "query_id string, doc_id long, score double")
+    )
+    # per-query global cut: ≤ segments × Q × k rows reach this tiny
+    # window shuffle (never the posting data)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        per_seg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def wand_topk_count(
     segments: DataFrame,
     norms: DataFrame,

@@ -621,6 +621,35 @@ class SegmentIndex:
         ]
         return page(rows, k, offset)
 
+    def search_batch(
+        self,
+        queries: list[tuple[str, str, str]],
+        k: int = 10,
+    ) -> DataFrame:
+        """Evaluate a BATCH of (query_id, query, mode) triples in one
+        pass over the index → (query_id, doc_id, score), per-query
+        top-k, identical to per-query :meth:`search`.  One pruned scan +
+        one cogroup amortizes the per-job cost across the batch — the
+        throughput shape for offline query workloads (relevance
+        harvesting, eval sets, training-data mining)."""
+        from ..functions.query_parse import parse_query
+        from ..operators.wand import wand_topk_batch
+
+        parsed = [
+            (qid, parse_query(q, self.analyzer), mode)
+            for qid, q, mode in queries
+        ]
+        union_terms = sorted({
+            t for _, pq, _ in parsed for t in pq.all_match_terms
+        })
+        tdf = self.term_df(union_terms)
+        return wand_topk_batch(
+            self.segments, self.norms,
+            [(qid, pq, mode) for qid, pq, mode in parsed],
+            self.stats["num_docs"], self.stats["avgdl"], tdf,
+            k=k, analyzer=self.analyzer,
+        )
+
     def search_with_metrics(
         self,
         query: str,
