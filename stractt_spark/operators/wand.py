@@ -764,6 +764,24 @@ def _segment_topk_kernel(
         and max_docs is None
         and not with_count
         and not const_clauses
+        and not (
+            # dense-union fallback: when EVERY term is above the cheap
+            # limit (no high-idf seed to bank a threshold from) and the
+            # posting mass covers the segment, flat-bm25 block-max has
+            # nothing to skip and its candidate-chunk scoring costs ~10×
+            # a single dense accumulate (measured, 4×42%-df terms) —
+            # take the TAAT branch below, which decodes each block
+            # exactly once.  A presorted index keeps the pruned path:
+            # the pre spread gives real skew regardless of tf.
+            pre is None
+            and all(
+                int(by_term[t]["num_docs"].sum())
+                > max(2 * k, norms.size // 16)
+                for t in present
+            )
+            and sum(int(by_term[t]["num_docs"].sum()) for t in present)
+            >= (norms.size * 3) // 5
+        )
     ):
         # multi-term OR: block-max pruned union (exact; MustNot handled
         # inside so exclusions land before the threshold is banked; on a
