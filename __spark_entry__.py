@@ -250,6 +250,57 @@ def _q_bm25_wand(terms: list[str], mode: str):
     return run
 
 
+# includes the top-3 of the gate query's undeleted ranking at sf0.01
+# (24, 88, 129) so the mask provably changes the result set, plus a
+# spread of low ids
+_DELETED_IDS = [24, 88, 129] + list(range(0, 100, 7))
+
+
+def _q_bm25_deleted(terms: list[str], mode: str):
+    """BM25 over a TOMBSTONED index (operators/deletes.py): deleted docs
+    are masked BEFORE the top-k cut while global stats stay pre-delete
+    (tantivy semantics — idf/avgdl unchanged until compaction).  The
+    oracle reproduces exactly that: full-corpus scoring, deleted ids
+    excluded from the result set only."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import hashlib
+
+        from stractt_spark.operators.deletes import delete_docs
+        from stractt_spark.plans.build import SegmentIndex, build_index_fused
+
+        key = "deleted:" + sf_dir
+        if key not in _WAND_INDEX_CACHE:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+            out = f"/tmp/stractt_entry_del_{tag}"
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+            build_index_fused(
+                spark, docs, out, text_col="text", id_col="doc_id",
+                analyzer="ascii", docs_per_segment=256,
+            )
+            delete_docs(spark, out, _DELETED_IDS)
+            _WAND_INDEX_CACHE[key] = SegmentIndex(spark, out)
+        idx = _WAND_INDEX_CACHE[key]
+        top = idx.search(" ".join(terms), k=10, mode=mode)
+        return top.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+
+    return run
+
+
+def _bm25_deleted_sql(terms: list[str], mode: str) -> str:
+    ids = ", ".join(str(i) for i in _DELETED_IDS)
+    return _bm25_sql(terms, mode).replace(
+        "FROM per_term ",
+        f"FROM per_term WHERE doc_id NOT IN ({ids}) ",
+    )
+
+
 _BATCH_QUERIES = [
     ("q_and", ["merge", "sort"], "must"),
     ("q_or", ["hash", "join"], "should"),
@@ -1299,6 +1350,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_or": _q_bm25_wand(["hash", "join"], "should"),
         "bm25_merged": _q_bm25_merged(["merge", "sort"], "should"),
         "bm25_batch": _q_bm25_batch,
+        "bm25_deleted": _q_bm25_deleted(["merge", "sort"], "must"),
         "bm25_presorted_quota": _q_bm25_presorted_quota(
             ["hash", "join"], "should", quota=96
         ),
@@ -1552,6 +1604,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_or": _bm25_sql(["hash", "join"], "should"),
         "bm25_merged": _bm25_sql(["merge", "sort"], "should"),
         "bm25_batch": _bm25_batch_sql(_BATCH_QUERIES),
+        "bm25_deleted": _bm25_deleted_sql(["merge", "sort"], "must"),
         # full-scan oracle — the Spark side runs with the quota ON, so a
         # hash match proves the early termination dropped nothing
         "bm25_presorted_quota": _bm25_presorted_sql(["hash", "join"], "should"),

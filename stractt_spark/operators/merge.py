@@ -65,6 +65,8 @@ def decode_postings(
     from .segments import decode_subset_positions
 
     def run(key, seg_pdf: pd.DataFrame, norm_pdf: pd.DataFrame):
+        from .segments import DELETES_TERM
+
         cols = {"doc_id": pd.Series([], dtype="int64"),
                 "term": pd.Series([], dtype="object"),
                 "tf": pd.Series([], dtype="int32"),
@@ -74,6 +76,18 @@ def decode_postings(
             cols["positions"] = pd.Series([], dtype="object")
         if len(seg_pdf) == 0 or len(norm_pdf) == 0:
             return pd.DataFrame(cols)
+        # tombstones compact away HERE: deleted docs' postings never
+        # reach the re-encode (the reference reclaims deletes at merge)
+        tomb = seg_pdf["term"] == DELETES_TERM
+        deleted: np.ndarray | None = None
+        if tomb.any():
+            deleted = np.unique(np.concatenate([
+                np.frombuffer(bytes(b), dtype=np.int64)
+                for b in seg_pdf.loc[tomb, "id_bytes"]
+            ]))
+            seg_pdf = seg_pdf[~tomb]
+            if not len(seg_pdf):
+                return pd.DataFrame(cols)
         base = int(norm_pdf["base_doc_id"].iloc[0])
         narr = np.frombuffer(norm_pdf["norm_bytes"].iloc[0], dtype=np.uint8)
         outs = []
@@ -81,6 +95,22 @@ def decode_postings(
             g = g.sort_values("block_id")
             ids, tfs = decode_term_blocks(g)
             ids = ids.astype(np.int64)
+            pos_rows = None
+            if include_positions:
+                # decode with the ORIGINAL tfs (position offsets align to
+                # the undeleted stream), THEN filter rows
+                pos, offs = decode_subset_positions(g, tfs)
+                pos_rows = [
+                    pos[offs[i]:offs[i + 1]].tolist()
+                    for i in range(len(ids))
+                ]
+            if deleted is not None:
+                keep = ~np.isin(ids, deleted)
+                ids, tfs = ids[keep], tfs[keep]
+                if pos_rows is not None:
+                    pos_rows = [p for p, k_ in zip(pos_rows, keep) if k_]
+                if not ids.size:
+                    continue
             nid = narr[ids - base].astype(np.int32)
             out = {
                 "doc_id": pd.Series(ids + doc_offset, dtype="int64"),
@@ -92,12 +122,10 @@ def decode_postings(
                 "norm_id": pd.Series(nid, dtype="int32"),
             }
             if include_positions:
-                pos, offs = decode_subset_positions(g, tfs)
-                out["positions"] = pd.Series(
-                    [pos[offs[i]:offs[i + 1]].tolist() for i in range(len(ids))],
-                    dtype="object",
-                )
+                out["positions"] = pd.Series(pos_rows, dtype="object")
             outs.append(pd.DataFrame(out))
+        if not outs:
+            return pd.DataFrame(cols)
         return pd.concat(outs, ignore_index=True)
 
     schema = POSTINGS_POS_SCHEMA if include_positions else POSTINGS_SCHEMA
@@ -106,6 +134,34 @@ def decode_postings(
         .cogroup(norms.groupBy("segment_id"))
         .applyInPandas(run, schema)
     )
+
+
+def source_tombstones(spark: SparkSession, d: str, st: dict) -> DataFrame:
+    """All tombstoned INTERNAL ids of a fused source as a (doc_id) frame
+    (used by the merge to shrink doc maps and recompute stats; the
+    posting-level drop happens inside :func:`decode_postings`)."""
+    from ..streaming.ingest import registered_paths
+    from .segments import DELETES_TERM
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(*registered_paths(d, st))
+        .filter(F.col("term") == DELETES_TERM)
+        .select("id_bytes")
+    )
+
+    def explode(pdfs):
+        for pdf in pdfs:
+            outs = []
+            for b in pdf["id_bytes"]:
+                outs.append(pd.DataFrame({
+                    "doc_id": np.frombuffer(bytes(b), dtype=np.int64)
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return rows.mapInPandas(explode, "doc_id long").distinct()
 
 
 def merge_indexes(
@@ -217,9 +273,28 @@ def merge_indexes(
         "overwrite"
     ).parquet(out.term_stats)
 
+    # tombstoned docs were dropped during decode; their counts and exact
+    # token totals (fused sentinels store per-doc dls) leave the stats —
+    # post-merge scores equal a fresh build without the deleted docs
+    del_count, del_tokens = 0, 0
+    for d, s, st in zip(source_dirs, srcs, stats):
+        if not st.get("deleted_docs"):
+            continue
+        tombs = source_tombstones(spark, d, st)
+        _, nrm_t = split_unified(
+            spark.read.parquet(*registered_paths(d, st))
+        )
+        row = (
+            decode_exact_dls(nrm_t).join(tombs, "doc_id")
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("t"))
+            .collect()[0]
+        )
+        del_count += int(row["n"])
+        del_tokens += int(row["t"] or 0)
+
     merged = {
-        "num_docs": sum(st["num_docs"] for st in stats),
-        "total_tokens": sum(st["total_tokens"] for st in stats),
+        "num_docs": sum(st["num_docs"] for st in stats) - del_count,
+        "total_tokens": sum(st["total_tokens"] for st in stats) - del_tokens,
         # high-water mark for future appends: the full remapped id span
         "next_doc_id": acc,
         "analyzer": analyzer,
@@ -594,6 +669,11 @@ def _merge_multifield(
             "merge_indexes cannot mix PRESORTED and doc-id-ordered "
             "multi-field sources"
         )
+    if any(st.get("deleted_docs") for st in stats):
+        raise ValueError(
+            "multi-field sources cannot carry tombstones (delete_docs "
+            "refuses MF indexes) — stats.json is inconsistent"
+        )
     presorted = n_pre > 0
     analyzer = stats[0]["analyzer"]
     dps = docs_per_segment or stats[0]["docs_per_segment"]
@@ -807,6 +887,12 @@ def _merge_presorted(
     all_dm = None
     for d, st in zip(source_dirs, stats):
         x = read_src_dm(d, st)
+        if st.get("deleted_docs"):
+            # tombstoned docs leave the doc space entirely: not ranked,
+            # not counted, postings dropped in decode — the merge IS the
+            # compaction
+            x = x.join(source_tombstones(spark, d, st), "doc_id",
+                       "left_anti")
         all_dm = x if all_dm is None else all_dm.unionByName(x)
     counts = all_dm.agg(
         F.count("*").alias("n"),
@@ -891,7 +977,14 @@ def _merge_presorted(
         .write.mode("overwrite").parquet(out.term_stats)
     )
 
-    total_tokens = sum(int(st.get("total_tokens", 0)) for st in stats)
+    if any(st.get("deleted_docs") for st in stats):
+        # exact: the dl side already excludes tombstoned docs (docside is
+        # the global docmap ⋈ exact dls, and the docmap dropped them)
+        total_tokens = int(
+            docside.agg(F.sum("dl")).collect()[0][0] or 0
+        )
+    else:
+        total_tokens = sum(int(st.get("total_tokens", 0)) for st in stats)
     merged = {
         "num_docs": num_docs,
         "total_tokens": total_tokens,

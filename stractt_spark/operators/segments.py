@@ -231,6 +231,10 @@ def build_segments(postings: DataFrame, docs_per_segment: int) -> DataFrame:
 # sorts before every real token (no real token starts with \x00) and carries
 # the packed norm bytes + exact token totals of its segment.
 NORMS_SENTINEL = "\x00__seg_meta__"
+# tombstone rows (operators/deletes.py): id_bytes = raw sorted int64 doc
+# ids, one row per (segment, delete batch); ride the segments side of the
+# unified table and are masked pre-cut by every query kernel
+DELETES_TERM = "\x00__del__"
 
 # Reserved namespace for attribute filter terms: the reference implements
 # site:/domain: filters as term queries on identity-tokenized fields

@@ -54,6 +54,7 @@ from ..functions.bm25 import B, K1, weight
 from ..functions.fieldnorm import FIELD_NORMS_TABLE
 from ..functions.query_parse import ParsedQuery, parse_query
 from .segments import (
+    DELETES_TERM,
     decode_block_subset,
     decode_subset_positions,
     decode_term_blocks,
@@ -606,6 +607,15 @@ def _segment_topk_kernel(
         pre = np.frombuffer(pb, dtype=np.float32).astype(np.float64)
 
     by_term = {t: g.sort_values("block_id") for t, g in seg_blocks.groupby("term")}
+    # tombstones (operators/deletes.py): raw int64 id rows riding the
+    # scan; masked exactly like MustNot — BEFORE the top-k cut
+    deleted: np.ndarray | None = None
+    if DELETES_TERM in by_term:
+        g_del = by_term.pop(DELETES_TERM)
+        deleted = np.unique(np.concatenate([
+            np.frombuffer(bytes(b), dtype=np.int64)
+            for b in g_del["id_bytes"]
+        ]))
     # MustNot docs of this segment, excluded BEFORE the top-k cut (a
     # post-hoc anti-join would under-fill truncated per-segment results)
     excluded: np.ndarray | None = None
@@ -614,6 +624,10 @@ def _segment_topk_kernel(
               for t in neg_terms if t in by_term]
         if ex:
             excluded = np.unique(np.concatenate(ex))
+    if deleted is not None:
+        excluded = deleted if excluded is None else np.unique(
+            np.concatenate([excluded, deleted])
+        )
     present = [t for t in terms if t in by_term]
     phrase_ok = all(all(t in by_term for t in ph) for ph in phrases)
     # Must-filters (attr terms): a segment lacking the filter term has no
@@ -1016,6 +1030,7 @@ def wand_topk(
     seg_filtered = segments.filter(
         F.col("term").isin(
             sorted(set(all_terms + neg + filter_terms + clause_terms))
+            + [DELETES_TERM]
         )
     ).select(*[c for c in cols if c in segments.columns])
 
@@ -1128,7 +1143,7 @@ def wand_topk_batch(
     if any_phrases:
         cols.insert(8, "pos_bytes")
     seg_filtered = segments.filter(
-        F.col("term").isin(sorted(all_scan_terms))
+        F.col("term").isin(sorted(all_scan_terms) + [DELETES_TERM])
     ).select(*[c for c in cols if c in segments.columns])
 
     def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1220,7 +1235,9 @@ def wand_topk_count(
     if pq.phrases:
         cols.insert(8, "pos_bytes")
     seg_filtered = segments.filter(
-        F.col("term").isin(pq.all_match_terms + neg + filter_terms)
+        F.col("term").isin(
+            pq.all_match_terms + neg + filter_terms + [DELETES_TERM]
+        )
     ).select(*[c for c in cols if c in segments.columns])
 
     def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:

@@ -567,6 +567,17 @@ class SegmentIndex:
                 "pre_scores=... for a sound quota, or pass "
                 "unsafe_quota=True to accept approximate results"
             )
+        if (
+            max_docs_per_segment is not None
+            and self.stats.get("deleted_docs")
+            and not unsafe_quota
+        ):
+            raise ValueError(
+                "max_docs_per_segment on a TOMBSTONED index is unsound: "
+                "a truncated posting list can no longer guarantee "
+                "max_docs live higher-pre matches above the cut — "
+                "compact_index() first (or pass unsafe_quota=True)"
+            )
         pq = parse_query(query, self.analyzer, phrase=phrase)
         tdf = self.term_df(pq.all_match_terms)
         top = wand_topk(
