@@ -1089,6 +1089,65 @@ def _q_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, [float(x) for x in qvec], k=10, exclude_id=0)
 
 
+def _q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid text+vector retrieval: BM25 top-100 through the persisted
+    WAND index (stage 1), reranked by 0.5·bm25 + 0.5·cosine(query
+    embedding) — stage 2 pushes the ≤100 candidate ids into the
+    embeddings scan (row-group pruning; the embeddings table is never
+    fully scanned).  documents.doc_id and embeddings.vec_id are the
+    same id space; the query vector is vec_id 0's embedding."""
+    from stractt_spark.operators.similarity import hybrid_rerank
+
+    idx = _wand_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = idx.search("merge sort", k=100, mode="should")
+    out = hybrid_rerank(top, emb, [float(x) for x in qvec], k=10, alpha=0.5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.round("cos", 6).alias("cos"),
+    )
+
+
+def _hybrid_sql(terms: list[str], mode: str) -> str:
+    tlist = ", ".join("'" + t + "'" for t in terms)
+    per_term = (
+        "SELECT tf.doc_id, tf.term, "
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) * 2.2 * (tf.tf / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * q.dl_quant / s.avgdl))) AS ts "
+        "FROM tf JOIN dlq q ON tf.doc_id = q.doc_id "
+        "JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) df "
+        "ON tf.term = df.term "
+        "CROSS JOIN stats s "
+        f"WHERE tf.term IN ({tlist})"
+    )
+    must = (
+        f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "must" else ""
+    )
+    cos = (
+        "list_dot_product(CAST(v.embedding AS DOUBLE[]), qv.e) / "
+        "(sqrt(list_dot_product(CAST(v.embedding AS DOUBLE[]), "
+        "CAST(v.embedding AS DOUBLE[]))) * sqrt(list_dot_product(qv.e, qv.e)))"
+    )
+    return (
+        f"WITH {_NORM_CTE}, {_TOKS_CTE}, {_TF_CTE}, {_DL_CTE}, {_DLQ_CTE}, "
+        f"{_STATS_CTE}, per_term AS ({per_term}), "
+        f"topn AS (SELECT doc_id, sum(ts) AS bm25 FROM per_term "
+        f"GROUP BY doc_id {must} "
+        "ORDER BY sum(ts) DESC, doc_id ASC LIMIT 100), "
+        "qv AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "WHERE vec_id = 0) "
+        f"SELECT t.doc_id AS doc_id, "
+        f"round(0.5 * t.bm25 + 0.5 * ({cos}), 4) AS score, "
+        f"round({cos}, 6) AS cos "
+        "FROM topn t JOIN embeddings v ON v.vec_id = t.doc_id "
+        "CROSS JOIN qv "
+        f"ORDER BY 0.5 * t.bm25 + 0.5 * ({cos}) DESC, t.doc_id ASC "
+        "LIMIT 10"
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts (the two LLM-training-data cost
     denominators); identical regexes in Spark (Java) and DuckDB (RE2) —
@@ -1373,6 +1432,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": _q_simhash,
         # similarity
         "cosine_top10": _q_cosine_top10,
+        "hybrid_rerank": _q_hybrid_rerank,
         "ann_lsh_top10": _q_ann_lsh,
         "ann_bucketed_top10": _q_ann_bucketed,
         "emb_near_dup_pairs": _q_emb_near_dups,
@@ -1665,6 +1725,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM '/tmp/stractt_expected_proximity.parquet'"
         ),
         "cosine_top10": _COSINE_SQL,
+        "hybrid_rerank": _hybrid_sql(["merge", "sort"], "should"),
         "ann_lsh_top10": _COSINE_SQL,  # max_mismatch = n_planes ⇒ exact
         "ann_bucketed_top10": _ANN_BUCKETED_SQL,
         "emb_near_dup_pairs": _EMB_DUP_SQL,

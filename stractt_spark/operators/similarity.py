@@ -336,3 +336,56 @@ def lsh_bucket_topk(
         near, embeddings[id_col].cast("long") == F.col("_near_id"), "left_semi"
     )
     return cosine_topk(cand, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def hybrid_rerank(
+    bm25_top: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    alpha: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid text+vector ranking: rerank a BOUNDED BM25 candidate set
+    (stage 1: `SegmentIndex.search(query, k=n)`) by
+    ``alpha · bm25 + (1 − alpha) · cosine(query_vec, embedding)``
+    → (doc_id, score, bm25, cos) top-k.
+
+    Scale shape: the candidate set (≤ n rows) is collected to the
+    driver, its ids pushed into the embeddings scan as an ``IN``
+    predicate (parquet row-group pruning — the 100-TB embeddings table
+    is never scanned in full) and the scores joined back via a literal
+    map; cosine is the same JVM double path as :func:`cosine_topk`
+    (bit-identical to the DuckDB oracle's list_dot_product)."""
+    rows = bm25_top.collect()
+    if not rows:
+        spark = embeddings.sparkSession
+        return spark.createDataFrame(
+            [], "doc_id long, score double, bm25 double, cos double"
+        )
+    ids = [int(r["doc_id"]) for r in rows]
+    smap = F.create_map(
+        *[x for r in rows
+          for x in (F.lit(int(r["doc_id"])), F.lit(float(r["score"])))]
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cand = (
+        embeddings.filter(F.col(id_col).isin(ids))
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            (_dot(v, q) / (_norm(v) * _norm(q))).alias("cos"),
+        )
+        .withColumn("bm25", smap[F.col("doc_id")])
+    )
+    return (
+        cand.select(
+            "doc_id",
+            (F.lit(float(alpha)) * F.col("bm25")
+             + F.lit(1.0 - float(alpha)) * F.col("cos")).alias("score"),
+            "bm25", "cos",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

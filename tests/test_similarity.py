@@ -194,3 +194,49 @@ def test_pairwise_near_dups_bucket_skew_guard(spark):
         df, threshold=0.9, n_tables=2, n_planes=4, max_bucket_size=10**6
     ).collect()
     assert len(full) == 50 * 49 // 2
+
+
+def test_hybrid_rerank_matches_bruteforce(spark):
+    """hybrid_rerank == numpy recompute of alpha·bm25 + (1−alpha)·cos
+    over the candidate set, and the candidate ids reach the embeddings
+    scan as a pushed IN filter (the table is never scanned in full)."""
+    import numpy as np
+
+    from stractt_spark.operators.similarity import hybrid_rerank
+
+    rng = np.random.RandomState(11)
+    n, dim = 60, 8
+    vecs = rng.randn(n, dim).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    cand = [(i, float(1.0 / (1 + i))) for i in range(0, 40, 3)]
+    bm25 = spark.createDataFrame(cand, "doc_id long, score double")
+    qvec = [float(x) for x in vecs[0]]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in hybrid_rerank(bm25, emb, qvec, k=5, alpha=0.3).collect()
+    ]
+    M = vecs.astype("float64")
+    qq = np.asarray(qvec, dtype="float64")
+    want = sorted(
+        (
+            (d, 0.3 * s + 0.7 * float(
+                M[d] @ qq / (np.linalg.norm(M[d]) * np.linalg.norm(qq))
+            ))
+            for d, s in cand
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+    # pushdown: write to parquet, assert the IN filter reaches the scan
+    emb.write.mode("overwrite").parquet("/tmp/stractt_hybrid_emb.parquet")
+    emb_p = spark.read.parquet("/tmp/stractt_hybrid_emb.parquet")
+    plan = (
+        hybrid_rerank(bm25, emb_p, qvec, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [In(vec_id" in plan, plan[:1500]
