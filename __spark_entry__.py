@@ -1313,6 +1313,37 @@ def _augmented_embeddings(spark: SparkSession, sf_dir: str):
     return base.unionByName(planted), qvec
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN through a persisted IVF index (coarse k-means quantizer, the
+    second scale path beside sign-LSH): centroids trained on a
+    deterministic sample, assignments written partitionBy(cell), the
+    query scans only the nprobe=4 of 16 nearest cells (partition
+    pruning) and exactly rescores them.  Hash-gated against the exact
+    cosine oracle over the same augmented table — a match proves the
+    probed cells contain the full true top-10 (the planted neighbors)."""
+    import hashlib
+    import os
+
+    from stractt_spark.operators.similarity import ann_ivf_topk, build_ivf_index
+
+    aug, qvec = _augmented_embeddings(spark, sf_dir)
+    key = "ivfidx:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        out = "/tmp/stractt_entry_ivfidx_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        if not os.path.exists(
+            os.path.join(out, "cells.parquet", "_SUCCESS")
+        ):
+            build_ivf_index(
+                spark, aug, out, n_cells=16, vec_col="e"
+            )
+        _WAND_INDEX_CACHE[key] = out
+    return ann_ivf_topk(
+        spark, _WAND_INDEX_CACHE[key], qvec, k=10, nprobe=4, exclude_id=0
+    )
+
+
 def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN through the PERSISTED bucketed sign-LSH index: the signature
     table is built once and written to parquet; the query pushes a
@@ -1435,6 +1466,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rerank": _q_hybrid_rerank,
         "ann_lsh_top10": _q_ann_lsh,
         "ann_bucketed_top10": _q_ann_bucketed,
+        "ann_ivf_top10": _q_ann_ivf,
         "emb_near_dup_pairs": _q_emb_near_dups,
         # aggregations (§2.7 counting analogues)
         "source_counts": _q_source_counts,
@@ -1728,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rerank": _hybrid_sql(["merge", "sort"], "should"),
         "ann_lsh_top10": _COSINE_SQL,  # max_mismatch = n_planes ⇒ exact
         "ann_bucketed_top10": _ANN_BUCKETED_SQL,
+        "ann_ivf_top10": _ANN_BUCKETED_SQL,  # same exact-cosine truth
         "emb_near_dup_pairs": _EMB_DUP_SQL,
         "jaccard_pairs_capped": (
             f"WITH {_TOKS_L_CTE}, "

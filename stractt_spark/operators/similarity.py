@@ -389,3 +389,136 @@ def hybrid_rerank(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def build_ivf_index(
+    spark,
+    embeddings: DataFrame,
+    out_dir: str,
+    n_cells: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF (inverted-file) ANN index — the coarse-quantizer scale path
+    beside the sign-LSH bucketed index.
+
+    Centroids are trained with Lloyd's k-means on a DETERMINISTIC
+    driver-side sample (rows ranked by a hash of their id — the
+    standard big-data recipe: train on a bounded sample, assign
+    everything in one distributed pass; no nondeterministic distributed
+    float reductions, so the index is bit-reproducible).  Assignments
+    are written ``partitionBy(cell)`` so a query's probe set prunes
+    whole directories off the scan.
+
+    Layout: ``{out}/centroids.parquet`` (cell, centroid double[]),
+    ``{out}/cells.parquet/cell=N/`` (vec_id, e double[])."""
+    import hashlib
+
+    import numpy as np
+
+    def _h(i: int) -> int:
+        return int.from_bytes(
+            hashlib.md5(f"ivf|{i}".encode()).digest()[:8], "big"
+        )
+
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    )
+    rows = (
+        base.withColumn(
+            "_r", F.xxhash64(F.col("vec_id"), F.lit("ivf-sample"))
+        )
+        .orderBy("_r", "vec_id")
+        .limit(int(sample))
+        .select("vec_id", "e")
+        .collect()
+    )
+    rows.sort(key=lambda r: _h(int(r["vec_id"])))
+    M = np.array([list(r["e"]) for r in rows], dtype=np.float64)
+    k_ = min(n_cells, len(M))
+    cent = M[:k_].copy()
+    for _ in range(iters):
+        d2 = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k_):
+            sel = assign == c
+            if sel.any():
+                cent[c] = M[sel].mean(axis=0)
+            else:
+                # deterministic re-seed: the sample point farthest from
+                # its centroid
+                far = int(d2[np.arange(len(M)), assign].argmax())
+                cent[c] = M[far]
+    cent_rows = [(c, [float(x) for x in cent[c]]) for c in range(k_)]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids.parquet")
+
+    cent_b = cent.copy()
+
+    def assign_cells(pdfs):
+        import numpy as np
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf["e"]], dtype=np.float64)
+            d2 = (
+                (X ** 2).sum(axis=1)[:, None]
+                - 2.0 * X @ cent_b.T
+                + (cent_b ** 2).sum(axis=1)[None, :]
+            )
+            pdf = pdf.copy()
+            pdf["cell"] = d2.argmin(axis=1).astype("int32")
+            yield pdf[["cell", "vec_id", "e"]]
+
+    (
+        base.mapInPandas(
+            assign_cells, "cell int, vec_id long, e array<double>"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{out_dir}/cells.parquet")
+    )
+
+
+def ann_ivf_topk(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Query the IVF index: rank cells by centroid distance to the
+    query (driver-side — centroids are tiny), scan ONLY the ``nprobe``
+    nearest cells (`cell IN (...)` prunes partition directories), exact
+    cosine rescore → (vec_id, cos) top-k with :func:`cosine_topk`'s
+    rounding/tie conventions."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{index_dir}/centroids.parquet").collect()
+    cent = {int(r["cell"]): np.array(r["centroid"]) for r in cent_rows}
+    qq = np.asarray(query_vec, dtype=np.float64)
+    probes = sorted(
+        cent, key=lambda c: (float(((cent[c] - qq) ** 2).sum()), c)
+    )[:nprobe]
+    cells = spark.read.parquet(f"{index_dir}/cells.parquet").filter(
+        F.col("cell").isin([int(c) for c in probes])
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col("e")
+    df = cells.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        (_dot(v, q) / (_norm(v) * _norm(q))).alias("_cos"),
+    )
+    if exclude_id is not None:
+        df = df.filter(F.col("vec_id") != F.lit(int(exclude_id)))
+    return (
+        df.orderBy(F.desc("_cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("_cos", 6).alias("cos"))
+    )
