@@ -1148,6 +1148,91 @@ def _hybrid_sql(terms: list[str], mode: str) -> str:
     )
 
 
+# ---------------------------------------------------------------- events
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle cut) — the batch twin of
+    Structured Streaming's session_window; lag/cumsum over one
+    user-partitioned window, one shuffle."""
+    from stractt_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
+_SESSIONIZE_SQL = (
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value, event_id "
+    "FROM events), "
+    "lagged AS (SELECT *, lag(t) OVER "
+    "(PARTITION BY user_id ORDER BY t, event_id) AS pt FROM e), "
+    "marked AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000 "
+    "THEN 1 ELSE 0 END AS nw FROM lagged), "
+    "sess AS (SELECT *, sum(nw) OVER (PARTITION BY user_id "
+    "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS s FROM marked) "
+    "SELECT user_id, s AS session_idx, min(t) AS started_us, "
+    "max(t) AS ended_us, count(*) AS n_events, "
+    "round(sum(value), 4) AS sum_value "
+    "FROM sess GROUP BY user_id, s"
+)
+
+
+def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.events import windowed_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_counts(ev)
+
+
+_WINDOWED_SQL = (
+    "SELECT epoch_us(date_trunc('hour', ts)) AS window_us, "
+    "event_type, count(*) AS n, round(sum(value), 4) AS sum_value "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel over the first 36 hours
+    (restricting the window keeps completion PARTIAL — every user
+    completes every stage over the full month, which would make the
+    gate insensitive to ordering bugs); earliest-occurrence strict
+    ordering, one per-user sorted-array fold, no joins."""
+    from stractt_spark.operators.events import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("ts") < F.lit("2024-01-02 12:00:00").cast("timestamp_ntz")
+    )
+    return funnel(ev)
+
+
+_FUNNEL_SQL = (
+    "WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et "
+    "FROM events WHERE ts < TIMESTAMP '2024-01-02 12:00:00'), "
+    "t0 AS (SELECT u, min(t) AS t0 FROM e WHERE et = 'view' GROUP BY u), "
+    "t1 AS (SELECT e.u, min(t) AS t1 FROM e JOIN t0 ON e.u = t0.u "
+    "WHERE et = 'click' AND t > t0 GROUP BY e.u), "
+    "t2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN t1 ON e.u = t1.u "
+    "WHERE et = 'purchase' AND t > t1 GROUP BY e.u) "
+    "SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step, "
+    "count(*) AS users FROM t0 "
+    "UNION ALL SELECT 2, 'click', count(*) FROM t1 "
+    "UNION ALL SELECT 3, 'purchase', count(*) FROM t2"
+)
+
+
+def _q_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.events import props_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return props_histogram(ev)
+
+
+_PROPS_SQL = (
+    "SELECT event_type, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket, "
+    "count(*) AS n FROM events GROUP BY 1, 2"
+)
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts (the two LLM-training-data cost
     denominators); identical regexes in Spark (Java) and DuckDB (RE2) —
@@ -1470,6 +1555,11 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_pairs": _q_emb_near_dups,
         # aggregations (§2.7 counting analogues)
         "source_counts": _q_source_counts,
+        # event-stream analytics
+        "sessionize": _q_sessionize,
+        "windowed_counts": _q_windowed_counts,
+        "event_funnel": _q_funnel,
+        "props_histogram": _q_props_histogram,
         # text analysis
         "token_stats": _q_token_stats,
         "token_counts_bpe": _q_token_counts,
@@ -1803,6 +1893,10 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn FROM hits) "
             "SELECT doc_id, lang AS lang_pred, h AS lang_hits FROM r WHERE rn = 1"
         ),
+        "sessionize": _SESSIONIZE_SQL,
+        "windowed_counts": _WINDOWED_SQL,
+        "event_funnel": _FUNNEL_SQL,
+        "props_histogram": _PROPS_SQL,
         "source_counts": (
             "SELECT source, count(*) AS n_docs, "
             "CAST(sum(n_chars) AS BIGINT) AS total_chars "
