@@ -1148,6 +1148,97 @@ def _hybrid_sql(terms: list[str], mode: str) -> str:
     )
 
 
+# ----------------------------------------------------------------- graph
+
+def _event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic directed graph from the events table: an edge
+    between the users of consecutive events (by event_id) in the first
+    21 hours — 130 nodes / 313 edges / diameter 10 at sf0.01, deep
+    enough that iterative BFS must actually iterate.  The single-
+    partition window is the gate FIXTURE (bounded rows), not the
+    operator under test."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("ts") < F.lit("2024-01-01 21:00:00").cast("timestamp_ntz")
+    )
+    w = Window.orderBy("event_id")
+    return (
+        ev.select("event_id", F.col("user_id").alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+    )
+
+
+def _event_dist(spark: SparkSession, sf_dir: str):
+    """BFS distance table shared by the two graph gates (the harmonic
+    sum is a reduction OVER the distances — recomputing the BFS per
+    gate would double the iterative work)."""
+    from stractt_spark.operators.graph import bfs_distances
+
+    key = "graphdist:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        _WAND_INDEX_CACHE[key] = bfs_distances(
+            _event_edges(spark, sf_dir), max_iter=20
+        ).localCheckpoint(eager=True)
+    return _WAND_INDEX_CACHE[key]
+
+
+def _q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs finite BFS distances by iterative frontier⋈edges
+    expansion (reference per-node Dijkstra re-expressed as DataFrame
+    joins with bounded-lineage frontier derivation); oracle = recursive
+    CTE walk with min-distance fold."""
+    return _event_dist(spark, sf_dir).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stractt_spark.operators.graph import harmonic_centrality
+
+    return harmonic_centrality(
+        _event_edges(spark, sf_dir), max_iter=20, round_to=6,
+        dist=_event_dist(spark, sf_dir),
+    ).select(F.col("node").cast("long").alias("node"), "centrality")
+
+
+_EDGES_CTE = (
+    "seq AS (SELECT user_id AS src, lead(user_id) OVER (ORDER BY event_id) "
+    "AS dst FROM events WHERE ts < TIMESTAMP '2024-01-01 21:00:00'), "
+    "edges AS (SELECT DISTINCT src, dst FROM seq "
+    "WHERE dst IS NOT NULL AND src <> dst), "
+    "walk(src, dst, d) AS ("
+    "SELECT src, dst, 1 FROM edges "
+    "UNION "
+    "SELECT w.src, e.dst, w.d + 1 FROM walk w JOIN edges e "
+    "ON w.dst = e.src WHERE w.d < 12 AND w.src <> e.dst), "
+    "dist AS (SELECT src, dst, min(d) AS dist FROM walk GROUP BY src, dst)"
+)
+
+_GRAPH_BFS_SQL = (
+    f"WITH RECURSIVE {_EDGES_CTE} "
+    "SELECT src, dst, dist FROM dist"
+)
+
+_HARMONIC_SQL = (
+    f"WITH RECURSIVE {_EDGES_CTE}, "
+    # NOTE: a bare `a UNION b` CTE under WITH RECURSIVE is treated as a
+    # recursive anchor/step by DuckDB and silently iterates — keep the
+    # union inside a subquery
+    "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges "
+    "UNION ALL SELECT dst AS node FROM edges)), "
+    "n AS (SELECT count(*) AS n FROM nodes) "
+    "SELECT nodes.node AS node, coalesce(round(s.c, 6), 0.0) AS centrality "
+    "FROM nodes LEFT JOIN (SELECT dst, sum(1.0 / dist) / (n.n - 1) AS c "
+    "FROM dist, n GROUP BY dst, n.n) s ON s.dst = nodes.node"
+)
+
+
 # ---------------------------------------------------------------- events
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1555,6 +1646,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_pairs": _q_emb_near_dups,
         # aggregations (§2.7 counting analogues)
         "source_counts": _q_source_counts,
+        # graph
+        "graph_bfs": _q_graph_bfs,
+        "harmonic_centrality": _q_harmonic,
         # event-stream analytics
         "sessionize": _q_sessionize,
         "windowed_counts": _q_windowed_counts,
@@ -1893,6 +1987,8 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn FROM hits) "
             "SELECT doc_id, lang AS lang_pred, h AS lang_hits FROM r WHERE rn = 1"
         ),
+        "graph_bfs": _GRAPH_BFS_SQL,
+        "harmonic_centrality": _HARMONIC_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "windowed_counts": _WINDOWED_SQL,
         "event_funnel": _FUNNEL_SQL,

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 
 def bfs_distances(
-    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 4
+    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 2
 ) -> DataFrame:
     """edges (src, dst) → all-pairs finite distances (src, dst, dist).
 
@@ -67,11 +67,23 @@ def bfs_distances(
             dist = dist.localCheckpoint(eager=True)
         else:
             dist = dist.cache()
-        frontier = new
+        # CRITICAL: re-derive the frontier FROM the accumulated dist
+        # (rows at the new depth) instead of carrying `new` forward.
+        # frontier_k's plan otherwise embeds frontier_{k-1}'s full plan,
+        # the per-hop plan size grows exponentially, and the DRIVER's
+        # Catalyst analysis becomes the bottleneck (measured: a 14-hop
+        # BFS spent minutes inside TreeNode analysis; .cache() does NOT
+        # truncate the analyzed plan).  Deriving from dist bounds every
+        # plan at checkpoint_every union layers past the last
+        # localCheckpoint RDD leaf.
+        frontier = dist.filter(F.col("dist") == it + 2)
     return dist
 
 
-def harmonic_centrality(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def harmonic_centrality(
+    edges: DataFrame, max_iter: int = 20, round_to: int = 9,
+    dist: DataFrame | None = None,
+) -> DataFrame:
     """→ (node, centrality) with centrality = Σ_u 1/d(u, node) / (n−1),
     n = number of distinct nodes; nodes nobody reaches score 0.0
     (reference src/webgraph/mod.rs:411-468; its 4-node unit test values
@@ -84,7 +96,8 @@ def harmonic_centrality(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     n = nodes.count()
     if n <= 1:
         return nodes.withColumn("centrality", F.lit(0.0))
-    dist = bfs_distances(edges, max_iter)
+    if dist is None:
+        dist = bfs_distances(edges, max_iter)
     sums = (
         dist.groupBy("dst")
         .agg((F.sum(F.lit(1.0) / F.col("dist")) / F.lit(float(n - 1))).alias("centrality"))
@@ -93,5 +106,5 @@ def harmonic_centrality(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return (
         nodes.join(sums, "node", "left")
         .fillna(0.0, subset=["centrality"])
-        .select("node", F.round("centrality", 9).alias("centrality"))
+        .select("node", F.round("centrality", round_to).alias("centrality"))
     )
