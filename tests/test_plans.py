@@ -38,7 +38,10 @@ def idx(spark):
 def test_term_filter_pushed_to_scan(idx):
     plan = _formatted_plan(idx.search("merge sort", k=10))
     assert "PushedFilters" in plan
-    assert "In(term, [merge,sort])" in plan.replace("  ", " ")
+    # the scan term list = query terms + the tombstone sentinel (a \x00
+    # control-char term rendered at the front of the sorted IN list)
+    assert "merge,sort])" in plan.replace("  ", " ")
+    assert "In(term, [" in plan.replace("  ", " ")
 
 
 def test_nonphrase_query_prunes_position_column(idx):
