@@ -84,6 +84,22 @@ def main() -> None:
             ) if m["blocks_total"] else None,
         }
 
+    # batched execution: the same 5 queries in ONE pass (search_batch)
+    # vs sequential jobs — the amortization evidence in BENCH.md
+    batch = [(n, q, m) for n, (q, m) in QUERIES.items()]
+    seq_times, bat_times = [], []
+    for _ in range(max(args.trials - 1, 1)):
+        t0 = time.time()
+        for _, q, m in batch:
+            idx.search(q, k=10, mode=m).collect()
+        seq_times.append(time.time() - t0)
+        t0 = time.time()
+        idx.search_batch(batch, k=10).collect()
+        bat_times.append(time.time() - t0)
+    out["batch_sequential_sec"] = round(min(seq_times), 3)
+    out["batch_one_pass_sec"] = round(min(bat_times), 3)
+    out["batch_speedup"] = round(min(seq_times) / min(bat_times), 2)
+
     if args.presorted:
         pdir = args.index.rstrip("/") + "_pre"
         if not os.path.isfile(os.path.join(pdir, "stats.json")):
