@@ -39,10 +39,12 @@ def delete_docs(
     tombstones written (ids already deleted or unknown are skipped).
 
     Deletes compose with streaming appends (ids past the build
-    high-water mark resolve through the batch docmaps) but NOT yet with
-    multi-field indexes (raise), and a quota query on a tombstoned index
-    raises until compaction — truncated posting lists can no longer
-    guarantee ``max_docs`` live higher-pre matches above the cut."""
+    high-water mark resolve through the batch docmaps) and with
+    multi-field indexes (the per-field sentinels' exact dl tails let
+    compaction recompute exact per-field stats).  A quota query on a
+    tombstoned index raises until compaction — truncated posting lists
+    can no longer guarantee ``max_docs`` live higher-pre matches above
+    the cut."""
     import json
     import os
 
@@ -54,11 +56,6 @@ def delete_docs(
     paths = IndexPaths(index_dir)
     with open(paths.stats) as f:
         stats = json.load(f)
-    if "multifield" in stats:
-        raise ValueError(
-            "delete_docs does not support MULTI-FIELD indexes yet — "
-            "per-field stats cannot be exactly reclaimed at compaction"
-        )
     if stats.get("layout") != "fused":
         raise ValueError(
             "delete_docs needs the fused unified layout (build_index_fused)"

@@ -487,8 +487,12 @@ def decode_blocks(
 
 
 def decode_mf_norms(mf_norm_rows: DataFrame) -> DataFrame:
-    """Per-field packed norm sentinel rows → ``(doc_id, field, norm_id)``
-    for every span slot (gap slots come out norm 0; callers filter)."""
+    """Per-field packed norm sentinel rows →
+    ``(doc_id, field, norm_id, dl)`` for every span slot (gap slots come
+    out norm 0 / dl 0; callers filter).  ``dl`` is the EXACT per-doc
+    token count from the sentinel's varint tail — what makes merged /
+    compacted multi-field stats exact rather than quantized."""
+    from ..functions.codec import varint_decode
     from .multifield import MF_NORMS_PREFIX
 
     plen = len(MF_NORMS_PREFIX)
@@ -499,6 +503,18 @@ def decode_mf_norms(mf_norm_rows: DataFrame) -> DataFrame:
             for _, r in pdf.iterrows():
                 narr = np.frombuffer(bytes(r["id_bytes"]), dtype=np.uint8)
                 base = int(r["first_doc_id"])
+                vals = varint_decode(bytes(r["tf_bytes"]))
+                tail = vals[2:2 + len(narr)]
+                if len(tail) == len(narr):
+                    dl = np.asarray(tail, dtype=np.int64)
+                else:
+                    # legacy sentinel without the dl tail: quantized dls
+                    # (pre-tail indexes; rebuild for exact stats)
+                    from ..functions.fieldnorm import FIELD_NORMS_TABLE
+
+                    dl = FIELD_NORMS_TABLE[narr.astype(np.int64)].astype(
+                        np.int64
+                    )
                 outs.append(pd.DataFrame({
                     "doc_id": pd.Series(
                         base + np.arange(len(narr), dtype=np.int64),
@@ -507,13 +523,14 @@ def decode_mf_norms(mf_norm_rows: DataFrame) -> DataFrame:
                                        dtype="object"),
                     "norm_id": pd.Series(narr.astype(np.int32),
                                          dtype="int32"),
+                    "dl": pd.Series(dl, dtype="int64"),
                 }))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return mf_norm_rows.select("term", "first_doc_id", "id_bytes").mapInPandas(
-        run, "doc_id long, field string, norm_id int"
-    )
+    return mf_norm_rows.select(
+        "term", "first_doc_id", "id_bytes", "tf_bytes"
+    ).mapInPandas(run, "doc_id long, field string, norm_id int, dl long")
 
 
 def reencode_fused_multifield(
@@ -524,14 +541,13 @@ def reencode_fused_multifield(
     include_positions: bool,
     with_pre: bool,
 ) -> DataFrame:
-    """(remapped phys-term postings, per-(doc, field) norms [+ per-doc
-    pre]) → unified multi-field rows.  Norm bytes are carried over from
-    the sources (quantized ids are remap-invariant), so merged scores are
-    bit-identical to a one-shot build; the per-field sentinels'
-    diagnostic token totals are the QUANTIZED sums (the MF layout does
-    not store exact per-doc counts — exact totals live in stats.json)."""
+    """(remapped phys-term postings, per-(doc, field) (norm_id, dl)
+    [+ per-doc pre]) → unified multi-field rows.  Norm bytes are carried
+    over from the sources (quantized ids are remap-invariant) and the
+    per-field sentinels re-pack the EXACT per-doc token counts from the
+    decoded dl tails, so the merged unified table is byte-identical to a
+    one-shot build over the union."""
     from ..functions.codec import varint_encode
-    from ..functions.fieldnorm import FIELD_NORMS_TABLE
     from .multifield import MF_NORMS_PREFIX, MF_TERM_PREFIX, MF_TERM_SEP
     from .segments import NORMS_SENTINEL, SEGMENTS_SCHEMA, encode_segment_arrays
 
@@ -548,26 +564,28 @@ def reencode_fused_multifield(
         narr_stack = np.zeros((len(fields), span), dtype=np.uint8)
         f_vals = doc_pdf["field"].to_numpy(dtype=object)
         n_vals = doc_pdf["norm_id"].to_numpy("int64")
+        dl_vals = doc_pdf["dl"].to_numpy("int64")
         sentinel_rows = []
-        total_quant = 0
+        total_exact = 0
         n_docs = len(np.unique(d_local))
         for f_ in fields:
             sel = f_vals == f_
             narr_stack[findex[f_], d_local[sel]] = n_vals[sel].astype(
                 np.uint8
             )
-            quant_sum = int(
-                FIELD_NORMS_TABLE[n_vals[sel].astype(np.int64)].sum()
-            )
-            total_quant += quant_sum
+            dl_span = np.zeros(span, dtype=np.uint64)
+            dl_span[d_local[sel]] = dl_vals[sel].astype(np.uint64)
+            field_sum = int(dl_vals[sel].sum())
+            total_exact += field_sum
             sentinel_rows.append({
                 "segment_id": seg, "term": f"{MF_NORMS_PREFIX}{f_}",
                 "block_id": -1, "first_doc_id": base,
                 "last_doc_id": base + span - 1, "num_docs": span,
                 "id_bytes": narr_stack[findex[f_]].tobytes(),
-                "tf_bytes": varint_encode(
-                    np.array([quant_sum, n_docs], dtype=np.uint64)
-                ),
+                "tf_bytes": varint_encode(np.concatenate([
+                    np.array([field_sum, n_docs], dtype=np.uint64),
+                    dl_span,
+                ])),
                 "pos_bytes": None, "max_tf": 0, "min_norm_id": 0,
             })
         pre_packed = None
@@ -584,7 +602,7 @@ def reencode_fused_multifield(
             "num_docs": span,
             "id_bytes": np.zeros(span, dtype=np.uint8).tobytes(),
             "tf_bytes": varint_encode(np.array(
-                [total_quant, n_docs, n_postings, 0, 0], dtype=np.uint64
+                [total_exact, n_docs, n_postings, 0, 0], dtype=np.uint64
             )),
             "pos_bytes": pre_packed, "max_tf": 0, "min_norm_id": 0,
         })
@@ -669,11 +687,7 @@ def _merge_multifield(
             "merge_indexes cannot mix PRESORTED and doc-id-ordered "
             "multi-field sources"
         )
-    if any(st.get("deleted_docs") for st in stats):
-        raise ValueError(
-            "multi-field sources cannot carry tombstones (delete_docs "
-            "refuses MF indexes) — stats.json is inconsistent"
-        )
+    any_del = any(st.get("deleted_docs") for st in stats)
     presorted = n_pre > 0
     analyzer = stats[0]["analyzer"]
     dps = docs_per_segment or stats[0]["docs_per_segment"]
@@ -692,6 +706,9 @@ def _merge_multifield(
         all_dm = None
         for d, st in zip(source_dirs, stats):
             x = read_src_dm(d, st)
+            if st.get("deleted_docs"):
+                x = x.join(source_tombstones(spark, d, st), "doc_id",
+                           "left_anti")
             all_dm = x if all_dm is None else all_dm.unionByName(x)
         counts = all_dm.agg(
             F.count("*").alias("n"), F.countDistinct("orig_id").alias("u")
@@ -738,11 +755,19 @@ def _merge_multifield(
             unified.filter(~F.col("term").startswith("\x00")),
             include_positions=positions,
         )
-        post_parts.append(remap(posts, d, st, off))
         unified2 = spark.read.parquet(*registered_paths(d, st))
         norms = decode_mf_norms(
             unified2.filter(F.col("term").startswith(MF_NORMS_PREFIX))
         )
+        if st.get("deleted_docs"):
+            # tombstones compact away: deleted docs' postings and norm
+            # rows never reach the re-encode (applied on SOURCE-internal
+            # ids, before any remap)
+            tombs = source_tombstones(spark, d, st)
+            posts = posts.join(tombs, "doc_id", "left_anti")
+            tombs2 = source_tombstones(spark, d, st)
+            norms = norms.join(tombs2, "doc_id", "left_anti")
+        post_parts.append(remap(posts, d, st, off))
         norm_parts.append(remap(norms, d, st, off))
     posts = post_parts[0]
     for p_ in post_parts[1:]:
@@ -798,9 +823,21 @@ def _merge_multifield(
             f_: int(round(m["avgdl"][f_] * st["num_docs"])) for f_ in fields
         }
 
-    field_totals = {
-        f_: sum(totals(st)[f_] for st in stats) for f_ in fields
-    }
+    if any_del:
+        # exact post-compaction stats from the decoded dl tails: the
+        # docside already excludes tombstoned docs
+        field_totals = {f_: 0 for f_ in fields}
+        for r in (
+            docside.groupBy("field").agg(F.sum("dl").alias("t")).collect()
+        ):
+            field_totals[r["field"]] = int(r["t"] or 0)
+        num_docs = int(
+            docside.select("doc_id").distinct().count()
+        )
+    else:
+        field_totals = {
+            f_: sum(totals(st)[f_] for st in stats) for f_ in fields
+        }
     merged = {
         "num_docs": num_docs,
         "analyzer": analyzer,

@@ -305,15 +305,24 @@ def build_segments_fused_multifield(
             narr = np.zeros(span, dtype=np.uint8)
             narr[local] = norm_ids.astype(np.uint8)
             total_tokens += int(dls.sum())
+            # sentinel varint layout: [field token sum, n docs] + the
+            # EXACT span-aligned per-doc token counts — the dl tail lets
+            # merges/compaction recompute exact per-field stats instead
+            # of quantized approximations (same convention as the
+            # single-field main sentinel's tail)
+            dl_span = np.zeros(span, dtype=np.uint64)
+            dl_span[local] = dls.astype(np.uint64)
             sentinel_rows.append(
                 {
                     "segment_id": seg, "term": f"{MF_NORMS_PREFIX}{f_}",
                     "block_id": -1, "first_doc_id": base,
                     "last_doc_id": base + span - 1, "num_docs": span,
                     "id_bytes": narr.tobytes(),
-                    "tf_bytes": varint_encode(
-                        np.array([int(dls.sum()), len(texts)], dtype=np.uint64)
-                    ),
+                    "tf_bytes": varint_encode(np.concatenate([
+                        np.array([int(dls.sum()), len(texts)],
+                                 dtype=np.uint64),
+                        dl_span,
+                    ])),
                     "pos_bytes": None, "max_tf": 0, "min_norm_id": 0,
                 }
             )
@@ -617,6 +626,15 @@ class MultiFieldSegmentIndex:
                 "ARBITRARY docs — build with pre_scores=... for a sound "
                 "quota, or pass unsafe_quota=True"
             )
+        if (
+            max_docs_per_segment is not None
+            and self.stats.get("deleted_docs")
+            and not unsafe_quota
+        ):
+            raise ValueError(
+                "max_docs_per_segment on a TOMBSTONED index is unsound — "
+                "compact_index() first (or pass unsafe_quota=True)"
+            )
         pq = parse_query(query, self.analyzer, phrase=phrase)
         uniq = pq.uniq_terms
         phrases = pq.phrases
@@ -774,6 +792,20 @@ def _mf_segment_topk(
         pre = np.frombuffer(pb, dtype=np.float32).astype(np.float64)
     dl_table = FIELD_NORMS_TABLE.astype(np.float64)
     by_term = {t: g.sort_values("block_id") for t, g in blocks_pdf.groupby("term")}
+    # tombstones (operators/deletes.py): masked BEFORE the top-k cut,
+    # same discipline as the single-field kernel.  NOTE the MF handle
+    # routes every \x00-prefixed row (incl. tombstones) to the NORMS
+    # side of the cogroup, so the delete ids arrive in norms_pdf (the
+    # raw int64 ids ride in the aliased norm_bytes column)
+    from .segments import DELETES_TERM
+
+    deleted: np.ndarray | None = None
+    del_rows = norms_pdf[norms_pdf["sentinel"] == DELETES_TERM]
+    if len(del_rows):
+        deleted = np.unique(np.concatenate([
+            np.frombuffer(bytes(b), dtype=np.int64)
+            for b in del_rows["norm_bytes"]
+        ]))
 
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -814,7 +846,7 @@ def _mf_segment_topk(
         ids, score = _should_topk_blockmax(
             by_term, present_phys, weights, 0.0, k, None, dl_table, seg_n,
             dl_of_term=dl_of_term, avgdl_term=lambda p: avgdl[fld(p)],
-            score_order=order_, pre=pre, base=base,
+            score_order=order_, pre=pre, base=base, excluded=deleted,
         )
         ordr = np.lexsort((ids, -score))[:k]
         return pd.DataFrame(
@@ -960,6 +992,8 @@ def _mf_segment_topk(
             if tfs is not None:
                 exm |= tfs > 0
         cand = cand[~exm]
+    if deleted is not None and cand.size:
+        cand = cand[~np.isin(cand, deleted)]
     if cand.size == 0:
         return empty
     score = np.zeros(cand.size, dtype=np.float64)

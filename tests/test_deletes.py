@@ -151,19 +151,68 @@ def test_quota_raises_on_tombstoned_index(deleted, spark):
                    with_pre_score=True, max_docs_per_segment=48)
 
 
-def test_delete_refuses_multifield(deleted, spark):
+def test_multifield_delete_mask_and_compaction(deleted, spark):
+    """MF deletes: tombstoned docs are masked pre-cut with pre-delete
+    scores, and compaction rewrites the index BYTE-identical to a fresh
+    MF build over the survivors (the per-field sentinel dl tails make
+    even the exact token totals reproducible)."""
     from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
         build_index_fused_multifield,
     )
 
-    mf_dir = f"{BASE}/mf"
-    docs = deleted["docs"].withColumn("path", F.lit("p"))
-    build_index_fused_multifield(
-        spark, docs, mf_dir, {"content": "content", "path": "path"},
-        docs_per_segment=DPS,
+    rows = deleted["rows"]
+    docs = spark.createDataFrame(
+        [(i, rows[i]["path"], rows[i]["content"]) for i in range(500)],
+        "doc_id long, path string, content string",
     )
-    with pytest.raises(ValueError, match="MULTI-FIELD"):
-        delete_docs(spark, mf_dir, [1, 2])
+    fields = {"path": "path", "content": "content"}
+    mf_dir = f"{BASE}/mf"
+    build_index_fused_multifield(
+        spark, docs, mf_dir, fields, docs_per_segment=DPS, positions=True,
+    )
+    before = MultiFieldSegmentIndex(spark, mf_dir).search_list(
+        "merge sort", k=60, mode="should")
+    assert delete_docs(spark, mf_dir, DELETED) == len(DELETED)
+    got = MultiFieldSegmentIndex(spark, mf_dir).search_list(
+        "merge sort", k=10, mode="should")
+    dset = set(DELETED)
+    want = [(d, s) for d, s in before if d not in dset][:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert math.isclose(s1, s2, rel_tol=1e-12)
+
+    out = f"{BASE}/mf_compacted"
+    compact_index(spark, mf_dir, out)
+    fresh = f"{BASE}/mf_fresh"
+    build_index_fused_multifield(
+        spark, docs.filter(~F.col("doc_id").isin(DELETED)), fresh,
+        fields, docs_per_segment=DPS, positions=True,
+    )
+
+    def rows_of(d):
+        return sorted(
+            (
+                (r["segment_id"], r["term"], r["block_id"],
+                 r["first_doc_id"], r["last_doc_id"], r["num_docs"],
+                 bytes(r["id_bytes"]), bytes(r["tf_bytes"]),
+                 bytes(r["pos_bytes"]) if r["pos_bytes"] is not None
+                 else None, r["max_tf"], r["min_norm_id"])
+                for r in spark.read.parquet(f"{d}/index.parquet").collect()
+            ),
+            key=lambda t: (t[0], t[1], t[2]),
+        )
+
+    assert rows_of(out) == rows_of(fresh)
+    import json
+
+    with open(f"{out}/stats.json") as f:
+        got_s = json.load(f)
+    with open(f"{fresh}/stats.json") as f:
+        want_s = json.load(f)
+    assert got_s["num_docs"] == want_s["num_docs"]
+    assert (got_s["multifield"]["field_totals"]
+            == want_s["multifield"]["field_totals"])
 
 
 def test_compacted_plain_equals_fresh_build(deleted, spark):

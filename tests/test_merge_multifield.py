@@ -3,13 +3,10 @@
 Plain sources merge by prefix-sum offset remap (deferred docID remap,
 reference src/inverted_index.rs:308-355); presorted sources get the same
 global (pre desc, orig asc) re-rank as the single-field presorted merge.
-The bar is byte-identity with a one-shot build_index_fused_multifield
-over the union for everything load-bearing: posting blocks, per-field
-packed norm arrays, packed f32 pre-scores.  The only allowed difference
-is the sentinel rows' tf_bytes diagnostics: the one-shot build stores
-EXACT per-segment token sums there, while the merge can only recover the
-QUANTIZED sums from carried norm ids (exact totals live in stats.json,
-which must match exactly)."""
+The bar is FULL byte-identity with a one-shot
+build_index_fused_multifield over the union: posting blocks, per-field
+packed norm arrays, packed f32 pre-scores, AND the sentinel token
+totals + exact per-doc dl tails (re-packed from the decoded tails)."""
 
 import json
 import shutil
@@ -104,16 +101,15 @@ def merged(spark):
 
 
 def _rows(spark, index_dir):
-    """Unified rows, with sentinel tf_bytes masked (exact-vs-quantized
-    diagnostic; everything else must be byte-identical)."""
+    """Every unified row, byte-for-byte (the sentinel dl tails make even
+    the token-total diagnostics exactly reproducible from a merge)."""
     out = []
     for r in spark.read.parquet(f"{index_dir}/index.parquet").collect():
-        sentinel = r["term"].startswith("\x00")
         out.append((
             r["segment_id"], r["term"], r["block_id"], r["first_doc_id"],
             r["last_doc_id"], r["num_docs"],
             bytes(r["id_bytes"]),
-            None if sentinel else bytes(r["tf_bytes"]),
+            bytes(r["tf_bytes"]),
             bytes(r["pos_bytes"]) if r["pos_bytes"] is not None else None,
             r["max_tf"], r["min_norm_id"],
         ))
