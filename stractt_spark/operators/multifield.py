@@ -598,8 +598,12 @@ class MultiFieldSegmentIndex:
         with_pre_score: bool = False,
         orig_ids: bool = False,
         unsafe_quota: bool = False,
+        with_metrics: bool = False,
     ) -> DataFrame:
-        """Top-k over the per-field index.  ``with_pre_score`` /
+        """Top-k over the per-field index.  ``with_metrics=True``
+        returns a driver-side ``(top_list, metrics)`` tuple instead —
+        blocks decoded/total over the scoring physical terms, same
+        sentinel protocol as the single-field path.  ``with_pre_score`` /
         ``max_docs_per_segment`` / ``orig_ids`` compose the presorted
         machinery with per-field scoring (the reference keeps one index
         with BOTH the index-wide sort order and per-field postings,
@@ -692,18 +696,36 @@ class MultiFieldSegmentIndex:
 
         max_docs = max_docs_per_segment
         add_pre = with_pre_score
+        wm = with_metrics
 
         def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
             return _mf_segment_topk(
                 blocks_pdf, norms_pdf, uniq_sorted, fields_sorted, weights,
                 avgdl, k_eff, mode, neg_phys, phrases, pweights,
-                max_docs=max_docs, add_pre=add_pre,
+                max_docs=max_docs, add_pre=add_pre, with_metrics=wm,
             )
 
-        top = (
+        per_seg = (
             seg_filtered.groupBy("segment_id")
             .cogroup(self.norms.groupBy("segment_id"))
             .applyInPandas(run, "segment_id int, doc_id long, score double")
+        )
+        if with_metrics:
+            rows = per_seg.collect()
+            metrics = {
+                "blocks_decoded": int(sum(
+                    r["score"] for r in rows if r["doc_id"] == -2)),
+                "blocks_total": int(sum(
+                    r["score"] for r in rows if r["doc_id"] == -3)),
+            }
+            top_list = sorted(
+                ((r["doc_id"], r["score"]) for r in rows
+                 if r["doc_id"] >= 0),
+                key=lambda t: (-t[1], t[0]),
+            )[:k]
+            return top_list, metrics
+        top = (
+            per_seg
             .select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
@@ -746,6 +768,7 @@ def _mf_segment_topk(
     pweights: dict[tuple[int, str], float] | None = None,
     max_docs: int | None = None,
     add_pre: bool = False,
+    with_metrics: bool = False,
 ) -> pd.DataFrame:
     """Per-segment multi-field exact top-k: per logical term the docset is
     the union over fields; Must intersects logical docsets, Should unions;
@@ -807,6 +830,37 @@ def _mf_segment_topk(
             for b in del_rows["norm_bytes"]
         ]))
 
+    blk_cache: dict[str, dict] = {}
+    kmetrics: dict | None = None
+    if with_metrics:
+        kmetrics = {
+            "blocks_total": int(sum(
+                len(by_term[p]) for p in weights if p in by_term
+            )),
+            "blocks_decoded": 0,
+        }
+
+    def emit_metrics(out: pd.DataFrame) -> pd.DataFrame:
+        if kmetrics is None:
+            return out
+        # candidate-lookup decodes accumulate in blk_cache (full_union +
+        # _lookup_tfs); count them here once, capped at total (a term
+        # fully decoded via decode() never also populates blk_cache for
+        # scoring, but phrase members can straddle both paths)
+        kmetrics["blocks_decoded"] = min(
+            kmetrics["blocks_total"],
+            kmetrics["blocks_decoded"] + sum(
+                len(tc) for p_, tc in blk_cache.items() if p_ in weights
+            ),
+        )
+        return pd.concat([out, pd.DataFrame(
+            {"segment_id": pd.Series([seg, seg], dtype="int32"),
+             "doc_id": pd.Series([-2, -3], dtype="int64"),
+             "score": pd.Series(
+                 [float(kmetrics["blocks_decoded"]),
+                  float(kmetrics["blocks_total"])], dtype="float64")}
+        )], ignore_index=True)
+
     decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def decode(p: str):
@@ -815,6 +869,8 @@ def _mf_segment_topk(
             if g is None:
                 decoded[p] = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
             else:
+                if kmetrics is not None and p in weights:
+                    kmetrics["blocks_decoded"] += len(g)
                 ids, tfs = decode_term_blocks(g)
                 decoded[p] = (ids.astype(np.int64), tfs.astype(np.int64))
         return decoded[p]
@@ -847,13 +903,14 @@ def _mf_segment_topk(
             by_term, present_phys, weights, 0.0, k, None, dl_table, seg_n,
             dl_of_term=dl_of_term, avgdl_term=lambda p: avgdl[fld(p)],
             score_order=order_, pre=pre, base=base, excluded=deleted,
+            metrics=kmetrics,
         )
         ordr = np.lexsort((ids, -score))[:k]
-        return pd.DataFrame(
+        return emit_metrics(pd.DataFrame(
             {"segment_id": pd.Series(np.full(ordr.size, seg), dtype="int32"),
              "doc_id": pd.Series(ids[ordr], dtype="int64"),
              "score": pd.Series(score[ordr], dtype="float64")}
-        )
+        ))
 
     def phrase_freqs_field(ph: list[str], f_: str, cand: np.ndarray) -> np.ndarray:
         """Exact-adjacency phrase frequency per candidate in field f_
@@ -867,8 +924,6 @@ def _mf_segment_topk(
         return _phrase_freqs(sub, members, cand)
 
     from .wand import _cache_term_blocks, _lookup_tfs
-
-    blk_cache: dict[str, dict] = {}
 
     def full_union(t: str) -> np.ndarray:
         """All docs containing logical term t in any field (full decode,
@@ -1035,11 +1090,11 @@ def _mf_segment_topk(
         # (signal.rs:296-333 composed with the per-field Should)
         score = score + pre[(cand - base).astype(np.int64)]
     ordr = np.lexsort((cand, -score))[:k]
-    return pd.DataFrame(
+    return emit_metrics(pd.DataFrame(
         {"segment_id": pd.Series(np.full(ordr.size, seg), dtype="int32"),
          "doc_id": pd.Series(cand[ordr], dtype="int64"),
          "score": pd.Series(score[ordr], dtype="float64")}
-    )
+    ))
 
 
 class MultiFieldOracle:

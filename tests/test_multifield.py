@@ -275,3 +275,24 @@ def test_mf_kernel_equals_oracle_random(spark, data):
     assert [d_ for d_, _ in got] == [d_ for d_, _ in expected], (query, mode)
     for (_, s1), (_, s2) in zip(got, expected):
         assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12), (query, mode)
+
+
+@pytest.mark.parametrize("query,mode", [
+    ("merge sort", "should"),   # pruned OR path
+    ("merge sort", "must"),     # leapfrog path
+    ("buffer", "should"),
+])
+def test_persisted_multifield_metrics(mf_persisted, query, mode):
+    """search(with_metrics=True) returns the SAME top-k as search()
+    plus sane blocks decoded/total counters (the metrics sentinels never
+    leak into results) — the multi-field twin of the single-field
+    search_with_metrics contract."""
+    idx, oracle = mf_persisted
+    got, metrics = idx.search(query, k=10, mode=mode, with_metrics=True)
+    expected = oracle.search(query, k=10, mode=mode)
+    assert [d for d, _ in got] == [d for d, _ in expected], (query, mode)
+    for (_, s1), (_, s2) in zip(got, expected):
+        assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12)
+    assert 0 <= metrics["blocks_decoded"] <= metrics["blocks_total"]
+    if expected:
+        assert metrics["blocks_total"] > 0
