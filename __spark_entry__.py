@@ -637,6 +637,173 @@ $discard,site=src7
 """
 
 
+def _mf_full_index(spark: SparkSession, sf_dir: str):
+    """Multi-field index in the reference's PRODUCTION flavor — per-field
+    postings (source boost 10 / text boost 4), stored positions, and
+    site attr terms — shared by the MF batch and MF goggle gates."""
+    import hashlib
+
+    from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
+        build_index_fused_multifield,
+    )
+
+    key = "mf_full:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = "/tmp/stractt_entry_mff_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        build_index_fused_multifield(
+            spark, docs, out, {"source": "source", "text": "text"},
+            id_col="doc_id", analyzer="ascii", docs_per_segment=256,
+            field_boosts={"source": 10.0, "text": 4.0},
+            positions=True, attr_cols=["source"],
+        )
+        _WAND_INDEX_CACHE[key] = MultiFieldSegmentIndex(spark, out)
+    return _WAND_INDEX_CACHE[key]
+
+
+_MF_BATCH_QUERIES = [
+    ("q_and", ["src3", "merge"], "must"),
+    ("q_or", ["hash", "join"], "should"),
+    ("q_the", ["the"], "should"),
+]
+
+
+def _q_bm25_mf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED multi-field query execution: three per-field boosted
+    queries in ONE pass over the persisted MF index (one pruned scan for
+    the union of physical terms + one cogroup; per-query top-k identical
+    to per-query search) — API parity with the single-field
+    ``search_batch`` on the reference's default index shape
+    (src/schema.rs:75-110)."""
+    idx = _mf_full_index(spark, sf_dir)
+    batch = [
+        (qid, " ".join(ts), mode) for qid, ts, mode in _MF_BATCH_QUERIES
+    ]
+    return idx.search_batch(batch, k=10).select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _mf_batch_sql(queries, boosts) -> str:
+    """UNION ALL of the per-query per-field BM25 oracles, tagged with
+    literal query ids — the per-field tokenization CTEs computed once."""
+    prefix, _ = _mf_sql_ctes(["_"], boosts)
+    parts, selects = [], []
+    for i, (qid, terms, mode) in enumerate(queries):
+        _, units = _mf_sql_ctes(terms, boosts)
+        must = (
+            f"HAVING count(DISTINCT term) = {len(terms)}"
+            if mode == "must" else ""
+        )
+        parts.append(f"mu{i} AS ({units})")
+        parts.append(
+            f"mtop{i} AS (SELECT doc_id, round(sum(ts), 4) AS score "
+            f"FROM mu{i} GROUP BY doc_id {must} "
+            "ORDER BY sum(ts) DESC, doc_id ASC LIMIT 10)"
+        )
+        selects.append(
+            f"SELECT '{qid}' AS query_id, doc_id, score FROM mtop{i}"
+        )
+    return (
+        prefix + ", " + ", ".join(parts) + " "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY query_id ASC, score DESC, doc_id ASC"
+    )
+
+
+def _q_mf_goggles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goggle program lowered into the MULTI-FIELD query tree — the
+    reference's real shape (goggles compile against schema fields,
+    goggles/mod.rs:166-260): pattern boost over the text field's stored
+    positions, site downrank as an attr const clause, site discard as a
+    MustNot attr term, on top of per-field boosted BM25."""
+    idx = _mf_full_index(spark, sf_dir)
+    out = idx.search_goggle(
+        "hash join", _GOGGLE_PROGRAM, k=10, mode="should",
+        site_col="source", pattern_field="text",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _mf_goggles_sql(boosts) -> str:
+    """Full-scan oracle for the MF goggle gate: per-field BM25 base
+    (should over hash/join), adjacent merge-sort pattern as a token
+    bigram over the TEXT field, const bonuses as CASE terms, site
+    discard as a WHERE filter."""
+    prefix, units = _mf_sql_ctes(["hash", "join"], boosts)
+    bonus = (
+        "(CASE WHEN b.doc_id IN (SELECT doc_id FROM adj) "
+        "THEN 1000.0 ELSE 0.0 END) "
+        "+ (CASE WHEN d.source = 'src3' THEN -500.0 ELSE 0.0 END)"
+    )
+    return (
+        prefix + ", "
+        f"units AS ({units}), "
+        "base AS (SELECT doc_id, sum(ts) AS s FROM units GROUP BY doc_id), "
+        "tokl AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(text), '{TOKEN_RE}') AS l "
+        "FROM documents), "
+        "adj AS (SELECT doc_id FROM tokl WHERE len(list_filter("
+        "list_zip(l, list_slice(l, 2, len(l))), "
+        "p -> p[1] = 'merge' AND p[2] = 'sort')) > 0) "
+        f"SELECT b.doc_id AS doc_id, round(b.s + {bonus}, 4) AS score "
+        "FROM base b JOIN documents d ON d.doc_id = b.doc_id "
+        "WHERE d.source <> 'src7' "
+        f"ORDER BY b.s + {bonus} DESC, b.doc_id ASC LIMIT 10"
+    )
+
+
+def _q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming rollup: the events table streamed through
+    Structured Streaming (availableNow) with a 2-hour watermark and
+    1-hour tumbling windows in APPEND mode; the emitted (= watermark-
+    closed) windows must equal the batch aggregation restricted to
+    windows whose end ≤ max(ts) − 2h — the contract a 100 TB deployment
+    relies on when continuous rollups replace nightly batch jobs."""
+    import hashlib
+    import shutil as _sh
+
+    from stractt_spark.streaming.windows import stream_windowed_counts
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"/tmp/stractt_entry_stream_{tag}"
+    _sh.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/in", exist_ok=True)
+    _sh.copy(f"{sf_dir}/events.parquet", f"{base}/in/events.parquet")
+    stream_windowed_counts(
+        spark, f"{base}/in", f"{base}/ckpt", f"{base}/out",
+        window="1 hour", watermark="2 hours",
+    )
+    out = spark.read.parquet(f"{base}/out")
+    return out.select(
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01', "
+            "window_start)"
+        ).cast("long").alias("window_us"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+_STREAM_WINDOWED_SQL = (
+    "WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS m FROM events) "
+    "SELECT epoch_us(date_trunc('hour', e.ts)) AS window_us, "
+    "e.event_type, count(*) AS n, round(sum(e.value), 4) AS sum_value "
+    "FROM events e, wm "
+    "WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR <= wm.m "
+    "GROUP BY 1, 2"
+)
+
+
 def _q_autosuggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix autosuggest over the index's term dictionary: the 10
     lexicographically-smallest completions (reference fst starts-with
@@ -1260,7 +1427,7 @@ _SESSIONIZE_SQL = (
     "THEN 1 ELSE 0 END AS nw FROM lagged), "
     "sess AS (SELECT *, sum(nw) OVER (PARTITION BY user_id "
     "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS s FROM marked) "
-    "SELECT user_id, s AS session_idx, min(t) AS started_us, "
+    "SELECT user_id, CAST(s AS BIGINT) AS session_idx, min(t) AS started_us, "
     "max(t) AS ended_us, count(*) AS n_events, "
     "round(sum(value), 4) AS sum_value "
     "FROM sess GROUP BY user_id, s"
@@ -1624,6 +1791,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": _q_snippets,
         "bm25_stemmed": _q_bm25_stemmed,
         "bm25_multifield": _q_bm25_multifield,
+        "bm25_mf_batch": _q_bm25_mf_batch,
+        "mf_goggles": _q_mf_goggles,
         "bm25_mf_presorted_quota": _q_bm25_mf_presorted_quota,
         "bm25_multilang": _q_bm25_multilang,
         "paging_offset": _q_paging,
@@ -1652,6 +1821,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-stream analytics
         "sessionize": _q_sessionize,
         "windowed_counts": _q_windowed_counts,
+        "stream_windowed_counts": _q_stream_windowed,
         "event_funnel": _q_funnel,
         "props_histogram": _q_props_histogram,
         # text analysis
@@ -1906,7 +2076,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_multifield": _mf_sql(
             ["src3", "merge"], {"source": 10.0, "text": 4.0}
         ),
+        "bm25_mf_batch": _mf_batch_sql(
+            _MF_BATCH_QUERIES, {"source": 10.0, "text": 4.0}
+        ),
+        "mf_goggles": _mf_goggles_sql({"source": 10.0, "text": 4.0}),
         "goggles_rerank": _GOGGLES_SQL,
+        "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "autosuggest_prefix": (
             f"WITH {_TOKS_CTE} "
             "SELECT DISTINCT term FROM toks WHERE term LIKE 's%' "

@@ -224,6 +224,43 @@ def get_analyzer(name: str):
         raise ValueError(f"unknown analyzer {name!r}; one of {sorted(ANALYZERS)}")
 
 
+# Tokenization-behavior dependencies per analyzer: the regex patterns and
+# filter-chain markers whose change alters what an index's postings look
+# like.  Bump a marker string when a filter's BEHAVIOR changes without its
+# pattern changing.
+_ANALYZER_DEPS: dict[str, tuple[str, ...]] = {
+    "simple": (_SIMPLE_RE.pattern,),
+    "normal": (_SIMPLE_RE.pattern, "lowercase:v1", "stoplist:v1"),
+    "ascii": (_ASCII_RE.pattern, SQL_TOKEN_PATTERN, "lowercase:v1"),
+    "code": (_CODE_RE.pattern, "lowercase:v1", "stoplist:v1"),
+    "identity": ("identity:v1",),
+    "stemmed": (_SIMPLE_RE.pattern, "lowercase:v1", "porter:v1"),
+    "stemmed_ascii": (_ASCII_RE.pattern, "lowercase:v1", "porter:v1"),
+    "stemmed_multi": (
+        _SIMPLE_RE.pattern, "lowercase:v1", "porter:v1",
+        "snowball-es:v1", "snowball-de:v1", "langdetect:v1",
+    ),
+}
+
+
+def analyzer_fingerprint(name: str) -> str:
+    """Stable fingerprint of an analyzer's tokenization behavior.
+
+    Stamped into ``stats.json`` at build time and checked when an index is
+    opened: a persisted index whose postings were tokenized under an older
+    definition of the same analyzer (e.g. the round-3 ``_SIMPLE_RE``
+    class change) must FAIL LOUDLY instead of silently tokenizing queries
+    differently from its postings (term misses, shifted phrase
+    positions)."""
+    import hashlib
+
+    deps = _ANALYZER_DEPS.get(name)
+    if deps is None:  # pragma: no cover
+        raise ValueError(f"unknown analyzer {name!r}")
+    payload = "\x1f".join((name,) + deps).encode("utf-8")
+    return hashlib.sha1(payload).hexdigest()[:16]
+
+
 def term_freqs(tokens: Iterable[str]) -> dict[str, int]:
     tf: dict[str, int] = {}
     for t in tokens:

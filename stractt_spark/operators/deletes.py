@@ -82,9 +82,40 @@ def delete_docs(
         )
         internal = sorted(int(r["doc_id"]) for r in rows)
     else:
-        internal = [i for i in ids if 0 <= i < stats.get(
+        cand = [i for i in ids if 0 <= i < stats.get(
             "next_doc_id", stats["num_docs"]
         )]
+        # validate against LIVE doc slots, not just the id range: streamed
+        # / aligned builds leave gap slots (dl=0, no postings) inside the
+        # span, and compaction's delete accounting joins tombstones
+        # against decode_exact_dls — which emits every slot — so a
+        # phantom tombstone would be subtracted from num_docs/avgdl.
+        # Bounded: the scan is filtered to sentinel rows and the result
+        # to the candidate ids (O(len(ids)) driver rows).
+        internal = []
+        if cand:
+            from ..streaming.ingest import registered_paths
+
+            unified = spark.read.parquet(*registered_paths(index_dir, stats))
+            if stats.get("multifield"):
+                from .merge import decode_mf_norms
+                from .multifield import MF_NORMS_PREFIX
+
+                dls = decode_mf_norms(unified.filter(
+                    F.col("term").startswith(MF_NORMS_PREFIX)
+                )).groupBy("doc_id").agg(F.sum("dl").alias("dl"))
+            else:
+                from .merge import decode_exact_dls
+                from .segments import split_unified
+
+                _, nrm = split_unified(unified)
+                dls = decode_exact_dls(nrm)
+            live_rows = (
+                dls.filter(F.col("dl") > 0)
+                .filter(F.col("doc_id").isin(cand))
+                .select("doc_id").collect()
+            )
+            internal = sorted(int(r["doc_id"]) for r in live_rows)
     # drop ids already tombstoned (idempotent re-delete)
     existing = read_tombstones(spark, index_dir)
     if existing.size:

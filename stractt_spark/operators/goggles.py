@@ -127,6 +127,8 @@ def lower_goggle(
     goggle: Goggle | str,
     analyzer: str = "ascii",
     site_col: str | None = None,
+    field_map: dict[str, str] | None = None,
+    default_field: str | None = None,
 ) -> tuple[list[dict], list[str], float | None, bool]:
     """Lower a goggle program into the index query tree (the reference's
     as_searchable lowering, goggles/mod.rs:166-260):
@@ -137,6 +139,16 @@ def lower_goggle(
       evaluates over the PERSISTED index (site attr-term lookups +
       pattern-automaton runs over stored positions — never the doc text);
     * ``@bm25 = c`` → a score coefficient on the relevance signal.
+
+    ``default_field`` switches the lowering to MULTI-FIELD mode (the
+    reference's own shape — patterns compile against a specific field's
+    postings, mod.rs:231-262): pattern terms become field-namespaced
+    physical terms for ``default_field``, and an instruction with a field
+    selector (``inurl``/``intitle``/…) targets ``field_map[selector]``
+    instead.  Each pattern clause then carries ``pattern_field`` so the
+    kernel reads THAT field's positions and exact doc lengths.  In
+    single-field mode (default_field None) a field selector raises, as
+    before.
 
     → (const_clauses, neg_site_terms, bm25_coeff, has_empty_discard)."""
     from ..operators.segments import attr_term
@@ -149,11 +161,22 @@ def lower_goggle(
             continue
         if inst.site is not None and site_col is None:
             raise ValueError("goggle uses site= but no site_col given")
+        pattern_field: str | None = None
         if inst.field_sel is not None:
-            raise ValueError(
-                "field-selector patterns need the multi-field index path; "
-                "use apply_goggle(field_cols=...) for the scan fallback"
-            )
+            if default_field is None:
+                raise ValueError(
+                    "field-selector patterns need the multi-field index "
+                    "path; use apply_goggle(field_cols=...) for the scan "
+                    "fallback"
+                )
+            pattern_field = (field_map or {}).get(inst.field_sel)
+            if pattern_field is None:
+                raise ValueError(
+                    f"goggle field selector {inst.field_sel!r} has no "
+                    f"index field mapping (field_map={sorted(field_map or {})})"
+                )
+        elif default_field is not None:
+            pattern_field = default_field
         site_term = (
             attr_term(site_col, inst.site) if inst.site is not None else None
         )
@@ -167,6 +190,17 @@ def lower_goggle(
             compile_pattern(inst.patterns, analyzer)
             if inst.patterns else ([], [])
         )
+        if terms and default_field is not None:
+            # namespace BOTH the term list and the ops' term references —
+            # pattern_phrase_count looks positions up by op[1]
+            from .multifield import mf_term
+
+            terms = [mf_term(pattern_field, t) for t in terms]
+            ops = [
+                ("term", mf_term(pattern_field, op[1]))
+                if op[0] == "term" else op
+                for op in ops
+            ]
         clauses.append({
             "action": inst.action,
             "bonus": (
@@ -177,6 +211,7 @@ def lower_goggle(
             "site_term": site_term,
             "pattern_terms": terms or None,
             "pattern_ops": ops or None,
+            "pattern_field": pattern_field if terms else None,
         })
     return clauses, neg_terms, g.alterations.get("bm25"), g.has_empty_discard
 

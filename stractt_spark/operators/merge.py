@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.tokenizer import analyzer_fingerprint
 from .segments import decode_term_blocks
 
 
@@ -298,6 +299,7 @@ def merge_indexes(
         # high-water mark for future appends: the full remapped id span
         "next_doc_id": acc,
         "analyzer": analyzer,
+        "analyzer_fp": analyzer_fingerprint(analyzer),
         "docs_per_segment": dps,
         "positions": positions,
         "merged_from": [
@@ -325,8 +327,15 @@ def decode_exact_dls(norms: DataFrame) -> DataFrame:
     quantized norm bytes alone cannot reproduce them, and the merged
     index's sentinels must carry them again (trailing-anchor goggle
     patterns read the tail).  Emits every span slot including dl=0 gap
-    ids; joins against the docmap drop those."""
+    ids; joins against the docmap drop those.
+
+    Legacy sentinels (written before the exact-dl tail existed) have no
+    tail — mirror decode_mf_norms and fall back to the quantized
+    ``FIELD_NORMS_TABLE[norm_id]`` dls rather than emitting a
+    mismatched-length Series (NaN column → opaque Arrow failure in the
+    presorted-merge / delete-accounting consumers)."""
     from ..functions.codec import varint_decode
+    from ..functions.fieldnorm import FIELD_NORMS_TABLE
 
     def run(pdfs):
         for pdf in pdfs:
@@ -335,7 +344,24 @@ def decode_exact_dls(norms: DataFrame) -> DataFrame:
                 vals = varint_decode(bytes(r["meta_bytes"]))
                 span = int(r["n_docs"])
                 base = int(r["base_doc_id"])
-                dl = np.asarray(vals[5:5 + span], dtype=np.int64)
+                tail = vals[5:5 + span]
+                if len(tail) == span:
+                    dl = np.asarray(tail, dtype=np.int64)
+                else:
+                    # legacy pre-tail sentinel: quantized dls from the
+                    # packed norm bytes (rebuild the index for exact stats)
+                    narr = np.frombuffer(
+                        bytes(r["norm_bytes"]), dtype=np.uint8
+                    )
+                    if len(narr) != span:
+                        raise ValueError(
+                            "corrupt sentinel: no exact-dl tail and "
+                            f"norm_bytes span {len(narr)} != n_docs {span}"
+                            " — rebuild the index for exact stats"
+                        )
+                    dl = FIELD_NORMS_TABLE[narr.astype(np.int64)].astype(
+                        np.int64
+                    )
                 outs.append(pd.DataFrame({
                     "doc_id": pd.Series(
                         base + np.arange(span, dtype=np.int64), dtype="int64"
@@ -345,9 +371,9 @@ def decode_exact_dls(norms: DataFrame) -> DataFrame:
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return norms.select("base_doc_id", "n_docs", "meta_bytes").mapInPandas(
-        run, "doc_id long, dl long"
-    )
+    return norms.select(
+        "base_doc_id", "n_docs", "meta_bytes", "norm_bytes"
+    ).mapInPandas(run, "doc_id long, dl long")
 
 
 def reencode_fused_presorted(
@@ -611,10 +637,16 @@ def reencode_fused_multifield(
             return meta
         codes, uniq = pd.factorize(post_pdf["term"], sort=True)
         uniq_arr = np.asarray(uniq, dtype=object)
+        # attr filter terms (\x01col:value) carry norm 0 like the build
+        # writes them — index len(fields) hits the appended zero row
         uniq_fidx = np.array(
             [findex[t[len(MF_TERM_PREFIX):].split(MF_TERM_SEP, 1)[0]]
+             if t.startswith(MF_TERM_PREFIX) else len(fields)
              for t in uniq_arr],
             dtype=np.int64,
+        )
+        narr_ext = np.vstack(
+            [narr_stack, np.zeros((1, span), dtype=np.uint8)]
         )
         ids = post_pdf["doc_id"].to_numpy(dtype=np.int64)
         order = np.lexsort((ids, codes))
@@ -627,7 +659,7 @@ def reencode_fused_multifield(
                 (v for sub in pos_obj for v in sub),
                 dtype=np.int64, count=int(tfs.sum()),
             )
-        norms_per_posting = narr_stack[
+        norms_per_posting = narr_ext[
             uniq_fidx[codes[order]], ids_sorted - base
         ].astype(np.int64)
         blocks = encode_segment_arrays(
@@ -838,14 +870,24 @@ def _merge_multifield(
         field_totals = {
             f_: sum(totals(st)[f_] for st in stats) for f_ in fields
         }
+    if any(
+        sorted(st.get("attr_cols") or []) != sorted(stats[0].get("attr_cols") or [])
+        for st in stats
+    ):
+        raise ValueError(
+            "multi-field merge: sources disagree on attr_cols — merged "
+            "attr filter terms would silently cover only some docs"
+        )
     merged = {
         "num_docs": num_docs,
         "analyzer": analyzer,
+        "analyzer_fp": analyzer_fingerprint(analyzer),
         "docs_per_segment": dps,
         "layout": "fused",
         "positions": positions,
         "presorted": presorted,
         "next_doc_id": next_doc_id,
+        "attr_cols": sorted(stats[0].get("attr_cols") or []),
         "multifield": {
             "fields": fields,
             "field_cols": mf0.get("field_cols", {f_: f_ for f_ in fields}),
@@ -1028,6 +1070,7 @@ def _merge_presorted(
         "avgdl": total_tokens / num_docs if num_docs else 0.0,
         "next_doc_id": num_docs,
         "analyzer": analyzer,
+        "analyzer_fp": analyzer_fingerprint(analyzer),
         "docs_per_segment": dps,
         "layout": "fused",
         "positions": positions,

@@ -32,6 +32,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.bm25 import B, K1, weight
+from ..functions.tokenizer import analyzer_fingerprint
 from ..functions.query_parse import parse_query
 from .score import decoded_dl
 
@@ -240,8 +241,10 @@ def build_segments_fused_multifield(
     docs_per_segment: int,
     positions: bool = False,
     with_pre: bool = False,
+    attr_cols: list[str] | None = None,
 ) -> DataFrame:
-    """``src`` (doc_id, segment_id, _f_<field>..., [_pre]) → unified
+    """``src`` (doc_id, segment_id, _f_<field>..., [_a_<col>...], [_pre])
+    → unified
     multi-field index rows (per-field posting blocks + per-field packed
     norm sentinels + the main meta sentinel) in ONE Arrow pass per
     segment.  Shared by the batch build and streaming appends — a
@@ -256,6 +259,7 @@ def build_segments_fused_multifield(
 
     tokenize = get_analyzer(analyzer)
     fields = sorted(fields)
+    attr_cols = sorted(attr_cols or [])
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -326,6 +330,24 @@ def build_segments_fused_multifield(
                     "pos_bytes": None, "max_tf": 0, "min_norm_id": 0,
                 }
             )
+        # attribute filter terms (\x01col:value): tf=1 per doc, norm 0,
+        # excluded from every dl/avgdl — the same reserved namespace and
+        # semantics as the single-field build (segments.py attr_term);
+        # they serve site:/‑site: filters and goggle site clauses
+        if attr_cols:
+            from .segments import attr_term
+
+            for c in attr_cols:
+                vals = pdf[f"_a_{c}"].values
+                for i, v in enumerate(vals):
+                    if v is None:
+                        continue
+                    all_terms.append(attr_term(c, v))
+                    all_docs.append(int(doc_ids_in[i]))
+                    all_tfs.append(1)
+                    all_norms.append(0)
+                    if positions:
+                        all_pos.append([0])
         # main sentinel: build metrics (docs, postings, tokens over
         # fields); presorted builds pack the per-doc f32 pre-scores into
         # its pos_bytes (same convention as the single-field flavor)
@@ -384,6 +406,7 @@ def build_index_fused_multifield(
     field_boosts: dict[str, float] | None = None,
     positions: bool = False,
     pre_scores: DataFrame | None = None,
+    attr_cols: list[str] | None = None,
 ):
     """Fused multi-field build: ONE shuffle (groupBy segment) + ONE Arrow
     pass tokenizing every field; per-field posting blocks, per-field
@@ -452,9 +475,11 @@ def build_index_fused_multifield(
         )
         id_col = "doc_id"
 
+    attr_cols = sorted(attr_cols or [])
     src = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         *[F.col(field_cols[f_]).alias(f"_f_{f_}") for f_ in fields],
+        *[F.col(c).cast("string").alias(f"_a_{c}") for c in attr_cols],
         *([F.col(pre_col).cast("double").alias("_pre")] if pre_col else []),
     ).withColumn(
         "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("int")
@@ -463,6 +488,7 @@ def build_index_fused_multifield(
     unified = build_segments_fused_multifield(
         src, fields, analyzer, docs_per_segment,
         positions=positions, with_pre=pre_col is not None,
+        attr_cols=attr_cols,
     )
     (
         unified.sortWithinPartitions("segment_id", "term", "block_id")
@@ -491,10 +517,12 @@ def build_index_fused_multifield(
     stats = {
         "num_docs": int(n_docs),
         "analyzer": analyzer,
+        "analyzer_fp": analyzer_fingerprint(analyzer),
         "docs_per_segment": docs_per_segment,
         "layout": "fused",
         "positions": positions,
         "presorted": pre_scores is not None,
+        "attr_cols": attr_cols,
         # next_doc_id: high-water mark for streaming appends (fresh
         # segment boundary past it, streaming/ingest.py); non-presorted
         # builds index the caller's ids verbatim, so the mark is max+1
@@ -544,6 +572,9 @@ class MultiFieldSegmentIndex:
         self.boosts: dict[str, float] = mf["boosts"]
         self.avgdl: dict[str, float] = mf["avgdl"]
         self.analyzer = self.stats["analyzer"]
+        from ..plans.build import _check_analyzer_fp
+
+        _check_analyzer_fp(self.stats)
         # main table ∪ every LEDGERED streamed batch dir (same visibility
         # rule as the single-field SegmentIndex)
         from ..streaming.ingest import registered_paths
@@ -562,6 +593,9 @@ class MultiFieldSegmentIndex:
             F.col("first_doc_id").alias("base_doc_id"),
             F.col("id_bytes").alias("norm_bytes"),
             F.col("pos_bytes").alias("pre_bytes"),
+            # per-field sentinels' varint [sum, n, dl…] tail — trailing-
+            # anchor goggle patterns read the pattern field's exact dls
+            F.col("tf_bytes").alias("meta_bytes"),
         )
         self.term_stats = spark.read.parquet(self.paths.term_stats)
         self.presorted = bool(self.stats.get("presorted"))
@@ -591,60 +625,21 @@ class MultiFieldSegmentIndex:
         rows = self.term_stats.filter(F.col("term").isin(phys_terms)).collect()
         return {r["term"]: r["df"] for r in rows}
 
-    def search(
-        self, query: str, k: int = 10, mode: str = "must",
-        phrase: bool = False,
-        max_docs_per_segment: int | None = None,
-        with_pre_score: bool = False,
-        orig_ids: bool = False,
-        unsafe_quota: bool = False,
-        with_metrics: bool = False,
-    ) -> DataFrame:
-        """Top-k over the per-field index.  ``with_metrics=True``
-        returns a driver-side ``(top_list, metrics)`` tuple instead —
-        blocks decoded/total over the scoring physical terms, same
-        sentinel protocol as the single-field path.  ``with_pre_score`` /
-        ``max_docs_per_segment`` / ``orig_ids`` compose the presorted
-        machinery with per-field scoring (the reference keeps one index
-        with BOTH the index-wide sort order and per-field postings,
-        src/inverted_index.rs:100-106 + src/schema.rs:294-315): rank =
-        pre + Σ_f boost_f·bm25_f, the quota keeps each term's best-pre
-        docs per segment, orig_ids maps back through docmap.parquet with
-        the (score desc, pre desc, orig id asc) tie contract."""
+    def _spec(self, query, mode: str = "must", phrase: bool = False,
+              extra_neg: list[str] | None = None) -> dict | None:
+        """Compile one query into the per-segment kernel's inputs (None
+        when provably empty): per-(term,field) physical weights,
+        per-(phrase,field) weights, MustNot + attr-filter physical terms,
+        and the pruned-scan term set.  Shared by search / batch / count /
+        goggle paths so every entry point lowers queries identically."""
         from ..functions.bm25 import idf as idf_fn
+        from .segments import attr_term
 
-        if phrase and not self.stats.get("positions"):
-            raise ValueError(
-                "phrase queries need a multifield index built with "
-                "positions=True"
-            )
-        if (with_pre_score or orig_ids) and not self.presorted:
-            raise ValueError("pre-score options need a presorted index")
-        if (
-            max_docs_per_segment is not None
-            and not self.presorted
-            and not unsafe_quota
-        ):
-            raise ValueError(
-                "max_docs_per_segment on a doc-id-ordered index truncates "
-                "ARBITRARY docs — build with pre_scores=... for a sound "
-                "quota, or pass unsafe_quota=True"
-            )
-        if (
-            max_docs_per_segment is not None
-            and self.stats.get("deleted_docs")
-            and not unsafe_quota
-        ):
-            raise ValueError(
-                "max_docs_per_segment on a TOMBSTONED index is unsound — "
-                "compact_index() first (or pass unsafe_quota=True)"
-            )
         pq = parse_query(query, self.analyzer, phrase=phrase)
         uniq = pq.uniq_terms
         phrases = pq.phrases
-        spark = self.spark
         if not uniq and not phrases:
-            return spark.createDataFrame([], "doc_id long, score double")
+            return None
         counts = pq.term_counts
         fields = sorted(self.fields)
         ph_members = sorted({t for ph in phrases for t in ph})
@@ -652,12 +647,22 @@ class MultiFieldSegmentIndex:
             (t, f_): mf_term(f_, t)
             for t in set(uniq) | set(ph_members) for f_ in fields
         }
-        neg_phys = [mf_term(f_, t) for t in set(pq.neg_terms) for f_ in fields]
+        # site:/‑site: filters → reserved-namespace attr terms, exactly
+        # the single-field lowering (parser.rs:193-216)
+        filter_phys = sorted(
+            attr_term(f_, v) for f_, v in pq.filters.items()
+        )
+        neg_phys = sorted(
+            {mf_term(f_, t) for t in set(pq.neg_terms) for f_ in fields}
+            | {attr_term(f_, v) for f_, v in pq.anti_filters.items()}
+            | set(extra_neg or [])
+        )
         dfs = self.term_df(list(phys.values()) + neg_phys)
         if mode == "must" and any(
-            all(dfs.get(phys[(t, f_)], 0) == 0 for f_ in fields) for t in uniq
+            all(dfs.get(phys[(t, f_)], 0) == 0 for f_ in fields)
+            for t in uniq
         ):
-            return spark.createDataFrame([], "doc_id long, score double")
+            return None
         num_docs = self.stats["num_docs"]
         # unit weight per physical term: counts·boost_f·(idf_f·(K1+1)) —
         # same association as bm25_topk_multifield and MultiFieldOracle
@@ -675,36 +680,116 @@ class MultiFieldSegmentIndex:
             )
             for pi, ph in enumerate(phrases) for f_ in fields
         }
-        avgdl = dict(self.avgdl)
         scan_terms = sorted(
             set(weights)
             | {phys[(t, f_)] for t in ph_members for f_ in fields
                if dfs.get(phys[(t, f_)], 0) > 0}
-        ) + neg_phys
-        cols = [
-            "segment_id", "term", "block_id", "first_doc_id", "last_doc_id",
-            "num_docs", "id_bytes", "tf_bytes", "max_tf", "min_norm_id",
-        ]
-        if phrases:
-            cols.insert(8, "pos_bytes")
-        seg_filtered = self.segments.filter(
-            F.col("term").isin(scan_terms)
-        ).select(*[c for c in cols if c in self.segments.columns])
-        uniq_sorted = sorted(uniq)
-        fields_sorted = fields
-        k_eff = k
+        ) + neg_phys + filter_phys
+        return {
+            "uniq_sorted": sorted(uniq),
+            "weights": weights,
+            "pweights": pweights,
+            "phrases": phrases,
+            "neg_phys": neg_phys,
+            "filter_phys": filter_phys,
+            "scan_terms": scan_terms,
+            "mode": mode,
+        }
 
+    def _empty_df(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score double")
+
+    def _seg_scan(self, scan_terms: list[str], need_positions: bool):
+        # no DELETES_TERM here: the MF handle routes every \x00 row —
+        # tombstones included — to the NORMS side of the cogroup
+        cols = [
+            "segment_id", "term", "block_id", "first_doc_id",
+            "last_doc_id", "num_docs", "id_bytes", "tf_bytes", "max_tf",
+            "min_norm_id",
+        ]
+        if need_positions:
+            cols.insert(8, "pos_bytes")
+        return self.segments.filter(
+            F.col("term").isin(sorted(set(scan_terms)))
+        ).select(*[c for c in cols if c in self.segments.columns])
+
+    def search(
+        self, query: str, k: int = 10, mode: str = "must",
+        phrase: bool = False,
+        offset: int = 0,
+        max_docs_per_segment: int | None = None,
+        with_pre_score: bool = False,
+        orig_ids: bool = False,
+        unsafe_quota: bool = False,
+        with_metrics: bool = False,
+        _const_clauses: list[dict] | None = None,
+        _has_empty_discard: bool = False,
+        _score_coeff: float | None = None,
+        _extra_neg: list[str] | None = None,
+    ) -> DataFrame:
+        """Top-(k+offset) over the per-field index (paging slices on the
+        driver, the reference's top_n = page_size + offset).
+        ``with_metrics=True`` returns a driver-side ``(top_list,
+        metrics)`` tuple instead — blocks decoded/total over the scoring
+        physical terms, same sentinel protocol as the single-field path.
+        ``with_pre_score`` / ``max_docs_per_segment`` / ``orig_ids``
+        compose the presorted machinery with per-field scoring (the
+        reference keeps one index with BOTH the index-wide sort order and
+        per-field postings, src/inverted_index.rs:100-106 +
+        src/schema.rs:294-315): rank = pre + Σ_f boost_f·bm25_f, the
+        quota keeps each term's best-pre docs per segment, orig_ids maps
+        back through docmap.parquet with the (score desc, pre desc, orig
+        id asc) tie contract.  The underscore params are the goggle
+        lowering's private surface (see :meth:`search_goggle`)."""
+        from ..plans.build import validate_quota
+
+        if phrase and not self.stats.get("positions"):
+            raise ValueError(
+                "phrase queries need a multifield index built with "
+                "positions=True"
+            )
+        if (with_pre_score or orig_ids) and not self.presorted:
+            raise ValueError("pre-score options need a presorted index")
+        validate_quota(
+            self.presorted, bool(self.stats.get("deleted_docs")),
+            max_docs_per_segment, unsafe_quota,
+        )
+        spec = self._spec(query, mode, phrase, extra_neg=_extra_neg)
+        if spec is None:
+            if with_metrics:
+                return [], {"blocks_decoded": 0, "blocks_total": 0}
+            return self._empty_df()
+        clause_terms: list[str] = []
+        clause_patterns = False
+        for cl in _const_clauses or []:
+            if cl.get("site_term"):
+                clause_terms.append(cl["site_term"])
+            if cl.get("pattern_terms"):
+                clause_terms.extend(cl["pattern_terms"])
+                clause_patterns = True
+        seg_filtered = self._seg_scan(
+            spec["scan_terms"] + clause_terms,
+            need_positions=bool(spec["phrases"]) or clause_patterns,
+        )
+        k_eff = k + offset
         max_docs = max_docs_per_segment
         add_pre = with_pre_score
         wm = with_metrics
+        s = spec
+        cc, hed, sc = _const_clauses, _has_empty_discard, _score_coeff
 
         def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
             return _mf_segment_topk(
-                blocks_pdf, norms_pdf, uniq_sorted, fields_sorted, weights,
-                avgdl, k_eff, mode, neg_phys, phrases, pweights,
+                blocks_pdf, norms_pdf, s["uniq_sorted"],
+                sorted(self_fields), s["weights"], self_avgdl, k_eff,
+                s["mode"], s["neg_phys"], s["phrases"], s["pweights"],
                 max_docs=max_docs, add_pre=add_pre, with_metrics=wm,
+                filter_phys=s["filter_phys"], const_clauses=cc,
+                has_empty_discard=hed, score_coeff=sc,
             )
 
+        self_fields = self.fields
+        self_avgdl = dict(self.avgdl)
         per_seg = (
             seg_filtered.groupBy("segment_id")
             .cogroup(self.norms.groupBy("segment_id"))
@@ -722,13 +807,13 @@ class MultiFieldSegmentIndex:
                 ((r["doc_id"], r["score"]) for r in rows
                  if r["doc_id"] >= 0),
                 key=lambda t: (-t[1], t[0]),
-            )[:k]
+            )[:k_eff]
             return top_list, metrics
         top = (
             per_seg
             .select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+            .limit(k_eff)
         )
         if orig_ids:
             top = (
@@ -747,11 +832,250 @@ class MultiFieldSegmentIndex:
         return top
 
     def search_list(self, query: str, k: int = 10, mode: str = "must",
-                    **kwargs):
-        return [
+                    offset: int = 0, **kwargs):
+        from .collector import page
+
+        rows = [
             (r["doc_id"], r["score"])
-            for r in self.search(query, k, mode, **kwargs).collect()
+            for r in self.search(
+                query, k, mode, offset=offset, **kwargs
+            ).collect()
         ]
+        return page(rows, k, offset)
+
+    def search_batch(
+        self,
+        queries: list[tuple[str, str, str]],
+        k: int = 10,
+    ) -> DataFrame:
+        """Evaluate MANY multi-field queries in ONE pass over the index →
+        rows ``(query_id, doc_id, score)``, per-query top-k — the same
+        one-scan-one-cogroup batching as the single-field
+        ``wand_topk_batch`` (the scan is pruned once to the UNION of
+        every query's physical terms; each segment kernel runs every
+        query against the already-loaded block frames).  Results are
+        identical to per-query :meth:`search` — asserted by
+        tests/test_mf_parity.py."""
+        from pyspark.sql import Window
+
+        specs = []
+        scan_terms: set[str] = set()
+        any_phrases = False
+        for qid, qstr, mode in queries:
+            sp = self._spec(qstr, mode)
+            if sp is None:
+                continue
+            specs.append((qid, sp))
+            scan_terms.update(sp["scan_terms"])
+            any_phrases = any_phrases or bool(sp["phrases"])
+        if not specs:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double"
+            )
+        seg_filtered = self._seg_scan(
+            sorted(scan_terms), need_positions=any_phrases
+        )
+        self_fields = sorted(self.fields)
+        self_avgdl = dict(self.avgdl)
+        k_eff = k
+
+        def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+            outs = []
+            for qid, sp in specs:
+                res = _mf_segment_topk(
+                    blocks_pdf, norms_pdf, sp["uniq_sorted"], self_fields,
+                    sp["weights"], self_avgdl, k_eff, sp["mode"],
+                    sp["neg_phys"], sp["phrases"], sp["pweights"],
+                    filter_phys=sp["filter_phys"],
+                )
+                if len(res):
+                    res = res.drop(columns=["segment_id"])
+                    res.insert(0, "query_id", qid)
+                    outs.append(res)
+            if not outs:
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                })
+            return pd.concat(outs, ignore_index=True)
+
+        per_seg = (
+            seg_filtered.groupBy("segment_id")
+            .cogroup(self.norms.groupBy("segment_id"))
+            .applyInPandas(run, "query_id string, doc_id long, score double")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            per_seg.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        )
+
+    def search_with_count(
+        self, query: str, k: int = 10, mode: str = "must"
+    ) -> tuple[list[tuple[int, float]], int]:
+        """(top-k rows, exact total match count) in one distributed pass
+        (reference count-alongside-top-k, collector.rs): the kernel
+        appends a per-segment count sentinel and a JVM aggregate folds
+        counts + candidates so the driver receives ONE row regardless of
+        segment count."""
+        from .wand import fold_count_topk
+
+        spec = self._spec(query, mode)
+        if spec is None:
+            return [], 0
+        seg_filtered = self._seg_scan(
+            spec["scan_terms"], need_positions=bool(spec["phrases"])
+        )
+        self_fields = sorted(self.fields)
+        self_avgdl = dict(self.avgdl)
+
+        def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+            return _mf_segment_topk(
+                blocks_pdf, norms_pdf, spec["uniq_sorted"], self_fields,
+                spec["weights"], self_avgdl, k, spec["mode"],
+                spec["neg_phys"], spec["phrases"], spec["pweights"],
+                filter_phys=spec["filter_phys"], with_count=True,
+            )
+
+        per_seg = (
+            seg_filtered.groupBy("segment_id")
+            .cogroup(self.norms.groupBy("segment_id"))
+            .applyInPandas(run, "segment_id int, doc_id long, score double")
+        )
+        return fold_count_topk(per_seg, k)
+
+    def search_goggle(
+        self,
+        query: str,
+        goggle,
+        k: int = 10,
+        mode: str = "must",
+        site_col: str | None = None,
+        pattern_field: str | None = None,
+        field_map: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Top-k with a goggle program LOWERED INTO THE QUERY TREE over
+        the multi-field index — the reference's actual shape (goggles
+        compile against specific schema fields, goggles/mod.rs:166-260 +
+        mod.rs:231-262): site-only discards become MustNot attr terms,
+        boosts/downranks/pattern-discards become const clauses the
+        per-segment kernel evaluates over persisted per-field postings
+        and positions.  ``pattern_field`` picks the field an unselected
+        pattern matches (default "content" if present); ``field_map``
+        maps goggle field selectors (``inurl``/``intitle``/…) to index
+        fields."""
+        from .goggles import lower_goggle
+
+        default_field = pattern_field or (
+            "content" if "content" in self.fields else sorted(self.fields)[0]
+        )
+        if default_field not in self.fields:
+            raise ValueError(
+                f"pattern_field {default_field!r} is not an index field "
+                f"({sorted(self.fields)})"
+            )
+        bad = [
+            f_ for f_ in (field_map or {}).values() if f_ not in self.fields
+        ]
+        if bad:
+            raise ValueError(
+                f"field_map targets {bad} are not index fields "
+                f"({sorted(self.fields)})"
+            )
+        clauses, neg_site, coeff, has_empty_discard = lower_goggle(
+            goggle, self.analyzer, site_col,
+            field_map=field_map, default_field=default_field,
+        )
+        if site_col is not None and site_col not in (
+            self.stats.get("attr_cols") or []
+        ):
+            raise ValueError(
+                f"site_col {site_col!r} is not an indexed attr column "
+                f"(attr_cols={self.stats.get('attr_cols')}); rebuild with "
+                "attr_cols=[...] to lower site instructions into the index"
+            )
+        if any(cl.get("pattern_terms") for cl in clauses) and not (
+            self.stats.get("positions")
+        ):
+            raise ValueError(
+                "pattern instructions need an index built with "
+                "positions=True"
+            )
+        return self.search(
+            query, k, mode,
+            _const_clauses=clauses, _has_empty_discard=has_empty_discard,
+            _score_coeff=coeff, _extra_neg=neg_site,
+        )
+
+    def search_diverse(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "must",
+        key_fns=None,
+        scales=None,
+        overfetch: int = 3,
+    ):
+        """Top-k with result-diversity re-ranking (collector.rs:247-343)
+        — same collector as the single-field path: overfetch×k
+        candidates, multiplicative same-key penalty on the driver.
+        Default key: segment (the repo-range analogue of the site
+        hash)."""
+        from .collector import DEFAULT_SCALES, rerank_diverse
+
+        dps = self.stats["docs_per_segment"]
+        key_fns = key_fns or [lambda d: d // dps]
+        scales = scales or DEFAULT_SCALES[: len(key_fns)]
+        rows = [
+            (r["doc_id"], r["score"])
+            for r in self.search(query, k * overfetch, mode).collect()
+        ]
+        return rerank_diverse(rows, key_fns, scales, k)
+
+    def search_corrected(
+        self, query: str, k: int = 10, mode: str = "must",
+        dict_size: int = 100_000,
+    ):
+        """Search; on an empty result set, spell-correct against the
+        LOGICAL term dictionary (per-field dfs summed per token) and
+        retry — returns (rows, corrected_query | None), mirroring the
+        single-field path."""
+        rows = self.search_list(query, k=k, mode=mode)
+        if rows:
+            return rows, None
+        pq = parse_query(query, self.analyzer)
+        suggestion = self.spell_checker(dict_size).suggest_query(
+            pq.uniq_terms
+        )
+        if not suggestion:
+            return rows, None
+        corrected = " ".join(suggestion)
+        return self.search_list(corrected, k=k, mode=mode), corrected
+
+    def spell_checker(self, dict_size: int = 100_000):
+        """Top-N LOGICAL term dictionary: physical per-field dfs fold by
+        token (a token's df is its summed df over fields), then the same
+        SpellChecker as the single-field index."""
+        from ..functions.spell import SpellChecker
+
+        rest = F.substring(
+            F.col("term"), len(MF_TERM_PREFIX) + 1, (1 << 30)
+        )
+        tok = F.split(rest, MF_TERM_SEP, 2).getItem(1)
+        rows = (
+            self.term_stats.filter(F.col("term").startswith(MF_TERM_PREFIX))
+            .select(tok.alias("_tok"), "df")
+            .groupBy("_tok").agg(F.sum("df").alias("df"))
+            .orderBy(F.desc("df"), F.asc("_tok"))
+            .limit(dict_size)
+            .collect()
+        )
+        return SpellChecker({r["_tok"]: r["df"] for r in rows}, dict_size)
 
 
 def _mf_segment_topk(
@@ -769,6 +1093,11 @@ def _mf_segment_topk(
     max_docs: int | None = None,
     add_pre: bool = False,
     with_metrics: bool = False,
+    filter_phys: list[str] | None = None,
+    const_clauses: list[dict] | None = None,
+    has_empty_discard: bool = False,
+    score_coeff: float | None = None,
+    with_count: bool = False,
 ) -> pd.DataFrame:
     """Per-segment multi-field exact top-k: per logical term the docset is
     the union over fields; Must intersects logical docsets, Should unions;
@@ -798,7 +1127,17 @@ def _mf_segment_topk(
     if len(blocks_pdf) == 0 or len(norms_pdf) == 0:
         return empty
     seg = int(blocks_pdf["segment_id"].iloc[0])
-    base = int(norms_pdf["base_doc_id"].iloc[0])
+    # base MUST come from a norms sentinel row: tombstone rows
+    # (DELETES_TERM, appended as separate parquet parts) also land on the
+    # norms side and carry base_doc_id = min deleted id, and cogroup row
+    # order is not guaranteed — iloc[0] over the whole frame could pick a
+    # tombstone and wrap every (id - base) lookup
+    _sent_mask = norms_pdf["sentinel"].str.startswith(MF_NORMS_PREFIX) | (
+        norms_pdf["sentinel"] == NORMS_SENTINEL
+    )
+    if not _sent_mask.any():
+        return empty
+    base = int(norms_pdf.loc[_sent_mask, "base_doc_id"].iloc[0])
     norms_by_field = {
         r["sentinel"][len(MF_NORMS_PREFIX):]: np.frombuffer(
             r["norm_bytes"], dtype=np.uint8
@@ -875,7 +1214,9 @@ def _mf_segment_topk(
                 decoded[p] = (ids.astype(np.int64), tfs.astype(np.int64))
         return decoded[p]
 
-    if mode != "must" and not phrases and not neg_phys and max_docs is None:
+    if (mode != "must" and not phrases and not neg_phys
+            and max_docs is None and not filter_phys and not const_clauses
+            and score_coeff is None and not with_count):
         # pruned multi-field OR: physical terms are independent additive
         # scoring units (per-field dl/avgdl), so the single-field
         # block-max union applies directly — with the fold order pinned
@@ -1040,6 +1381,14 @@ def _mf_segment_topk(
             np.unique(np.concatenate(unit_docsets)) if unit_docsets
             else np.zeros(0, dtype=np.int64)
         )
+    if filter_phys and cand.size:
+        # site:/attr filters: Must membership in every filter term's
+        # posting list (candidate-intersecting block lookups only)
+        for p in filter_phys:
+            if cand.size == 0:
+                break
+            tfs = _lookup_tfs(by_term, p, cand, blk_cache)
+            cand = cand[tfs > 0] if tfs is not None else cand[:0]
     if neg_phys and cand.size:
         exm = np.zeros(cand.size, dtype=bool)
         for p in neg_phys:
@@ -1085,16 +1434,86 @@ def _mf_segment_topk(
             tfc = pf[m].astype(np.float64)
             norm = K1 * (1.0 - B + B * (dls / avgdl[f_]))
             score[m] += w * (tfc / (tfc + norm))
+    if score_coeff is not None and cand.size:
+        # @bm25 alteration: scales ONLY the relevance signal, before the
+        # pre-computed signal and const bonuses land (signal.rs:343-387)
+        score = score * score_coeff
     if pre is not None and cand.size:
         # final rank = pre_computed + Σ boosted per-field bm25
         # (signal.rs:296-333 composed with the per-field Should)
         score = score + pre[(cand - base).astype(np.int64)]
+    if const_clauses and cand.size:
+        # lowered goggle instructions over the PERSISTED per-field index
+        # (attr-term posting lookups + pattern-automaton runs over the
+        # pattern field's stored positions) — same evaluation as the
+        # single-field kernel; trailing anchors read the pattern FIELD's
+        # exact dl tail from its norm sentinel
+        from ..functions.codec import varint_decode
+        from .wand import _clause_match_mask
+
+        tails: dict[str, np.ndarray | None] = {}
+
+        def dl_exact_for(f_: str):
+            if f_ not in tails:
+                tails[f_] = None
+                if "meta_bytes" in norms_pdf.columns:
+                    row = norms_pdf[
+                        norms_pdf["sentinel"] == MF_NORMS_PREFIX + f_
+                    ]
+                    if len(row) and row["meta_bytes"].iloc[0] is not None:
+                        vals = varint_decode(bytes(row["meta_bytes"].iloc[0]))
+                        span = len(np.frombuffer(
+                            bytes(row["norm_bytes"].iloc[0]), dtype=np.uint8
+                        ))
+                        t = vals[2:2 + span]
+                        if len(t) == span:
+                            tails[f_] = np.asarray(t, dtype=np.int64)
+            return tails[f_]
+
+        drop = np.zeros(cand.size, dtype=bool)
+        keep_union = np.zeros(cand.size, dtype=bool)
+        for cl in const_clauses:
+            ops = cl.get("pattern_ops")
+            needs_len = bool(ops) and ops[-1][0] == "anchor_end"
+            dl_exact = (
+                dl_exact_for(cl["pattern_field"]) if needs_len else None
+            )
+            if needs_len and dl_exact is None:
+                raise ValueError(
+                    "trailing-anchor goggle patterns need exact per-field "
+                    "doc lengths — rebuild the index (per-field sentinels "
+                    "now store the dl tail)"
+                )
+            m = _clause_match_mask(by_term, cl, cand, dl_exact, base)
+            if cl["action"] == "discard":
+                drop |= m
+            else:
+                # + 0.0 on non-matches keeps the exact fp association of
+                # the oracle's sequential CASE additions
+                score = score + np.where(m, cl["bonus"], 0.0)
+                keep_union |= m
+        sel = ~drop
+        if has_empty_discard:
+            sel &= keep_union
+        cand, score = cand[sel], score[sel]
+    n_matched = int(cand.size)
     ordr = np.lexsort((cand, -score))[:k]
-    return emit_metrics(pd.DataFrame(
+    out = pd.DataFrame(
         {"segment_id": pd.Series(np.full(ordr.size, seg), dtype="int32"),
          "doc_id": pd.Series(cand[ordr], dtype="int64"),
          "score": pd.Series(score[ordr], dtype="float64")}
-    ))
+    )
+    if with_count:
+        # count-alongside-top-k: one sentinel row per segment carries the
+        # full pre-cut match count (doc_id −1 never collides)
+        out = pd.concat(
+            [out, pd.DataFrame(
+                {"segment_id": pd.Series([seg], dtype="int32"),
+                 "doc_id": pd.Series([-1], dtype="int64"),
+                 "score": pd.Series([float(n_matched)], dtype="float64")}
+            )], ignore_index=True,
+        )
+    return emit_metrics(out)
 
 
 class MultiFieldOracle:

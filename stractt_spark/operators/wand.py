@@ -1247,17 +1247,47 @@ def wand_topk_count(
             with_count=True,
         )
 
-    rows = (
+    per_seg = (
         seg_filtered.groupBy("segment_id")
         .cogroup(norms.groupBy("segment_id"))
         .applyInPandas(run, _RESULT_SCHEMA)
-        .collect()
     )
-    total = sum(int(r["score"]) for r in rows if r["doc_id"] == -1)
-    top = sorted(
-        ((r["doc_id"], r["score"]) for r in rows if r["doc_id"] >= 0),
-        key=lambda t: (-t[1], t[0]),
-    )[:k]
+    return fold_count_topk(per_seg, k)
+
+
+def fold_count_topk(per_seg: DataFrame, k: int) -> tuple[list[tuple[int, float]], int]:
+    """Fold per-segment (top-k rows + count sentinels) into the global
+    (top-k, total) SPARK-SIDE: one JVM aggregate sums the doc_id −1
+    sentinels and sort-slices the candidate structs, so the driver
+    receives exactly ONE row (k structs + 1 scalar) regardless of segment
+    count — at 10⁴ segments the old per-segment collect shipped
+    segments×(k+1) rows to the driver.
+
+    Sort key: struct(−score, doc_id) ascending == (score desc, doc_id
+    asc), the engine-wide tie contract.  collect_list is bounded at
+    segments×k structs of 16 bytes — the same data volume the driver
+    previously received, now folded on an executor."""
+    row = per_seg.agg(
+        F.sum(
+            F.when(F.col("doc_id") == -1, F.col("score"))
+        ).alias("_total"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("doc_id") >= 0,
+                        F.struct(
+                            (-F.col("score")).alias("ns"),
+                            F.col("doc_id").alias("d"),
+                        ),
+                    )
+                )
+            ),
+            1, k,
+        ).alias("_top"),
+    ).collect()[0]
+    total = int(row["_total"] or 0)
+    top = [(int(x["d"]), -float(x["ns"])) for x in row["_top"]]
     return top, total
 
 

@@ -41,10 +41,60 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.tokenizer import analyzer_fingerprint
 from ..operators.postings import build_postings, doc_stats
 from ..operators.segments import build_norms, build_segments, with_segment_id
 
 STAGES = ("postings", "doc_stats", "segments", "norms", "term_stats", "stats")
+
+
+def validate_quota(
+    presorted: bool,
+    tombstoned: bool,
+    max_docs_per_segment: int | None,
+    unsafe_quota: bool,
+) -> None:
+    """The two soundness guards EVERY quota-accepting entry point shares
+    (single- and multi-field search, metrics, batch): a quota on a
+    doc-id-ordered index truncates arbitrary docs, and a quota on a
+    tombstoned index can no longer guarantee max_docs LIVE higher-pre
+    matches above the cut."""
+    if max_docs_per_segment is None or unsafe_quota:
+        return
+    if not presorted:
+        raise ValueError(
+            "max_docs_per_segment on a doc-id-ordered index truncates "
+            "ARBITRARY docs (unsound early termination) — build with "
+            "pre_scores=... for a sound quota, or pass "
+            "unsafe_quota=True to accept approximate results"
+        )
+    if tombstoned:
+        raise ValueError(
+            "max_docs_per_segment on a TOMBSTONED index is unsound: "
+            "a truncated posting list can no longer guarantee "
+            "max_docs live higher-pre matches above the cut — "
+            "compact_index() first (or pass unsafe_quota=True)"
+        )
+
+
+def _check_analyzer_fp(stats: dict) -> None:
+    """Refuse to open an index whose postings were tokenized under a
+    DIFFERENT definition of the same analyzer (regex class / filter-chain
+    change): querying it would silently tokenize queries differently from
+    its postings — term misses and shifted phrase positions instead of an
+    error.  Indexes persisted before the stamp existed (no analyzer_fp
+    key) open unchecked."""
+    fp = stats.get("analyzer_fp")
+    if fp is None:
+        return
+    want = analyzer_fingerprint(stats["analyzer"])
+    if fp != want:
+        raise ValueError(
+            f"index was built with analyzer {stats['analyzer']!r} "
+            f"fingerprint {fp} but this engine's definition is {want}: "
+            "the tokenizer behavior changed since the build — rebuild the "
+            "index (or pin the engine version that built it)"
+        )
 
 
 @dataclass
@@ -139,7 +189,9 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     fp = hashlib.sha256(
         json.dumps(
-            {"analyzer": analyzer, "dps": docs_per_segment, "text": text_col,
+            {"analyzer": analyzer,
+             "analyzer_fp": analyzer_fingerprint(analyzer),
+             "dps": docs_per_segment, "text": text_col,
              "id": id_col, "positions": positions, "v": 1},
             sort_keys=True,
         ).encode()
@@ -254,6 +306,7 @@ def build_index(
             "total_tokens": int(total),
             "avgdl": (int(total) / n_docs) if n_docs else 0.0,
             "analyzer": analyzer,
+            "analyzer_fp": analyzer_fingerprint(analyzer),
             "docs_per_segment": docs_per_segment,
             "positions": positions,
             "fingerprint": fp,
@@ -307,7 +360,9 @@ def build_index_fused(
     os.makedirs(out_dir, exist_ok=True)
     fp = hashlib.sha256(
         json.dumps(
-            {"analyzer": analyzer, "dps": docs_per_segment, "text": text_col,
+            {"analyzer": analyzer,
+             "analyzer_fp": analyzer_fingerprint(analyzer),
+             "dps": docs_per_segment, "text": text_col,
              "id": id_col, "layout": "fused", "positions": positions,
              "attrs": sorted(attr_cols or []),
              "presorted": pre_scores is not None, "v": 1},
@@ -455,6 +510,7 @@ def build_index_fused(
             "total_tokens": total_tokens,
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "analyzer": analyzer,
+            "analyzer_fp": analyzer_fingerprint(analyzer),
             "docs_per_segment": docs_per_segment,
             "layout": "fused",
             "positions": positions,
@@ -495,6 +551,7 @@ class SegmentIndex:
             self.norms = spark.read.parquet(self.paths.norms)
         self.term_stats = spark.read.parquet(self.paths.term_stats)
         self.analyzer = self.stats["analyzer"]
+        _check_analyzer_fp(self.stats)
         self.presorted = bool(self.stats.get("presorted"))
         self.docmap = None
         if self.presorted:
@@ -556,28 +613,7 @@ class SegmentIndex:
             )
         if (with_pre_score or orig_ids) and not self.presorted:
             raise ValueError("pre-score options need a presorted index")
-        if (
-            max_docs_per_segment is not None
-            and not self.presorted
-            and not unsafe_quota
-        ):
-            raise ValueError(
-                "max_docs_per_segment on a doc-id-ordered index truncates "
-                "ARBITRARY docs (unsound early termination) — build with "
-                "pre_scores=... for a sound quota, or pass "
-                "unsafe_quota=True to accept approximate results"
-            )
-        if (
-            max_docs_per_segment is not None
-            and self.stats.get("deleted_docs")
-            and not unsafe_quota
-        ):
-            raise ValueError(
-                "max_docs_per_segment on a TOMBSTONED index is unsound: "
-                "a truncated posting list can no longer guarantee "
-                "max_docs live higher-pre matches above the cut — "
-                "compact_index() first (or pass unsafe_quota=True)"
-            )
+        self._validate_quota(max_docs_per_segment, unsafe_quota)
         pq = parse_query(query, self.analyzer, phrase=phrase)
         tdf = self.term_df(pq.all_match_terms)
         top = wand_topk(
@@ -661,6 +697,14 @@ class SegmentIndex:
             k=k, analyzer=self.analyzer,
         )
 
+    def _validate_quota(
+        self, max_docs_per_segment: int | None, unsafe_quota: bool
+    ) -> None:
+        validate_quota(
+            self.presorted, bool(self.stats.get("deleted_docs")),
+            max_docs_per_segment, unsafe_quota,
+        )
+
     def search_with_metrics(
         self,
         query: str,
@@ -669,6 +713,7 @@ class SegmentIndex:
         phrase: bool = False,
         with_pre_score: bool = False,
         max_docs_per_segment: int | None = None,
+        unsafe_quota: bool = False,
     ) -> tuple[list[tuple[int, float]], dict]:
         """Top-k (same results as :meth:`search`, internal ids) plus the
         measured pruning win: ``{"blocks_decoded", "blocks_total"}``
@@ -683,8 +728,9 @@ class SegmentIndex:
             raise ValueError(
                 "phrase queries need an index built with positions=True"
             )
-        if (with_pre_score or max_docs_per_segment) and not self.presorted:
+        if with_pre_score and not self.presorted:
             raise ValueError("pre-score options need a presorted index")
+        self._validate_quota(max_docs_per_segment, unsafe_quota)
         pq = parse_query(query, self.analyzer, phrase=phrase)
         tdf = self.term_df(pq.all_match_terms)
         return wand_topk(

@@ -164,6 +164,8 @@ def append_batch(
         src = docs.select(
             "doc_id",
             *[F.col(fcols[f_]).alias(f"_f_{f_}") for f_ in fields],
+            *[F.col(c).cast("string").alias(f"_a_{c}")
+              for c in (attr_cols or [])],
             *([F.col(pre_col).alias("_pre")] if pre_col else []),
         ).withColumn(
             "segment_id", (F.col("doc_id") / F.lit(dps)).cast("int")
@@ -171,6 +173,7 @@ def append_batch(
         unified = build_segments_fused_multifield(
             src, fields, analyzer, dps,
             positions=positions, with_pre=pre_col is not None,
+            attr_cols=attr_cols,
         )
     else:
         unified = build_segments_fused(
