@@ -1537,6 +1537,62 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "media_type", "n_bytes")
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding under the gate: per-doc deterministic PNGs
+    (pixel[y][x][c] = arithmetic fn of (x, y, doc_id)) are encoded
+    EXECUTOR-SIDE by the from-scratch encoder, then decoded back by the
+    from-scratch reader (functions/png.py) through the Arrow-batched
+    decode_images kernel.  The oracle recomputes width/height and the
+    exact per-channel pixel sums ARITHMETICALLY in SQL — a hash match
+    proves the engine's bytes→pixels decode is exact, not a fake."""
+    import numpy as np
+    import pandas as pd
+
+    from stractt_spark.operators.multimodal import decode_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).filter(F.col("doc_id") < 64)
+
+    def gen(batches):
+        from stractt_spark.functions.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 9, 5 + i % 7
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                px = np.stack([
+                    (xx * 7 + yy * 13 + i) % 256,
+                    (xx * 3 + yy * 5 + 2 * i) % 256,
+                    (xx * 11 + yy * 2 + 3 * i) % 256,
+                ], axis=2).astype(np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            })
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return decode_images(media)
+
+
+_MULTIMODAL_DECODE_SQL = (
+    "WITH m AS (SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, "
+    "5 + doc_id % 7 AS h FROM documents WHERE doc_id < 64), "
+    "gx AS (SELECT media_id, w, h, "
+    "unnest(generate_series(0, w - 1)) AS x FROM m), "
+    "g AS (SELECT media_id, w, h, x, "
+    "unnest(generate_series(0, h - 1)) AS y FROM gx) "
+    "SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+    "CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_r, "
+    "CAST(sum((x * 3 + y * 5 + 2 * media_id) % 256) AS BIGINT) AS sum_g, "
+    "CAST(sum((x * 11 + y * 2 + 3 * media_id) % 256) AS BIGINT) AS sum_b "
+    "FROM g GROUP BY media_id, w, h"
+)
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banded candidates verified with exact Jaccard, gated
     against the ALL-PAIRS Jaccard SQL oracle: with 32 bands of 2 rows a
@@ -1832,6 +1888,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         # multimodal plumbing
         "multimodal_nbytes": _q_multimodal,
+        "multimodal_decode": _q_multimodal_decode,
     }
 
 
@@ -2173,6 +2230,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY source"
         ),
+        "multimodal_decode": _MULTIMODAL_DECODE_SQL,
         "multimodal_nbytes": (
             "SELECT doc_id AS media_id, "
             "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type, "

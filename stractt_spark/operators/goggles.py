@@ -19,8 +19,10 @@ Spark shape (all distributed, no driver-side doc sets):
 * the final ``orderBy(score desc, doc_id).limit(k)`` is the same
   TakeOrderedAndProject bounded merge as every other query path.
 
-Instruction match sets are typically tiny and selective → Spark
-broadcasts them into the joins; the pattern scan reads only (id, text).
+Instruction match-set joins are left to AQE (a popular ``site=`` rule can
+match an unbounded corpus share — forcing a broadcast there is the
+over-broadcast a large cluster dies on); the pattern scan reads only
+(id, text).
 """
 
 from __future__ import annotations
@@ -226,13 +228,23 @@ def apply_goggle(
     site_col: str | None = None,
     analyzer: str = "ascii",
     field_cols: dict[str, str] | None = None,
+    broadcast_hint: bool = False,
 ) -> DataFrame:
     """Rerank ``base_scores`` (doc_id, score — UNCUT) by a goggle program:
 
         score' = score + Σ_boost n·SCALE − Σ_downrank n·SCALE
         discard instructions remove their docs entirely
         a bare ``$discard`` keeps only docs matching ≥1 other instruction
-    """
+
+    NOTE: the ENGINE path for goggles is ``SegmentIndex.search_goggle``
+    (instructions lowered into the per-segment kernel — no corpus scan at
+    all); this DataFrame-level fallback exists for ad-hoc reranks over
+    arbitrary score frames.  Match-set joins are left to AQE by default —
+    a popular ``site=`` rule can match an unbounded share of the corpus,
+    and an unconditional broadcast of that set is exactly the
+    over-broadcast a 1000-executor cluster dies on.  Pass
+    ``broadcast_hint=True`` only when every instruction is known
+    selective."""
     g = parse_goggle(goggle) if isinstance(goggle, str) else goggle
     out = base_scores
     # @bm25 = c alteration scales the base relevance signal before the
@@ -253,12 +265,14 @@ def apply_goggle(
         )
         if mset is None:
             continue
+        if broadcast_hint:
+            mset = F.broadcast(mset)
         if inst.action == "discard":
-            out = out.join(F.broadcast(mset), "doc_id", "left_anti")
+            out = out.join(mset, "doc_id", "left_anti")
             continue
         bonus = float(inst.value) * (SCALE if inst.action == "boost" else -SCALE)
         out = out.join(
-            F.broadcast(mset.withColumn("_b", F.lit(bonus))), "doc_id", "left"
+            mset.withColumn("_b", F.lit(bonus)), "doc_id", "left"
         ).withColumn(
             "score", F.col("score") + F.coalesce(F.col("_b"), F.lit(0.0))
         ).drop("_b")
@@ -269,5 +283,8 @@ def apply_goggle(
     if g.has_empty_discard:
         if keep_union is None:
             return out.limit(0)
-        out = out.join(F.broadcast(keep_union.distinct()), "doc_id", "left_semi")
+        ku = keep_union.distinct()
+        if broadcast_hint:
+            ku = F.broadcast(ku)
+        out = out.join(ku, "doc_id", "left_semi")
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

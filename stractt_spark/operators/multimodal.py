@@ -2,13 +2,15 @@
 
 Image/audio/video live as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample are Arrow-batched
-``mapInPandas`` kernels.  The decode libraries (PIL/ffmpeg/librosa) are
-NOT in this container, so the codec step is stubbed two ways:
+``mapInPandas`` kernels.  The codec step has three backings:
 
-* ``DeterministicFakeDecoder`` — a seeded, content-derived fake that keeps
-  the whole pipeline runnable and testable (shapes, batching, schema);
+* ``PngDecoder`` / ``PngResizer`` — REAL bytes→pixels decode via the
+  from-scratch PNG reader in :mod:`stractt_spark.functions.png` (pure
+  Python + stdlib zlib, no third-party codec) — images are first-class;
+* ``DeterministicFakeDecoder`` — a seeded, content-derived fake for
+  media types whose codecs (ffmpeg/librosa) are NOT in this container;
 * ``LibraryDecoder`` — raises ``NotImplementedError`` with the exact
-  integration point, so swapping a real codec in is a one-function change.
+  integration point, so swapping a C codec in is a one-function change.
 
 The Spark-side contract (schema, partitioning, batch shape) is real and
 tested: payloads never hit the driver, each Arrow batch is decoded
@@ -38,6 +40,92 @@ class LibraryDecoder:
             "plug a real decoder here (PIL.Image.open / av.open / "
             "soundfile.read) returning an (n, FEATURE_DIM) float32 matrix"
         )
+
+
+class PngDecoder:
+    """REAL image decode (functions/png.py — from-scratch PNG reader,
+    stdlib zlib only): payload bytes → pixels → content features.
+
+    Feature layout (FEATURE_DIM=32): [mean_r, mean_g, mean_b, std_r,
+    std_g, std_b, log1p(w), log1p(h), 16-bin luminance histogram
+    (normalized), 8× reserved zeros] — deterministic, unit-testable, and
+    actually derived from decoded pixels."""
+
+    def decode_batch(self, payloads: list[bytes], media_type: str) -> np.ndarray:
+        from ..functions.png import decode_png
+
+        out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            px = decode_png(p).astype(np.float32)
+            h, w, _ = px.shape
+            out[i, 0:3] = px.mean(axis=(0, 1)) / 255.0
+            out[i, 3:6] = px.std(axis=(0, 1)) / 255.0
+            out[i, 6] = np.log1p(w)
+            out[i, 7] = np.log1p(h)
+            lum = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                   + 0.114 * px[:, :, 2]).ravel()
+            hist, _ = np.histogram(lum, bins=16, range=(0.0, 256.0))
+            out[i, 8:24] = hist.astype(np.float32) / max(lum.size, 1)
+        return out
+
+
+class PngResizer:
+    """REAL image resize: decode PNG → nearest-neighbor resample →
+    re-encode PNG (functions/png.py).  Same batch contract as the
+    deterministic fake, so the pipeline swap is the constructor arg."""
+
+    def resize_batch(
+        self, payloads: list[bytes], w: int, h: int
+    ) -> list[bytes]:
+        from ..functions.png import decode_png, encode_png, resize_nearest
+
+        return [
+            encode_png(resize_nearest(decode_png(p), w, h)) for p in payloads
+        ]
+
+
+def decode_images(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, payload binary<PNG>) → (media_id, width, height, sum_r,
+    sum_g, sum_b): REAL per-pixel decode in an Arrow-batched kernel —
+    dims and exact channel sums are arithmetic facts about the pixels, so
+    an oracle that knows the image-generation rule can verify the decode
+    byte-for-byte without any image library."""
+    from ..functions.png import decode_png
+
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("_p"),
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ws, hs, sums = [], [], []
+            for p in pdf["_p"]:
+                px = decode_png(bytes(p))
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+                sums.append(px.astype(np.int64).sum(axis=(0, 1)))
+            s = np.asarray(sums, dtype=np.int64)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"),
+                 "width": pd.Series(ws, dtype="int32"),
+                 "height": pd.Series(hs, dtype="int32"),
+                 "sum_r": pd.Series(s[:, 0], dtype="int64"),
+                 "sum_g": pd.Series(s[:, 1], dtype="int64"),
+                 "sum_b": pd.Series(s[:, 2], dtype="int64")}
+            )
+
+    return src.mapInPandas(
+        emit,
+        "media_id long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long",
+    )
 
 
 class DeterministicFakeDecoder:
