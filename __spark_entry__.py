@@ -1743,6 +1743,50 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF LIFECYCLE under the gate: the index is built on HALF the
+    augmented table, the other half (including every planted true
+    neighbor) arrives via append_ivf — one distributed assignment pass
+    under the frozen quantizer, a new ledgered partition dir, no
+    retrain.  The query must still recall the full true top-10, which
+    all live in APPENDED batches — hash-gated against the same exact
+    cosine oracle as the build-once IVF gate."""
+    import hashlib
+    import os
+    import shutil as _sh
+
+    from stractt_spark.operators.similarity import (
+        ann_ivf_topk,
+        append_ivf,
+        build_ivf_index,
+    )
+
+    aug, qvec = _augmented_embeddings(spark, sf_dir)
+    key = "ivfapp:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        out = "/tmp/stractt_entry_ivfapp_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        _sh.rmtree(out, ignore_errors=True)
+        half = aug.filter(F.col("vec_id") % 2 == 0).filter(
+            F.col("vec_id") < 1000000
+        )
+        build_ivf_index(spark, half, out, n_cells=16, vec_col="e")
+        append_ivf(
+            spark, out,
+            aug.filter((F.col("vec_id") % 2 == 1)
+                       & (F.col("vec_id") < 1000000)),
+            vec_col="e",
+        )
+        append_ivf(
+            spark, out, aug.filter(F.col("vec_id") >= 1000000), vec_col="e"
+        )
+        _WAND_INDEX_CACHE[key] = out
+    return ann_ivf_topk(
+        spark, _WAND_INDEX_CACHE[key], qvec, k=10, nprobe=4, exclude_id=0
+    )
+
+
 def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN through the PERSISTED bucketed sign-LSH index: the signature
     table is built once and written to parquet; the query pushes a
@@ -1868,6 +1912,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": _q_ann_lsh,
         "ann_bucketed_top10": _q_ann_bucketed,
         "ann_ivf_top10": _q_ann_ivf,
+        "ann_ivf_appended_top10": _q_ann_ivf_appended,
         "emb_near_dup_pairs": _q_emb_near_dups,
         # aggregations (§2.7 counting analogues)
         "source_counts": _q_source_counts,
@@ -2177,6 +2222,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_top10": _COSINE_SQL,  # max_mismatch = n_planes ⇒ exact
         "ann_bucketed_top10": _ANN_BUCKETED_SQL,
         "ann_ivf_top10": _ANN_BUCKETED_SQL,  # same exact-cosine truth
+        "ann_ivf_appended_top10": _ANN_BUCKETED_SQL,  # appends must not lose recall
         "emb_near_dup_pairs": _EMB_DUP_SQL,
         "jaccard_pairs_capped": (
             f"WITH {_TOKS_L_CTE}, "

@@ -458,6 +458,10 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids.parquet")
 
     cent_b = cent.copy()
+    # lifecycle manifest: frozen-quantizer fingerprint, append ledger,
+    # and the train-time dispersion the drift guard compares against
+    d2_final = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    train_disp = float(d2_final.min(axis=1).mean()) if len(M) else 0.0
 
     def assign_cells(pdfs):
         import numpy as np
@@ -483,6 +487,19 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(f"{out_dir}/cells.parquet")
     )
+    num = base.count()
+    _write_ann_manifest(out_dir, {
+        "kind": "ivf",
+        "n_cells": int(k_),
+        "dim": int(M.shape[1]) if len(M) else 0,
+        "sample": int(sample),
+        "iters": int(iters),
+        "num_vecs": int(num),
+        "base_vecs": int(num),
+        "train_dispersion": train_disp,
+        "quantizer_fp": hashlib.md5(cent.tobytes()).hexdigest()[:16],
+        "append_batches": [],
+    })
 
 
 def ann_ivf_topk(
@@ -506,7 +523,7 @@ def ann_ivf_topk(
     probes = sorted(
         cent, key=lambda c: (float(((cent[c] - qq) ** 2).sum()), c)
     )[:nprobe]
-    cells = spark.read.parquet(f"{index_dir}/cells.parquet").filter(
+    cells = _read_ivf_cells(spark, index_dir).filter(
         F.col("cell").isin([int(c) for c in probes])
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -522,3 +539,311 @@ def ann_ivf_topk(
         .limit(k)
         .select("vec_id", F.round("_cos", 6).alias("cos"))
     )
+
+
+# ------------------------------------------------------------------
+# ANN index LIFECYCLE — appends under a frozen quantizer, merge, drift
+# guard, retrain — mirroring the text index's streaming/merge
+# discipline (the reference continuously re-indexes,
+# src/entrypoint/indexer.rs:255-312; a 100-TB embeddings table grows
+# the same way).
+
+
+def _ann_manifest_path(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, "ann.json")
+
+
+def _write_ann_manifest(index_dir: str, manifest: dict) -> None:
+    """Atomic manifest swap (tmp + rename) — a crash mid-update leaves
+    the previous manifest intact, same discipline as the text index's
+    stats.json."""
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    p = _ann_manifest_path(index_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, p)
+
+
+def read_ann_manifest(index_dir: str) -> dict:
+    import json
+
+    with open(_ann_manifest_path(index_dir)) as f:
+        return json.load(f)
+
+
+def _ivf_cell_dirs(index_dir: str) -> list[str]:
+    """cells.parquet plus every LEDGERED append batch dir (unledgered
+    dirs from a crashed append are invisible — the visibility rule the
+    text index's streamed batches follow)."""
+    import os
+
+    try:
+        m = read_ann_manifest(index_dir)
+    except FileNotFoundError:
+        # pre-lifecycle index: base dir only
+        return [f"{index_dir}/cells.parquet"]
+    return [f"{index_dir}/cells.parquet"] + [
+        f"{index_dir}/cells_b{b}.parquet" for b in m.get("append_batches", [])
+    ]
+
+
+def _read_ivf_cells(spark, index_dir: str) -> DataFrame:
+    """Union of per-dir reads: each batch dir is its own partitioned
+    root (Spark refuses multiple partition roots in one read); a cell
+    predicate still prunes directories inside EVERY member scan."""
+    dirs = _ivf_cell_dirs(index_dir)
+    out = None
+    for d in dirs:
+        x = spark.read.parquet(d).select("cell", "vec_id", "e")
+        out = x if out is None else out.unionByName(x)
+    return out
+
+
+def append_ivf(
+    spark,
+    index_dir: str,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append new vectors to a persisted IVF index under the FROZEN
+    quantizer: one distributed assignment pass against the stored
+    centroids, written ``partitionBy(cell)`` into a new ledgered batch
+    dir.  Returns the batch id.
+
+    Incremental-equals-fresh contract: assignment under frozen centroids
+    is a pure function of the vector, so the incremental index holds
+    exactly the rows a one-shot assignment pass over the union would
+    produce (tested).  The QUANTIZER itself is not updated — that is the
+    documented retrain policy: appends keep serving, ivf_needs_retrain
+    flags drift, retrain_ivf rebuilds (training is a global decision, a
+    per-batch centroid nudge would silently shift every earlier
+    assignment)."""
+    m = read_ann_manifest(index_dir)
+    if m.get("kind") != "ivf":
+        raise ValueError(f"{index_dir} is not an IVF index")
+    cent_rows = spark.read.parquet(f"{index_dir}/centroids.parquet").collect()
+    cent_b = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    )
+
+    def assign_cells(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf["e"]], dtype=np.float64)
+            d2 = (
+                (X ** 2).sum(axis=1)[:, None]
+                - 2.0 * X @ cent_b.T
+                + (cent_b ** 2).sum(axis=1)[None, :]
+            )
+            pdf = pdf.copy()
+            pdf["cell"] = d2.argmin(axis=1).astype("int32")
+            yield pdf[["cell", "vec_id", "e"]]
+
+    batch_id = 1 + max(m.get("append_batches", []), default=0)
+    bdir = f"{index_dir}/cells_b{batch_id}.parquet"
+    assigned = base.mapInPandas(
+        assign_cells, "cell int, vec_id long, e array<double>"
+    )
+    (
+        assigned.write.mode("overwrite")  # idempotent retry rewrites
+        .partitionBy("cell").parquet(bdir)
+    )
+    n = spark.read.parquet(bdir).count()
+    # ledger commit AFTER the data is fully written — a crash before
+    # this point leaves an invisible orphan dir, not a corrupt index
+    m["append_batches"] = m.get("append_batches", []) + [batch_id]
+    m["num_vecs"] = int(m.get("num_vecs", 0) + n)
+    _write_ann_manifest(index_dir, m)
+    return batch_id
+
+
+def ivf_needs_retrain(
+    spark,
+    index_dir: str,
+    growth_factor: float = 1.0,
+    dispersion_factor: float = 2.0,
+    sample: int = 4096,
+) -> dict:
+    """Drift guard: measure (a) appended growth vs the trained base and
+    (b) current dispersion (mean distance² to nearest centroid over a
+    deterministic sample of the CURRENT vectors) vs the train-time
+    dispersion.  Returns the measurements plus a ``retrain`` verdict —
+    policy: retrain when appends exceed ``growth_factor`` × base size or
+    dispersion exceeds ``dispersion_factor`` × the train value (the new
+    data no longer looks like what the quantizer was fit on)."""
+    m = read_ann_manifest(index_dir)
+    cent_rows = spark.read.parquet(f"{index_dir}/centroids.parquet").collect()
+    cent = np.array(
+        [r["centroid"] for r in sorted(cent_rows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )
+    rows = (
+        _read_ivf_cells(spark, index_dir)
+        .withColumn("_r", F.xxhash64(F.col("vec_id"), F.lit("ivf-drift")))
+        .orderBy("_r", "vec_id")
+        .limit(int(sample))
+        .select("e")
+        .collect()
+    )
+    X = np.array([list(r["e"]) for r in rows], dtype=np.float64)
+    disp = float(
+        ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).min(axis=1).mean()
+    ) if len(X) else 0.0
+    base_n = int(m.get("base_vecs", m["num_vecs"]))
+    appended = int(m["num_vecs"]) - base_n
+    growth = appended / base_n if base_n else float("inf")
+    train_disp = float(m.get("train_dispersion", 0.0)) or 1e-12
+    ratio = disp / train_disp
+    return {
+        "appended": appended,
+        "base_vecs": base_n,
+        "growth": growth,
+        "dispersion": disp,
+        "train_dispersion": train_disp,
+        "dispersion_ratio": ratio,
+        "retrain": bool(growth > growth_factor or ratio > dispersion_factor),
+    }
+
+
+def retrain_ivf(
+    spark,
+    index_dir: str,
+    out_dir: str,
+    n_cells: int | None = None,
+    sample: int | None = None,
+    iters: int | None = None,
+) -> None:
+    """Rebuild the IVF index over every registered vector (base +
+    appends) with a freshly trained quantizer — the retrain half of the
+    append/retrain policy.  Same deterministic training recipe as
+    build_ivf_index, so retrain(X) == build(X) bit-for-bit."""
+    m = read_ann_manifest(index_dir)
+    allv = _read_ivf_cells(spark, index_dir).select("vec_id", "e")
+    build_ivf_index(
+        spark, allv, out_dir,
+        n_cells=n_cells or m["n_cells"],
+        sample=sample or m.get("sample", 4096),
+        iters=iters or m.get("iters", 10),
+        vec_col="e",
+    )
+
+
+# ----------------------------------------------- persisted sign index
+
+
+def build_sign_index_persisted(
+    spark,
+    embeddings: DataFrame,
+    out_dir: str,
+    n_tables: int = 4,
+    n_planes: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the multi-table sign-LSH index with a lifecycle manifest.
+    The hyperplanes are derived from ``seed`` — the quantizer is frozen
+    BY CONSTRUCTION, so appends and merges are exact (same signature for
+    the same vector, forever)."""
+    sig = build_sign_index(
+        embeddings, n_tables, n_planes, id_col, vec_col, seed
+    )
+    sig.write.mode("overwrite").parquet(f"{out_dir}/sign.parquet")
+    n = spark.read.parquet(f"{out_dir}/sign.parquet").select(
+        "vec_id"
+    ).distinct().count()
+    _write_ann_manifest(out_dir, {
+        "kind": "sign",
+        "n_tables": int(n_tables),
+        "n_planes": int(n_planes),
+        "seed": int(seed),
+        "num_vecs": int(n),
+        "append_batches": [],
+    })
+
+
+def _sign_dirs(index_dir: str) -> list[str]:
+    m = read_ann_manifest(index_dir)
+    return [f"{index_dir}/sign.parquet"] + [
+        f"{index_dir}/sign_b{b}.parquet" for b in m.get("append_batches", [])
+    ]
+
+
+def append_sign_index(
+    spark,
+    index_dir: str,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Append signatures for new vectors under the index's frozen
+    (seed-derived) hyperplanes — ledgered batch dirs, same crash
+    semantics as append_ivf.  The incremental index is ROW-identical to
+    a fresh build over the union (tested)."""
+    m = read_ann_manifest(index_dir)
+    if m.get("kind") != "sign":
+        raise ValueError(f"{index_dir} is not a sign-LSH index")
+    batch_id = 1 + max(m.get("append_batches", []), default=0)
+    bdir = f"{index_dir}/sign_b{batch_id}.parquet"
+    build_sign_index(
+        embeddings, m["n_tables"], m["n_planes"], id_col, vec_col, m["seed"]
+    ).write.mode("overwrite").parquet(bdir)
+    n = spark.read.parquet(bdir).select("vec_id").distinct().count()
+    m["append_batches"] = m.get("append_batches", []) + [batch_id]
+    m["num_vecs"] = int(m.get("num_vecs", 0) + n)
+    _write_ann_manifest(index_dir, m)
+    return batch_id
+
+
+def open_sign_index(spark, index_dir: str) -> DataFrame:
+    """The full signature table (base ∪ ledgered appends) — feed to
+    :func:`ann_bucketed_topk`."""
+    return spark.read.parquet(*_sign_dirs(index_dir))
+
+
+def merge_sign_indexes(
+    spark, source_dirs: list[str], out_dir: str
+) -> None:
+    """Merge sign indexes into one compact table.  Refuses mismatched
+    quantizer parameters (different planes/seed → the same vector hashes
+    differently and probes silently miss — the ANN analogue of the text
+    merge's mixed-flavor refusal)."""
+    ms = [read_ann_manifest(d) for d in source_dirs]
+    for d, m in zip(source_dirs, ms):
+        if m.get("kind") != "sign":
+            raise ValueError(f"{d} is not a sign-LSH index")
+        for key in ("n_tables", "n_planes", "seed"):
+            if m[key] != ms[0][key]:
+                raise ValueError(
+                    f"sign-index merge: {d} has {key}={m[key]} but "
+                    f"{source_dirs[0]} has {key}={ms[0][key]} — probes "
+                    "over the merged table would silently miss"
+                )
+    allsig = spark.read.parquet(
+        *[p for d in source_dirs for p in _sign_dirs(d)]
+    )
+    allsig.write.mode("overwrite").parquet(f"{out_dir}/sign.parquet")
+    n = spark.read.parquet(f"{out_dir}/sign.parquet").select(
+        "vec_id"
+    ).distinct().count()
+    _write_ann_manifest(out_dir, {
+        "kind": "sign",
+        "n_tables": ms[0]["n_tables"],
+        "n_planes": ms[0]["n_planes"],
+        "seed": ms[0]["seed"],
+        "num_vecs": int(n),
+        "append_batches": [],
+    })
