@@ -1405,7 +1405,7 @@ _EDGES_CTE = (
 
 _GRAPH_BFS_SQL = (
     f"WITH RECURSIVE {_EDGES_CTE} "
-    "SELECT src, dst, dist FROM dist"
+    "SELECT src, dst, CAST(dist AS BIGINT) AS dist FROM dist"
 )
 
 _HARMONIC_SQL = (
