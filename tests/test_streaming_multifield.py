@@ -172,3 +172,54 @@ def test_mf_append_retry_idempotent(streamed_mf, spark):
     with open(idx.paths.stats) as f:
         after = json.load(f)
     assert after == before
+
+
+def test_streamed_mf_with_attrs_equals_batch(spark):
+    """MF + attr terms + streaming: streamed batches must write the same
+    \x01 attr posting rows as the batch build, so site: filters and
+    goggle site clauses keep covering appended docs."""
+    from stractt_spark.sources.corpus import make_corpus
+
+    rows = make_corpus(200)
+    sites = ["a.com", "b.com"]
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, rows[i]["path"], rows[i]["content"], sites[i % 2])
+             for i in range(lo, hi)],
+            "doc_id long, path string, content string, site string",
+        )
+
+    inc = f"{BASE}/attr_inc"
+    shutil.rmtree(inc, ignore_errors=True)
+    build_index_fused_multifield(
+        spark, docs(0, 120), inc, FIELDS, docs_per_segment=48,
+        positions=True, attr_cols=["site"],
+    )
+    append_batch(spark, docs(120, 200), 0, inc, order_cols=("doc_id",))
+
+    full = f"{BASE}/attr_full"
+    shutil.rmtree(full, ignore_errors=True)
+    build_index_fused_multifield(
+        spark, docs(0, 200), full, FIELDS, docs_per_segment=48,
+        positions=True, attr_cols=["site"],
+    )
+    a = MultiFieldSegmentIndex(spark, inc)
+    b = MultiFieldSegmentIndex(spark, full)
+    # non-presorted appends assign SEGMENT-ALIGNED internal ids (batch
+    # base rounds up to a segment boundary), so internal ids past the
+    # append differ from the one-shot build by the gap — compare score
+    # multisets, like the plain streamed-MF test above
+    for q in ("hash join site:a.com", "merge sort -site:b.com"):
+        got = [s for _, s in a.search_list(q, k=10, mode="should")]
+        want = [s for _, s in b.search_list(q, k=10, mode="should")]
+        assert got == want, q
+    # appended docs must appear under the filter: batch base aligned to
+    # 144 (= ceil(120/48)·48), original id i ≥ 120 → internal 144+(i−120)
+    got_all = a.search_list("return site:b.com", k=200, mode="should")
+    assert any(d >= 144 for d, _ in got_all)
+    # b.com == odd original ids on BOTH sides of the append gap
+    assert all(
+        (d % 2 == 1) if d < 120 else ((d - 24) % 2 == 1)
+        for d, _ in got_all
+    )
