@@ -28,8 +28,17 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.tokenizer import analyzer_fingerprint
 from .segments import decode_term_blocks
+
+
+def _source_fp(stats: list[dict]) -> str | None:
+    """The tokenizer fingerprint the sources' postings were ACTUALLY
+    built under (checked equal across sources before any merge) — the
+    merged index must carry THIS stamp, not the current definition's:
+    a legacy-tokenized merge stamped as current would pass the open-time
+    check and then silently tokenize queries differently."""
+    fps = {st.get("analyzer_fp") for st in stats} - {None}
+    return next(iter(fps), None)
 
 
 def lpt_buckets(sizes: list[int], n_buckets: int) -> list[int]:
@@ -195,6 +204,13 @@ def merge_indexes(
     analyzer = stats[0]["analyzer"]
     if any(st["analyzer"] != analyzer for st in stats):
         raise ValueError("cannot merge indexes built with different analyzers")
+    fps = {st.get("analyzer_fp") for st in stats}
+    if len(fps - {None}) > 1:
+        raise ValueError(
+            "cannot merge indexes whose tokenizer definitions differ "
+            f"(analyzer {analyzer!r}, fingerprints {sorted(fps - {None})}) "
+            "— the same query would tokenize differently per source"
+        )
     # flavor dispatch: multi-field sources have per-field norm rows
     # ('\x02field\x1f…' terms + '\x00__mf__…' sentinels) that the
     # single-field decode would varint-decode as corrupt posting deltas,
@@ -299,7 +315,7 @@ def merge_indexes(
         # high-water mark for future appends: the full remapped id span
         "next_doc_id": acc,
         "analyzer": analyzer,
-        "analyzer_fp": analyzer_fingerprint(analyzer),
+        "analyzer_fp": _source_fp(stats),
         "docs_per_segment": dps,
         "positions": positions,
         "merged_from": [
@@ -881,7 +897,7 @@ def _merge_multifield(
     merged = {
         "num_docs": num_docs,
         "analyzer": analyzer,
-        "analyzer_fp": analyzer_fingerprint(analyzer),
+        "analyzer_fp": _source_fp(stats),
         "docs_per_segment": dps,
         "layout": "fused",
         "positions": positions,
@@ -1070,7 +1086,7 @@ def _merge_presorted(
         "avgdl": total_tokens / num_docs if num_docs else 0.0,
         "next_doc_id": num_docs,
         "analyzer": analyzer,
-        "analyzer_fp": analyzer_fingerprint(analyzer),
+        "analyzer_fp": _source_fp(stats),
         "docs_per_segment": dps,
         "layout": "fused",
         "positions": positions,

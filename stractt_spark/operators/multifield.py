@@ -1012,6 +1012,117 @@ class MultiFieldSegmentIndex:
             _score_coeff=coeff, _extra_neg=neg_site,
         )
 
+    def search_proximity(
+        self, query: str, k: int = 10, mode: str = "must",
+        overfetch: int = 4, field: str | None = None,
+    ):
+        """Two-phase retrieval on the multi-field index: per-field
+        boosted WAND top-(k×overfetch), then the proximity ladder
+        rescored over ``field``'s stored positions (default the
+        content-like field — the reference's proximity phrases run over
+        body text, query/mod.rs:45-93).  The rung bonus uses the FIELD's
+        df/dl/avgdl and boost, the same per-field association as MF
+        phrase scoring.  Requires positions=True."""
+        import numpy as np
+
+        from ..functions.bm25 import idf as idf_fn
+        from .wand import (
+            PROXIMITY_LADDER,
+            _ladder_freqs,
+            _tf_comp,
+        )
+
+        if not self.stats.get("positions"):
+            raise ValueError(
+                "proximity needs an index built with positions=True"
+            )
+        f_ = field or (
+            "content" if "content" in self.fields else sorted(self.fields)[0]
+        )
+        if f_ not in self.fields:
+            raise ValueError(
+                f"field {f_!r} is not an index field ({sorted(self.fields)})"
+            )
+        pq = parse_query(query, self.analyzer)
+        terms = pq.uniq_terms
+        base_rows = [
+            (r["doc_id"], r["score"])
+            for r in self.search(query, k * overfetch, mode).collect()
+        ]
+        if len(terms) < 2 or not base_rows:
+            return sorted(base_rows, key=lambda r: (-r[1], r[0]))[:k]
+        phys = [mf_term(f_, t) for t in terms]
+        dfs = self.term_df(phys)
+        num_docs = self.stats["num_docs"]
+        w_phrase = self.boosts[f_] * sum(
+            idf_fn(dfs.get(p, 0), num_docs) for p in phys
+        ) * (K1 + 1.0)
+        avgdl_f = float(self.avgdl[f_])
+        dps = self.stats["docs_per_segment"]
+        by_seg: dict[int, list[int]] = {}
+        for d, _ in base_rows:
+            by_seg.setdefault(d // dps, []).append(d)
+        seg_ids = sorted(by_seg)
+        slops = [s for _, s in PROXIMITY_LADDER]
+        boosts_l = [b for b, _ in PROXIMITY_LADDER]
+        sentinel_f = MF_NORMS_PREFIX + f_
+
+        seg_filtered = self.segments.filter(
+            F.col("term").isin(phys) & F.col("segment_id").isin(seg_ids)
+        ).select(
+            "segment_id", "term", "block_id", "first_doc_id",
+            "last_doc_id", "num_docs", "id_bytes", "tf_bytes", "pos_bytes",
+            "max_tf", "min_norm_id",
+        )
+        norms_f = self.norms.filter(F.col("segment_id").isin(seg_ids))
+
+        def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
+            from ..functions.fieldnorm import FIELD_NORMS_TABLE
+
+            empty = pd.DataFrame(
+                {"segment_id": pd.Series([], dtype="int32"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+            if len(blocks_pdf) == 0 or len(norms_pdf) == 0:
+                return empty
+            seg = int(blocks_pdf["segment_id"].iloc[0])
+            cand = np.array(sorted(by_seg.get(seg, [])), dtype=np.int64)
+            srow = norms_pdf[norms_pdf["sentinel"] == sentinel_f]
+            if cand.size == 0 or not len(srow):
+                return empty
+            base = int(srow["base_doc_id"].iloc[0])
+            narr = np.frombuffer(
+                bytes(srow["norm_bytes"].iloc[0]), dtype=np.uint8
+            )
+            dls = FIELD_NORMS_TABLE.astype(np.float64)[narr[(cand - base)]]
+            by_term = {t: g for t, g in blocks_pdf.groupby("term")}
+            freqs = _ladder_freqs(by_term, phys, cand, slops)
+            bonus = np.zeros(cand.size, dtype=np.float64)
+            for si, b in enumerate(boosts_l):
+                bonus += b * w_phrase * _tf_comp(
+                    freqs[:, si].astype(np.float64), dls, avgdl_f
+                )
+            return pd.DataFrame(
+                {"segment_id": pd.Series(
+                    np.full(cand.size, seg), dtype="int32"),
+                 "doc_id": pd.Series(cand, dtype="int64"),
+                 "score": pd.Series(bonus, dtype="float64")}
+            )
+
+        bonus_rows = (
+            seg_filtered.groupBy("segment_id")
+            .cogroup(norms_f.groupBy("segment_id"))
+            .applyInPandas(
+                run, "segment_id int, doc_id long, score double"
+            )
+            .collect()
+        )
+        bonus = {r["doc_id"]: r["score"] for r in bonus_rows}
+        rescored = [(d, s + bonus.get(d, 0.0)) for d, s in base_rows]
+        rescored.sort(key=lambda r: (-r[1], r[0]))
+        return rescored[:k]
+
     def search_diverse(
         self,
         query: str,

@@ -110,6 +110,12 @@ def append_batch(
     # build options come from the index itself
     text_col = stats.get("text_col", "content")
     analyzer = stats["analyzer"]
+    # a batch tokenized under a CHANGED definition of the same analyzer
+    # would silently mix incompatible postings into the index — same
+    # guard as SegmentIndex open
+    from ..plans.build import _check_analyzer_fp
+
+    _check_analyzer_fp(stats)
     positions = bool(stats.get("positions"))
     attr_cols = stats.get("attr_cols") or None
     dps = stats["docs_per_segment"]

@@ -230,3 +230,47 @@ def test_decode_exact_dls_legacy_fallback(spark):
     )
     with pytest.raises(Exception, match="rebuild the index"):
         decode_exact_dls(bad).collect()
+
+
+def test_append_and_merge_check_analyzer_fp(spark, corpus):
+    """Streaming appends and merges must refuse tokenizer-version
+    mismatches too — an append under a changed definition would silently
+    mix incompatible postings; a merge of differently-tokenized sources
+    would serve one query against two vocabularies."""
+    from stractt_spark.operators.merge import merge_indexes
+    from stractt_spark.streaming.ingest import append_batch
+
+    docs = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(corpus[:100])],
+        "doc_id long, content string",
+    )
+    a = f"{BASE}/fp_a"
+    b = f"{BASE}/fp_b"
+    for d in (a, b):
+        build_index_fused(spark, docs, d, text_col="content",
+                          docs_per_segment=64)
+    # stale fp on a → append refuses
+    with open(f"{a}/stats.json") as f:
+        st = json.load(f)
+    st["analyzer_fp"] = "f" * 16
+    with open(f"{a}/stats.json", "w") as f:
+        json.dump(st, f)
+    with pytest.raises(ValueError, match="tokenizer behavior changed"):
+        append_batch(spark, docs.limit(5), 0, a, order_cols=("doc_id",))
+    # fp mismatch between sources → merge refuses
+    with pytest.raises(ValueError, match="tokenizer definitions differ"):
+        merge_indexes(spark, [a, b], f"{BASE}/fp_merged")
+    # matching legacy sources (no stamp) merge fine and the merged index
+    # carries NO stamp (we cannot know which definition built them)
+    del st["analyzer_fp"]
+    with open(f"{a}/stats.json", "w") as f:
+        json.dump(st, f)
+    with open(f"{b}/stats.json") as f:
+        stb = json.load(f)
+    del stb["analyzer_fp"]
+    with open(f"{b}/stats.json", "w") as f:
+        json.dump(stb, f)
+    out = f"{BASE}/fp_merged_legacy"
+    merge_indexes(spark, [a, b], out)
+    with open(f"{out}/stats.json") as f:
+        assert json.load(f)["analyzer_fp"] is None

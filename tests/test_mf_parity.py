@@ -357,3 +357,85 @@ def test_mf_attr_delete_compact_byte_identical(spark, mf):
     idx2 = MultiFieldSegmentIndex(spark, out)
     got = idx2.search_list("hash join site:a.com", k=5, mode="should")
     assert got  # non-empty
+
+
+# ---------------------------------------------------------- proximity
+
+
+def test_mf_proximity_matches_brute_force(spark, mf):
+    """MF two-phase proximity: base per-field BM25 + ladder bonuses over
+    the content field's positions, verified against a pure-Python
+    recomputation (oracle base + sloppy_chain_count + quantized dl)."""
+    from stractt_spark.functions.bm25 import K1
+    from stractt_spark.functions.bm25 import idf as idf_fn
+    from stractt_spark.functions.bm25 import tf_component
+    from stractt_spark.functions.fieldnorm import (
+        FIELD_NORMS_TABLE,
+        fieldnorm_to_id,
+    )
+    from stractt_spark.functions.tokenizer import get_analyzer
+    from stractt_spark.operators.wand import (
+        PROXIMITY_LADDER,
+        sloppy_chain_count,
+    )
+
+    idx, oracle, data = mf
+    terms = ["hash", "join"]
+    got = idx.search_proximity("hash join", k=10, mode="should",
+                               overfetch=4)
+
+    tok = get_analyzer("ascii")
+    base = oracle.search("hash join", k=40, mode="should")
+    # per-field df of the physical content terms + content avgdl
+    content_idx = oracle.fields["content"]
+    w_phrase = idx.boosts["content"] * sum(
+        idf_fn(len(content_idx.postings.get(t, {})), oracle.num_docs)
+        for t in terms
+    ) * (K1 + 1.0)
+    avgdl_c = idx.avgdl["content"]
+    text_of = {i: c for i, _p, c, _s in data}
+    rescored = []
+    for d, s in base:
+        toks = tok(text_of[d])
+        pos = {}
+        for j, t in enumerate(toks):
+            if t in set(terms):
+                pos.setdefault(t, []).append(j)
+        bonus = 0.0
+        if all(t in pos for t in terms):
+            arrs = [np.asarray(pos[t]) for t in terms]
+            dl_q = float(
+                FIELD_NORMS_TABLE[fieldnorm_to_id(
+                    np.array([len(toks)]))[0]]
+            )
+            for b, slop in PROXIMITY_LADDER:
+                f = sloppy_chain_count(arrs, slop)
+                if f:
+                    bonus += b * w_phrase * float(
+                        tf_component(f, dl_q, avgdl_c)
+                    )
+        rescored.append((d, s + bonus))
+    rescored.sort(key=lambda r: (-r[1], r[0]))
+    want = rescored[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert math.isclose(s1, s2, rel_tol=1e-9)
+
+
+def test_mf_proximity_requires_positions(spark, mf):
+    from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
+        build_index_fused_multifield,
+    )
+
+    _, _, data = mf
+    docs = spark.createDataFrame(
+        data, "doc_id long, path string, content string, site string"
+    )
+    d = f"{BASE}/nopos"
+    build_index_fused_multifield(
+        spark, docs, d, {"path": "path", "content": "content"},
+        docs_per_segment=16, field_boosts=BOOSTS,
+    )
+    with pytest.raises(ValueError, match="positions"):
+        MultiFieldSegmentIndex(spark, d).search_proximity("hash join")
