@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--presorted", action="store_true")
+    ap.add_argument("--multifield", action="store_true",
+                    help="also build the 1.2M multi-field index (path + "
+                         "content namespaces) and measure MF search / "
+                         "count / batch latencies — the reference's "
+                         "default query shape at scale")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -148,6 +153,57 @@ def main() -> None:
                         max_docs_per_segment=1024).collect()
             times.append(time.time() - t0)
         out["queries"]["q_pre_or_quota"] = round(min(times), 3)
+
+    if args.multifield:
+        from stractt_spark.operators.multifield import (
+            MultiFieldSegmentIndex,
+            build_index_fused_multifield,
+        )
+        from stractt_spark.sources.corpus import corpus_spark_df
+
+        mdir = args.index.rstrip("/") + "_mf"
+        if not os.path.isfile(os.path.join(mdir, "stats.json")):
+            n = idx.stats["num_docs"]
+            corpus = corpus_spark_df(spark, n, partitions=64)
+            t0 = time.time()
+            build_index_fused_multifield(
+                spark, corpus, mdir, {"path": "path", "content": "content"},
+                analyzer=idx.stats["analyzer"],
+                docs_per_segment=idx.stats["docs_per_segment"],
+            )
+            out["mf_build_sec"] = round(time.time() - t0, 3)
+        midx = MultiFieldSegmentIndex(spark, mdir).cache()
+        mf_queries = {
+            "qmf_and": ("merge sort", "must"),
+            "qmf_or": ("hash join", "should"),
+            "qmf_common": ("return", "should"),
+        }
+        for name, (q, mode) in mf_queries.items():
+            times = []
+            for _ in range(args.trials):
+                t0 = time.time()
+                midx.search(q, k=10, mode=mode).collect()
+                times.append(time.time() - t0)
+            out["queries"][name] = round(min(times), 3)
+        times = []
+        for _ in range(args.trials):
+            t0 = time.time()
+            midx.search_with_count("merge sort", k=10, mode="must")
+            times.append(time.time() - t0)
+        out["queries"]["qmf_count"] = round(min(times), 3)
+        mbatch = [(n_, q, m) for n_, (q, m) in mf_queries.items()]
+        seq_times, bat_times = [], []
+        for _ in range(max(args.trials - 1, 1)):
+            t0 = time.time()
+            for _, q, m in mbatch:
+                midx.search(q, k=10, mode=m).collect()
+            seq_times.append(time.time() - t0)
+            t0 = time.time()
+            midx.search_batch(mbatch, k=10).collect()
+            bat_times.append(time.time() - t0)
+        out["mf_batch_sequential_sec"] = round(min(seq_times), 3)
+        out["mf_batch_one_pass_sec"] = round(min(bat_times), 3)
+        out["mf_batch_speedup"] = round(min(seq_times) / min(bat_times), 2)
 
     spark.stop()
     print(json.dumps(out))

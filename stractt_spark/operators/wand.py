@@ -1267,7 +1267,17 @@ def fold_count_topk(per_seg: DataFrame, k: int) -> tuple[list[tuple[int, float]]
     asc), the engine-wide tie contract.  collect_list is bounded at
     segments×k structs of 16 bytes — the same data volume the driver
     previously received, now folded on an executor."""
-    row = per_seg.agg(
+    row = count_topk_agg(per_seg, k).collect()[0]
+    total = int(row["_total"] or 0)
+    top = [(int(x["d"]), -float(x["ns"])) for x in row["_top"]]
+    return top, total
+
+
+def count_topk_agg(per_seg: DataFrame, k: int) -> DataFrame:
+    """The ONE-ROW aggregate plan behind :func:`fold_count_topk` —
+    exposed so tests can pin the plan shape (single aggregate, no
+    per-segment rows reaching the driver)."""
+    return per_seg.agg(
         F.sum(
             F.when(F.col("doc_id") == -1, F.col("score"))
         ).alias("_total"),
@@ -1285,10 +1295,7 @@ def fold_count_topk(per_seg: DataFrame, k: int) -> tuple[list[tuple[int, float]]
             ),
             1, k,
         ).alias("_top"),
-    ).collect()[0]
-    total = int(row["_total"] or 0)
-    top = [(int(x["d"]), -float(x["ns"])) for x in row["_top"]]
-    return top, total
+    )
 
 
 def proximity_rescore(

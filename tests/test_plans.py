@@ -115,3 +115,43 @@ def test_ann_probe_predicate_pushed_to_signature_scan(spark, tmp_path):
     assert "bucket" in plan and "table_id" in plan
     # column pruning: the scan reads only the three index columns
     assert "ReadSchema" in plan
+
+
+def test_count_fold_is_one_aggregate_row(spark, idx):
+    """VERDICT r3 #9: the count-alongside-top-k fold happens SPARK-SIDE —
+    the driver receives exactly ONE row (k structs + 1 scalar) from a
+    single aggregate over the per-segment kernel output, regardless of
+    segment count; the aggregate plan reads the index exactly twice
+    (segments + norms sides of the one cogroup)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stractt_spark.functions.query_parse import parse_query
+    from stractt_spark.operators.wand import count_topk_agg
+
+    # the real API end-to-end first
+    top, total = idx.search_with_count("merge sort", k=10, mode="must")
+    assert len(top) <= 10 and total >= len(top)
+
+    # and pin the fold's plan: one aggregate over the cogroup, 2 scans,
+    # ONE driver row
+    pq = parse_query("merge sort", idx.analyzer)
+    seg = idx.segments.filter(F.col("term").isin(pq.all_match_terms))
+    per_seg = seg.groupBy("segment_id").cogroup(
+        idx.norms.groupBy("segment_id")
+    ).applyInPandas(
+        lambda key, a, b: pd.DataFrame(
+            {"segment_id": [int(key[0])], "doc_id": [-1], "score": [1.0]}
+        ),
+        "segment_id int, doc_id long, score double",
+    )
+    agg = count_topk_agg(per_seg, 10)
+    # plan BEFORE execution (post-execution AQE output repeats the plan
+    # in Final+Initial sections, double-counting the scans)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 2, plan[:1500]
+    assert "Aggregate" in plan
+    rows = agg.collect()
+    assert len(rows) == 1  # the driver-side contract
