@@ -1325,9 +1325,32 @@ def _mf_segment_topk(
                 decoded[p] = (ids.astype(np.int64), tfs.astype(np.int64))
         return decoded[p]
 
+    # dense-union fallback gate (the single-field kernel's shape test):
+    # when EVERY present physical term is above the cheap limit and the
+    # posting mass covers the segment, flat-bm25 block-max has nothing
+    # to skip and its candidate-chunk scoring costs ~10× the exact
+    # per-candidate fold — take the exact branch below, which decodes
+    # each block exactly once via blk_cache.  Presorted (pre is not
+    # None) keeps the pruned path: the pre spread gives real skew.
+    _present = [p for p in weights if p in by_term]
+    _seg_n = max(
+        (arr.size for arr in norms_by_field.values()), default=0
+    )
+    dense_shape = (
+        pre is None
+        and len(_present) >= 2
+        and _seg_n > 0
+        and all(
+            int(by_term[p]["num_docs"].sum()) > max(2 * k, _seg_n // 16)
+            for p in _present
+        )
+        and sum(int(by_term[p]["num_docs"].sum()) for p in _present)
+        >= (_seg_n * 3) // 5
+    )
     if (mode != "must" and not phrases and not neg_phys
             and max_docs is None and not filter_phys and not const_clauses
-            and score_coeff is None and not with_count):
+            and score_coeff is None and not with_count
+            and not dense_shape):
         # pruned multi-field OR: physical terms are independent additive
         # scoring units (per-field dl/avgdl), so the single-field
         # block-max union applies directly — with the fold order pinned
@@ -1345,8 +1368,8 @@ def _mf_segment_topk(
         present_phys = [p for p in weights if p in by_term]
         if not present_phys:
             return empty
+        seg_n = _seg_n
         order_ = sorted(present_phys, key=lambda p: (tok(p), fld(p)))
-        seg_n = max(arr.size for arr in norms_by_field.values())
 
         def dl_of_term(p: str, ids: np.ndarray) -> np.ndarray:
             return dl_table[norms_by_field[fld(p)][(ids - base)]]

@@ -439,3 +439,32 @@ def test_mf_proximity_requires_positions(spark, mf):
     )
     with pytest.raises(ValueError, match="positions"):
         MultiFieldSegmentIndex(spark, d).search_proximity("hash join")
+
+
+def test_mf_dense_union_fallback_bit_identical(spark):
+    """The dense-shape gate (every physical term expensive + posting
+    mass covering the segment) must route coverage-heavy MF ORs to the
+    exact branch with BIT-identical results — same contract as the
+    single-field TAAT fallback."""
+    # every doc contains both tokens in both fields → maximal coverage
+    rows = [
+        (i, f"alpha beta p{i}", f"alpha beta beta x{i} y{i % 7}")
+        for i in range(64)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, path string, content string"
+    )
+    d = f"{BASE}/dense"
+    build_index_fused_multifield(
+        spark, docs, d, {"path": "path", "content": "content"},
+        docs_per_segment=32, positions=True, field_boosts=BOOSTS,
+    )
+    idx = MultiFieldSegmentIndex(spark, d)
+    got = idx.search_list("alpha beta", k=10, mode="should")
+    oracle = MultiFieldOracle(field_boosts=BOOSTS)
+    for i, p, c in rows:
+        oracle.add(i, {"path": p, "content": c})
+    want = oracle.search("alpha beta", k=10, mode="should")
+    assert [d_ for d_, _ in got] == [d_ for d_, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == s2  # bit-identical, not just close
