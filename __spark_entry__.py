@@ -591,6 +591,32 @@ def _q_bm25_mf_presorted_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spell_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-result query → spell-corrected retry (the reference surfaces
+    the corrected query alongside the results, src/spell + local.rs:129):
+    "mergee sort" has no postings for "mergee", the term-dictionary
+    Levenshtein correction (log-df edit budget) yields "merge sort",
+    and the rows are that query's ordinary top-10.  The oracle runs the
+    corrected query's full-scan BM25 and pins the corrected string as a
+    literal — if the engine corrected to anything else, rows AND the
+    corrected column mismatch."""
+    idx = _wand_index(spark, sf_dir)
+    rows, corrected = idx.search_corrected("mergee sort", k=10, mode="must")
+    return spark.createDataFrame(
+        [(int(d), round(s, 4), corrected) for d, s in rows],
+        "doc_id long, score double, corrected string",
+    )
+
+
+def _spell_corrected_sql() -> str:
+    base = _bm25_sql(["merge", "sort"], "must")
+    return base.replace(
+        "SELECT doc_id, round(sum(ts), 4) AS score ",
+        "SELECT doc_id, round(sum(ts), 4) AS score, "
+        "'merge sort' AS corrected ",
+    )
+
+
 def _q_bm25_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over a Stemmed-analyzer index: the inflected query ("merges
     sorting") matches base-form docs via Porter stemming both directions
@@ -1916,6 +1942,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_ladder": _q_proximity,
         "goggles_rerank": _q_goggles_rerank,
         "autosuggest_prefix": _q_autosuggest,
+        "spell_corrected": _q_spell_corrected,
         # dedup family
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -2253,6 +2280,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, centrality "
             "FROM '/tmp/stractt_expected_hyperball.parquet'"
         ),
+        "spell_corrected": _spell_corrected_sql(),
         "autosuggest_prefix": (
             f"WITH {_TOKS_CTE} "
             "SELECT DISTINCT term FROM toks WHERE term LIKE 's%' "
