@@ -526,6 +526,7 @@ def ann_ivf_topk(
     cells = _read_ivf_cells(spark, index_dir).filter(
         F.col("cell").isin([int(c) for c in probes])
     )
+    cells = mask_deleted(spark, index_dir, cells)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.col("e")
     df = cells.select(
@@ -731,7 +732,12 @@ def retrain_ivf(
     append/retrain policy.  Same deterministic training recipe as
     build_ivf_index, so retrain(X) == build(X) bit-for-bit."""
     m = read_ann_manifest(index_dir)
-    allv = _read_ivf_cells(spark, index_dir).select("vec_id", "e")
+    # tombstoned vectors leave physically here (mask-now/reclaim-at-
+    # rebuild, like the text index's compaction)
+    allv = mask_deleted(
+        spark, index_dir,
+        _read_ivf_cells(spark, index_dir).select("vec_id", "e"),
+    )
     build_ivf_index(
         spark, allv, out_dir,
         n_cells=n_cells or m["n_cells"],
@@ -809,9 +815,11 @@ def append_sign_index(
 
 
 def open_sign_index(spark, index_dir: str) -> DataFrame:
-    """The full signature table (base ∪ ledgered appends) — feed to
-    :func:`ann_bucketed_topk`."""
-    return spark.read.parquet(*_sign_dirs(index_dir))
+    """The full signature table (base ∪ ledgered appends, tombstoned
+    vectors masked) — feed to :func:`ann_bucketed_topk`."""
+    return mask_deleted(
+        spark, index_dir, spark.read.parquet(*_sign_dirs(index_dir))
+    )
 
 
 def merge_sign_indexes(
@@ -832,9 +840,10 @@ def merge_sign_indexes(
                     f"{source_dirs[0]} has {key}={ms[0][key]} — probes "
                     "over the merged table would silently miss"
                 )
-    allsig = spark.read.parquet(
-        *[p for d in source_dirs for p in _sign_dirs(d)]
-    )
+    allsig = None
+    for d in source_dirs:
+        x = mask_deleted(spark, d, spark.read.parquet(*_sign_dirs(d)))
+        allsig = x if allsig is None else allsig.unionByName(x)
     allsig.write.mode("overwrite").parquet(f"{out_dir}/sign.parquet")
     n = spark.read.parquet(f"{out_dir}/sign.parquet").select(
         "vec_id"
@@ -847,3 +856,62 @@ def merge_sign_indexes(
         "num_vecs": int(n),
         "append_batches": [],
     })
+
+
+# ------------------------------------------------------- vector deletes
+
+
+def _tombstone_path(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, "tombstones.parquet")
+
+
+def delete_vectors(spark, index_dir: str, vec_ids) -> int:
+    """Tombstone vectors in an IVF or sign index — the same
+    mask-now/reclaim-at-rebuild discipline as the text index's deletes:
+    a (vec_id) parquet append that queries anti-join BEFORE the top-k
+    cut; the rows leave physically at the next retrain/merge.  Returns
+    the number of NEW tombstones (already-deleted and unknown ids are
+    skipped)."""
+    from pyspark.sql import functions as F
+
+    m = read_ann_manifest(index_dir)
+    ids = sorted({int(i) for i in vec_ids})
+    if not ids:
+        return 0
+    if m.get("kind") == "ivf":
+        live = _read_ivf_cells(spark, index_dir).select("vec_id")
+    else:
+        live = spark.read.parquet(*_sign_dirs(index_dir)).select(
+            "vec_id"
+        ).distinct()
+    cand = spark.createDataFrame(
+        [(i,) for i in ids], "vec_id long"
+    ).join(live, "vec_id", "left_semi")
+    import os
+
+    tp = _tombstone_path(index_dir)
+    if os.path.isdir(tp):
+        cand = cand.join(
+            spark.read.parquet(tp), "vec_id", "left_anti"
+        )
+    n = cand.count()
+    if n == 0:
+        return 0
+    cand.write.mode("append").parquet(tp)
+    m["deleted_vecs"] = int(m.get("deleted_vecs", 0) + n)
+    _write_ann_manifest(index_dir, m)
+    return int(n)
+
+
+def mask_deleted(spark, index_dir: str, df: DataFrame) -> DataFrame:
+    """Anti-join a result/candidate frame against the index's tombstones
+    (no-op when none exist).  A plain anti join, NOT a forced broadcast —
+    the deleted set is unbounded over an index's lifetime."""
+    import os
+
+    tp = _tombstone_path(index_dir)
+    if not os.path.isdir(tp):
+        return df
+    return df.join(spark.read.parquet(tp), "vec_id", "left_anti")

@@ -206,3 +206,59 @@ def test_sign_merge_and_flavor_guard(spark, vecs):
     )
     with pytest.raises(ValueError, match="seed"):
         merge_sign_indexes(spark, [a, c], f"{BASE}/sign_bad")
+
+
+# ------------------------------------------------------ vector deletes
+
+
+def test_ivf_delete_masks_and_retrain_reclaims(spark, vecs):
+    from stractt_spark.operators.similarity import (
+        _read_ivf_cells,
+        delete_vectors,
+        mask_deleted,
+    )
+
+    rows, df = vecs
+    d = f"{BASE}/ivf_del"
+    build_ivf_index(spark, df, d, n_cells=8)
+    # the true nearest neighbor of vec 7's query is itself — delete it
+    q = rows[7][1]
+    top0 = ann_ivf_topk(spark, d, q, k=3, nprobe=8).collect()
+    assert top0[0]["vec_id"] == 7
+    # unknown + duplicate ids are skipped
+    assert delete_vectors(spark, d, [7, 7, 999999]) == 1
+    assert delete_vectors(spark, d, [7]) == 0
+    top1 = ann_ivf_topk(spark, d, q, k=3, nprobe=8).collect()
+    assert all(r["vec_id"] != 7 for r in top1)
+    # the runner-up moved up and is still exact
+    want = [(r["vec_id"], r["cos"]) for r in cosine_topk(
+        df.filter(F.col("vec_id") != 7), q, k=3).collect()]
+    assert [(r["vec_id"], r["cos"]) for r in top1] == want
+    # retrain reclaims: rebuilt index physically drops the vector
+    out = f"{BASE}/ivf_del_retrained"
+    retrain_ivf(spark, d, out)
+    assert _read_ivf_cells(spark, out).filter(
+        F.col("vec_id") == 7).count() == 0
+    assert read_ann_manifest(d)["deleted_vecs"] == 1
+
+
+def test_sign_delete_masks_and_merge_reclaims(spark, vecs):
+    from stractt_spark.operators.similarity import delete_vectors
+
+    rows, df = vecs
+    d = f"{BASE}/sign_del"
+    build_sign_index_persisted(spark, df, d)
+    assert delete_vectors(spark, d, [42]) == 1
+    sig = open_sign_index(spark, d)
+    assert sig.filter(F.col("vec_id") == 42).count() == 0
+    # probing can no longer return the deleted vector (wider radius so
+    # OTHER vectors' buckets are probed — i.i.d. vectors rarely share
+    # the exact bucket)
+    got = ann_bucketed_topk(df, sig, rows[42][1], k=5, radius=2).collect()
+    assert got and all(r["vec_id"] != 42 for r in got)
+    # a single-source merge compacts the tombstone away
+    out = f"{BASE}/sign_del_merged"
+    merge_sign_indexes(spark, [d], out)
+    assert not __import__("os").path.isdir(f"{out}/tombstones.parquet")
+    assert spark.read.parquet(f"{out}/sign.parquet").filter(
+        F.col("vec_id") == 42).count() == 0
