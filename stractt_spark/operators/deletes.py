@@ -38,8 +38,14 @@ def delete_docs(
     presorted index, internal ids otherwise).  Returns the number of NEW
     tombstones written (ids already deleted or unknown are skipped).
 
-    Deletes compose with streaming appends (ids past the build
-    high-water mark resolve through the batch docmaps) and with
+    CONTRACT: only LIVE doc slots (≥1 indexed token) are tombstoned —
+    gap slots inside the id span and zero-token docs are skipped (they
+    are indistinguishable in the index layout, match no query, and a
+    phantom tombstone would corrupt compaction's num_docs/avgdl
+    accounting); purge zero-token docs by filtering the source at the
+    next rebuild instead.  Deletes compose with streaming appends (ids
+    past the build high-water mark resolve through the batch docmaps)
+    and with
     multi-field indexes (the per-field sentinels' exact dl tails let
     compaction recompute exact per-field stats).  A quota query on a
     tombstoned index raises until compaction — truncated posting lists
@@ -76,8 +82,11 @@ def delete_docs(
         dm = spark.read.parquet(
             *[d for d in dm_dirs if os.path.isdir(d)]
         )
+        req = spark.createDataFrame(
+            [(i,) for i in ids], "orig_id long"
+        )
         rows = (
-            dm.filter(F.col("orig_id").isin(ids))
+            dm.join(req, "orig_id", "left_semi")
             .select("doc_id").collect()
         )
         internal = sorted(int(r["doc_id"]) for r in rows)
@@ -110,9 +119,12 @@ def delete_docs(
 
                 _, nrm = split_unified(unified)
                 dls = decode_exact_dls(nrm)
+            req = spark.createDataFrame(
+                [(i,) for i in cand], "doc_id long"
+            )
             live_rows = (
                 dls.filter(F.col("dl") > 0)
-                .filter(F.col("doc_id").isin(cand))
+                .join(req, "doc_id", "left_semi")
                 .select("doc_id").collect()
             )
             internal = sorted(int(r["doc_id"]) for r in live_rows)

@@ -225,31 +225,64 @@ def hyperball_harmonic(
         )
         merged = state.withColumn("own", F.lit(True)).unionByName(contrib)
 
-        def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            own = pdf[pdf["own"]]
-            base = np.frombuffer(bytes(own["regs"].iloc[0]), dtype=np.uint8)
-            est0 = float(own["est"].iloc[0])
-            hsum = float(own["hsum"].iloc[0])
-            regs = np.maximum.reduce([
-                np.frombuffer(bytes(b), dtype=np.uint8) for b in pdf["regs"]
+        def fold(pdfs, _t=t):
+            # hash-partitioned by node; fold the WHOLE partition with
+            # numpy (reduceat over code-sorted register rows) instead of
+            # one applyInPandas group — and one vectorized estimator
+            # pass — per node (the per-node pandas-frame overhead
+            # dominated on large V)
+            frames = list(pdfs)
+            if not frames:
+                return
+            pdf = pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                return
+            codes, _uniq = pd.factorize(pdf["node"], sort=True)
+            order = np.argsort(codes, kind="stable")
+            M = np.stack([
+                np.frombuffer(bytes(b), dtype=np.uint8)
+                for b in pdf["regs"].iloc[order]
             ])
-            changed = bool((regs != base).any())
-            if changed:
-                est1 = _hb_estimate(regs)
-                # registers are monotone; clamp the estimator's branch-
-                # boundary jitter so the harmonic sum never decreases
-                hsum = hsum + max(0.0, est1 - est0) / float(t)
-                est0 = max(est0, est1)
-            return pd.DataFrame({
-                "node": pd.Series([int(key[0])], dtype="int64"),
-                "regs": pd.Series([regs.tobytes()], dtype="object"),
-                "est": pd.Series([est0], dtype="float64"),
-                "hsum": pd.Series([hsum], dtype="float64"),
-                "changed": pd.Series([changed], dtype="bool"),
+            starts = np.flatnonzero(
+                np.r_[True, np.diff(codes[order]) != 0]
+            )
+            regs_max = np.maximum.reduceat(M, starts, axis=0)
+            own_mask = pdf["own"].to_numpy()[order]
+            # exactly one own row per node: scatter its est/hsum/regs
+            own_rows = np.flatnonzero(own_mask)
+            grp_of_own = np.searchsorted(starts, own_rows, side="right") - 1
+            n_grp = starts.size
+            est0 = np.zeros(n_grp)
+            hsum = np.zeros(n_grp)
+            base_rows = np.zeros(n_grp, dtype=np.int64)
+            est0[grp_of_own] = pdf["est"].to_numpy()[order][own_rows]
+            hsum[grp_of_own] = pdf["hsum"].to_numpy()[order][own_rows]
+            base_rows[grp_of_own] = own_rows
+            changed = (regs_max != M[base_rows]).any(axis=1)
+            m_ = M.shape[1]
+            alpha = 0.7213 / (1.0 + 1.079 / m_)
+            pw = np.power(2.0, -regs_max.astype(np.float64)).sum(axis=1)
+            est1 = alpha * m_ * m_ / pw
+            v = (regs_max == 0).sum(axis=1)
+            small = (est1 <= 2.5 * m_) & (v > 0)
+            est1[small] = m_ * np.log(m_ / v[small])
+            # registers are monotone; clamp the estimator's branch-
+            # boundary jitter so the harmonic sum never decreases
+            inc = np.where(changed, np.maximum(est1 - est0, 0.0), 0.0)
+            hsum = hsum + inc / float(_t)
+            est = np.where(changed, np.maximum(est0, est1), est0)
+            nodes_sorted = pdf["node"].to_numpy()[order][starts]
+            yield pd.DataFrame({
+                "node": pd.Series(nodes_sorted, dtype="int64"),
+                "regs": pd.Series(
+                    [r.tobytes() for r in regs_max], dtype="object"),
+                "est": pd.Series(est, dtype="float64"),
+                "hsum": pd.Series(hsum, dtype="float64"),
+                "changed": pd.Series(changed, dtype="bool"),
             })
 
-        new_state = merged.groupBy("node").applyInPandas(
-            merge,
+        new_state = merged.repartition("node").mapInPandas(
+            fold,
             "node long, regs binary, est double, hsum double, changed boolean",
         )
         if t % checkpoint_every == 0:
@@ -259,10 +292,17 @@ def hyperball_harmonic(
         n_changed = new_state.agg(
             F.sum(F.col("changed").cast("long")).alias("c")
         ).collect()[0]["c"]
-        state = new_state.drop("changed")
+        prev, state = state, new_state.drop("changed")
+        # release the superseded iteration's storage (cache/checkpoint
+        # blocks otherwise accumulate one copy per hop)
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
         if not n_changed:
             break
 
+    e.unpersist()
     return state.select(
         "node",
         F.round(F.col("hsum") / F.lit(float(n - 1)), round_to).alias(

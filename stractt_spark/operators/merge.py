@@ -36,9 +36,15 @@ def _source_fp(stats: list[dict]) -> str | None:
     built under (checked equal across sources before any merge) — the
     merged index must carry THIS stamp, not the current definition's:
     a legacy-tokenized merge stamped as current would pass the open-time
-    check and then silently tokenize queries differently."""
-    fps = {st.get("analyzer_fp") for st in stats} - {None}
-    return next(iter(fps), None)
+    check and then silently tokenize queries differently.  UNKNOWN
+    DOMINATES: if ANY source lacks the stamp, its postings' tokenizer
+    version is unknowable, so the merged index carries no stamp either —
+    stamping the other source's fp would upgrade unchecked legacy
+    postings to checked-and-passing."""
+    fps = [st.get("analyzer_fp") for st in stats]
+    if any(f is None for f in fps):
+        return None
+    return fps[0]
 
 
 def lpt_buckets(sizes: list[int], n_buckets: int) -> list[int]:

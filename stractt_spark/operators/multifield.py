@@ -754,6 +754,12 @@ class MultiFieldSegmentIndex:
             self.presorted, bool(self.stats.get("deleted_docs")),
             max_docs_per_segment, unsafe_quota,
         )
+        if _has_empty_discard and not _const_clauses:
+            # bare $discard with no other lowered instruction: every doc
+            # is discarded (the fast paths never reach the clause block)
+            if with_metrics:
+                return [], {"blocks_decoded": 0, "blocks_total": 0}
+            return self._empty_df()
         spec = self._spec(query, mode, phrase, extra_neg=_extra_neg)
         if spec is None:
             if with_metrics:
@@ -1630,6 +1636,10 @@ def _mf_segment_topk(
         if has_empty_discard:
             sel &= keep_union
         cand, score = cand[sel], score[sel]
+    elif has_empty_discard and cand.size:
+        # bare $discard with NO other lowered instruction: every doc is
+        # discarded (same contract as the single-field kernel)
+        cand, score = cand[:0], score[:0]
     n_matched = int(cand.size)
     ordr = np.lexsort((cand, -score))[:k]
     out = pd.DataFrame(

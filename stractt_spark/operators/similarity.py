@@ -638,6 +638,17 @@ def append_ivf(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
     )
+    # refuse duplicate ids loudly: a re-sent vec_id would occupy two
+    # physical rows (two top-k slots, inflated num_vecs) until a retrain
+    dup = base.join(
+        _read_ivf_cells(spark, index_dir).select("vec_id"),
+        "vec_id", "left_semi",
+    ).count()
+    if dup:
+        raise ValueError(
+            f"append_ivf: {dup} vec_id(s) already exist in the index — "
+            "delete_vectors first (update = delete + append), or retrain"
+        )
 
     def assign_cells(pdfs):
         for pdf in pdfs:
@@ -692,7 +703,7 @@ def ivf_needs_retrain(
         dtype=np.float64,
     )
     rows = (
-        _read_ivf_cells(spark, index_dir)
+        mask_deleted(spark, index_dir, _read_ivf_cells(spark, index_dir))
         .withColumn("_r", F.xxhash64(F.col("vec_id"), F.lit("ivf-drift")))
         .orderBy("_r", "vec_id")
         .limit(int(sample))
@@ -704,12 +715,16 @@ def ivf_needs_retrain(
         ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).min(axis=1).mean()
     ) if len(X) else 0.0
     base_n = int(m.get("base_vecs", m["num_vecs"]))
-    appended = int(m["num_vecs"]) - base_n
+    deleted = int(m.get("deleted_vecs", 0))
+    # growth over LIVE appends: tombstoned vectors no longer serve
+    # queries, so they must not push the retrain trigger
+    appended = max(int(m["num_vecs"]) - base_n - deleted, 0)
     growth = appended / base_n if base_n else float("inf")
     train_disp = float(m.get("train_dispersion", 0.0)) or 1e-12
     ratio = disp / train_disp
     return {
         "appended": appended,
+        "deleted": deleted,
         "base_vecs": base_n,
         "growth": growth,
         "dispersion": disp,
@@ -802,6 +817,17 @@ def append_sign_index(
     m = read_ann_manifest(index_dir)
     if m.get("kind") != "sign":
         raise ValueError(f"{index_dir} is not a sign-LSH index")
+    dup = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id")
+    ).join(
+        spark.read.parquet(*_sign_dirs(index_dir)).select("vec_id"),
+        "vec_id", "left_semi",
+    ).count()
+    if dup:
+        raise ValueError(
+            f"append_sign_index: {dup} vec_id(s) already exist — "
+            "delete_vectors first (update = delete + append)"
+        )
     batch_id = 1 + max(m.get("append_batches", []), default=0)
     bdir = f"{index_dir}/sign_b{batch_id}.parquet"
     build_sign_index(

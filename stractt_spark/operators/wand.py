@@ -899,6 +899,12 @@ def _segment_topk_kernel(
         if has_empty_discard:
             sel &= keep_union
         ids, score = ids[sel], score[sel]
+    elif has_empty_discard and ids.size:
+        # bare $discard with NO other lowered instruction (site-only
+        # discards become MustNot terms, not clauses): nothing can match
+        # "some other instruction", so every doc is discarded — the
+        # reference and the DataFrame fallback both return empty here
+        ids, score = ids[:0], score[:0]
     n_matched = int(ids.size)
     # bounded top-k with the FULL tie order (score desc, doc_id asc): a
     # bare argpartition cut breaks score ties at the k boundary by array
@@ -975,6 +981,14 @@ def wand_topk(
     top-k cut (reference lowering goggles/mod.rs:166-260).  ``score_coeff``
     scales the bm25 signal (@bm25 alteration)."""
     spark = segments.sparkSession
+    if has_empty_discard and not const_clauses:
+        # bare $discard with NO other lowered instruction (site-only
+        # discards become MustNot terms, not clauses): nothing can match
+        # "some other instruction" — every doc is discarded, and the
+        # fast paths would otherwise skip the restriction entirely
+        if with_metrics:
+            return [], {"blocks_decoded": 0, "blocks_total": 0}
+        return spark.createDataFrame([], "doc_id long, score double")
     pq = parse_query(query, analyzer) if isinstance(query, str) else query
     uniq = pq.uniq_terms
     phrases = pq.phrases

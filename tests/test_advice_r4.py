@@ -274,3 +274,29 @@ def test_append_and_merge_check_analyzer_fp(spark, corpus):
     merge_indexes(spark, [a, b], out)
     with open(f"{out}/stats.json") as f:
         assert json.load(f)["analyzer_fp"] is None
+
+
+def test_merge_with_one_legacy_source_drops_stamp(spark, corpus):
+    """Merging a stamped source with a legacy (no-fp) source must NOT
+    stamp the output with the stamped source's fp — the legacy postings'
+    tokenizer version is unknowable and the stamp would upgrade them to
+    checked-and-passing."""
+    from stractt_spark.operators.merge import merge_indexes
+
+    docs = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(corpus[:80])],
+        "doc_id long, content string",
+    )
+    a, b = f"{BASE}/mixfp_a", f"{BASE}/mixfp_b"
+    for d in (a, b):
+        build_index_fused(spark, docs, d, text_col="content",
+                          docs_per_segment=64)
+    with open(f"{a}/stats.json") as f:
+        st = json.load(f)
+    del st["analyzer_fp"]  # legacy source
+    with open(f"{a}/stats.json", "w") as f:
+        json.dump(st, f)
+    out = f"{BASE}/mixfp_merged"
+    merge_indexes(spark, [a, b], out)
+    with open(f"{out}/stats.json") as f:
+        assert json.load(f)["analyzer_fp"] is None

@@ -134,3 +134,18 @@ def test_lowered_requires_positions_for_patterns(spark):
         idx.search_goggle(
             "hash join", "merge sort$boost=2", k=10, site_col="site"
         )
+
+
+def test_bare_discard_only_program_returns_empty(spark, lowered):
+    """A goggle whose ONLY instruction is the bare `$discard` keeps only
+    docs matched by some other instruction — there is none, so the
+    result is empty (parity with apply_goggle's limit(0) fallback).
+    Regression: the kernel used to skip the restriction entirely when no
+    const clause lowered."""
+    idx, docs = lowered
+    got, expected = _both(spark, idx, docs, "$discard")
+    assert got == expected == []
+    # and with only site-only discards beside it (they lower to MustNot
+    # terms, not clauses) the restriction still applies
+    got2, expected2 = _both(spark, idx, docs, "$discard\n$discard,site=b.com")
+    assert got2 == expected2 == []

@@ -468,3 +468,13 @@ def test_mf_dense_union_fallback_bit_identical(spark):
     assert [d_ for d_, _ in got] == [d_ for d_, _ in want]
     for (_, s1), (_, s2) in zip(got, want):
         assert s1 == s2  # bit-identical, not just close
+
+
+def test_mf_bare_discard_only_program_returns_empty(spark, mf):
+    idx, oracle, data = mf
+    got = idx.search_goggle(
+        "hash join", "$discard", k=10, mode="should", site_col="site"
+    ).collect()
+    assert got == []
+    want = _brute_goggle(oracle, data, "$discard", "hash join", "should")
+    assert want == []
