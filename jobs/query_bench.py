@@ -205,6 +205,56 @@ def main() -> None:
         out["mf_batch_one_pass_sec"] = round(min(bat_times), 3)
         out["mf_batch_speedup"] = round(min(seq_times) / min(bat_times), 2)
 
+        # the COMPOSED production shape at scale: presorted + multifield
+        # (index-wide pre-score order + per-field postings), pre+bm25
+        # ranking with the per-field kernel's measured pruning
+        mpdir = args.index.rstrip("/") + "_mf_pre"
+        if not os.path.isfile(os.path.join(mpdir, "stats.json")):
+            n = idx.stats["num_docs"]
+            corpus = corpus_spark_df(spark, n, partitions=64)
+            pre = corpus.select(
+                "doc_id",
+                (F.lit(2048.0)
+                 * ((F.col("doc_id") * F.lit(2654435761)) % 1000)
+                 / F.lit(1000.0)).alias("pre_score"),
+            )
+            t0 = time.time()
+            build_index_fused_multifield(
+                spark, corpus, mpdir,
+                {"path": "path", "content": "content"},
+                analyzer=idx.stats["analyzer"],
+                docs_per_segment=idx.stats["docs_per_segment"],
+                pre_scores=pre,
+            )
+            out["mf_pre_build_sec"] = round(time.time() - t0, 3)
+        mpidx = MultiFieldSegmentIndex(spark, mpdir).cache()
+        times = []
+        for _ in range(args.trials):
+            t0 = time.time()
+            mpidx.search("hash join", k=10, mode="should",
+                         with_pre_score=True).collect()
+            times.append(time.time() - t0)
+        out["queries"]["qmf_pre_or"] = round(min(times), 3)
+        _, m2 = mpidx.search(
+            "hash join", k=10, mode="should", with_pre_score=True,
+            with_metrics=True,
+        )
+        out["pruning"]["qmf_pre_or"] = {
+            "blocks_decoded": m2["blocks_decoded"],
+            "blocks_total": m2["blocks_total"],
+            "decoded_frac": round(
+                m2["blocks_decoded"] / m2["blocks_total"], 4
+            ) if m2["blocks_total"] else None,
+        }
+        times = []
+        for _ in range(args.trials):
+            t0 = time.time()
+            mpidx.search("hash join", k=10, mode="should",
+                         with_pre_score=True,
+                         max_docs_per_segment=1024).collect()
+            times.append(time.time() - t0)
+        out["queries"]["qmf_pre_or_quota"] = round(min(times), 3)
+
     spark.stop()
     print(json.dumps(out))
 

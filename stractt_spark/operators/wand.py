@@ -401,7 +401,39 @@ def _should_topk_blockmax(
             _cache_term_blocks(g, g, tcache)
             seeds.append(np.concatenate([tcache[int(b)][0] for b in
                                          g["block_id"].to_numpy()]))
-        bank(np.unique(np.concatenate(seeds)))
+        seed_ids = np.unique(np.concatenate(seeds))
+        if pre is not None and seed_ids.size > k:
+            # PRESORTED seed pruning: exact scoring of a seed doc costs
+            # candidate-intersecting block decodes in every expensive
+            # term — for a sparse-but-uniform seed set (e.g. the
+            # title-field twins of a multi-field query) that touches
+            # nearly every block.  Seed ids ascend ⇔ pre DESCENDS, so
+            # bank the top-pre k exactly to establish the threshold,
+            # then drop any remaining seed whose upper bound
+            # pre + Σ_t max-block-ub(t) is STRICTLY below it: its true
+            # score is ≤ the bound < kth ≤ all banked scores, so it
+            # cannot reach the top-k.  (A dropped doc stays eligible
+            # for exact banking from an expensive block later — it was
+            # never added to scored_ids.)
+            bank(seed_ids[:k])
+            rest = seed_ids[k:]
+            if rest.size and n_banked >= k:
+                ub_sum = 0.0
+                for t in present:
+                    g = by_term[t]
+                    t_ub = qweights[t] * _tf_comp(
+                        g["max_tf"].to_numpy(dtype=np.float64),
+                        dl_table[
+                            g["min_norm_id"].to_numpy(dtype=np.int64)
+                        ],
+                        avgdl_for(t),
+                    )
+                    ub_sum += float(t_ub.max()) if t_ub.size else 0.0
+                bound = pre[(rest - base).astype(np.int64)] + ub_sum
+                rest = rest[bound >= kth]
+            bank(rest)
+        else:
+            bank(seed_ids)
 
     if expensive:
         firsts = {t: by_term[t]["first_doc_id"].to_numpy(dtype=np.int64)

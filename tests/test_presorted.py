@@ -192,3 +192,58 @@ def test_pre_aware_blockmax_prunes_blocks():
                        rtol=1e-9)
     # pruning: only the first bound-ordered chunks decoded
     assert metrics["blocks_decoded"] < metrics["blocks_total"] // 2, metrics
+
+
+def test_presorted_seed_prune_exact(spark):
+    """The r4 seed-pruning branch (cheap-term seeds bounded away by
+    pre + Σ max-ub when a threshold is banked) must stay EXACT: a
+    presorted index with a sparse-but-uniform cheap term + common terms
+    returns bit-identical results to the pure-Python oracle."""
+    import math
+
+    from stractt_spark.oracle import OracleIndex
+    from stractt_spark.plans.build import SegmentIndex, build_index_fused
+    from stractt_spark.sources.corpus import make_corpus
+
+    rows = make_corpus(600)
+    # plant a sparse uniform term (every 9th doc) beside common terms
+    texts = [
+        r["content"] + (" zeta_marker" if i % 9 == 0 else "")
+        for i, r in enumerate(rows)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    import pyspark.sql.functions as F
+
+    pre = docs.select(
+        "doc_id",
+        (F.lit(2048.0) * ((F.col("doc_id") * F.lit(2654435761)) % 1000)
+         / F.lit(1000.0)).alias("pre_score"),
+    )
+    d = "/tmp/stractt_seedprune_test"
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    build_index_fused(spark, docs, d, text_col="text",
+                      docs_per_segment=200, pre_scores=pre)
+    idx = SegmentIndex(spark, d)
+    got = idx.search_list("zeta_marker merge sort", k=15, mode="should",
+                          with_pre_score=True, orig_ids=True)
+    oracle = OracleIndex(analyzer="ascii")
+    for i, t in enumerate(texts):
+        oracle.add(i, t)
+    import numpy as np
+
+    # the index packs pre-scores as float32 — mirror the quantization
+    pre_of = lambda i: float(np.float32(
+        2048.0 * ((i * 2654435761) % 1000) / 1000.0
+    ))
+    base = oracle.search("zeta_marker merge sort", k=10**6, mode="should")
+    want = sorted(
+        ((d_, s + pre_of(d_)) for d_, s in base),
+        key=lambda r: (-r[1], -pre_of(r[0]), r[0]),
+    )[:15]
+    assert [d_ for d_, _ in got] == [d_ for d_, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert math.isclose(s1, s2, rel_tol=1e-12)
