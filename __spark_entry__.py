@@ -1450,6 +1450,52 @@ _HARMONIC_SQL = (
 
 # ---------------------------------------------------------------- events
 
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention over the events table (cohort = first
+    active day; n distinct users active `period` days later) — the
+    canonical product/training-pipeline rollup, one join + two
+    aggregates, nothing quadratic."""
+    from stractt_spark.operators.events import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, max_periods=14)
+
+
+_RETENTION_SQL = (
+    "WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort "
+    "FROM events GROUP BY user_id), "
+    "a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events) "
+    "SELECT epoch_us(f.cohort) AS cohort_us, "
+    "CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS period, "
+    "CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users "
+    "FROM a JOIN f USING (user_id) "
+    "WHERE date_diff('day', f.cohort, a.d) <= 14 "
+    "GROUP BY 1, 2"
+)
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent terms (count > N/k) via the two-pass distributed
+    heavy-hitters protocol: per-partition local heavy hitters form a
+    pigeonhole-provable candidate superset with bounded task output,
+    then an exact candidate-only count pass — the oracle is the plain
+    full GROUP BY with the same threshold, so a hash match proves the
+    bounded protocol lost nothing."""
+    from stractt_spark.operators.textstats import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heavy_hitters(docs, "text", k=100)
+
+
+_HEAVY_HITTERS_SQL = (
+    f"WITH {_TOKS_CTE}, "
+    "tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks "
+    "GROUP BY term), "
+    "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM tc) "
+    "SELECT term, n FROM tc, tot WHERE n > total / 100"
+)
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min idle cut) — the batch twin of
     Structured Streaming's session_window; lag/cumsum over one
@@ -1969,7 +2015,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _q_stream_windowed,
         "event_funnel": _q_funnel,
         "props_histogram": _q_props_histogram,
+        "retention_cohorts": _q_retention,
         # text analysis
+        "heavy_hitters": _q_heavy_hitters,
         "token_stats": _q_token_stats,
         "token_counts_bpe": _q_token_counts,
         "quality_score": _q_quality,
@@ -2276,6 +2324,8 @@ def oracle_sql() -> dict[str, str]:
         "mf_goggles": _mf_goggles_sql({"source": 10.0, "text": 4.0}),
         "goggles_rerank": _GOGGLES_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
+        "retention_cohorts": _RETENTION_SQL,
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
         "harmonic_centrality_approx": (
             "SELECT node, centrality "
             "FROM '/tmp/stractt_expected_hyperball.parquet'"

@@ -156,3 +156,38 @@ def props_histogram(
         .groupBy("event_type", "bucket")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_periods: int = 14,
+) -> DataFrame:
+    """Day-cohort retention: cohort = a user's first active day; for
+    each (cohort, period) the count of distinct users active exactly
+    ``period`` days after their cohort day → (cohort_us, period,
+    n_users).  The canonical training-/product-analytics rollup.
+
+    Shape: one groupBy for first-activity, one distinct on (user, day),
+    one join (AQE picks broadcast iff the user dimension is small), one
+    final aggregate — every step a shuffle on user_id or the
+    (cohort, period) key, nothing quadratic."""
+    day = f"date_trunc('day', {ts_col})"
+    first = events.groupBy(
+        F.col(user_col).cast("long").alias("user_id")
+    ).agg(F.min(F.expr(day)).alias("_cohort"))
+    active = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.expr(day).alias("_day"),
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn("period", F.datediff("_day", "_cohort").cast("long"))
+        .filter(F.col("period") <= max_periods)
+        .groupBy(
+            _epoch_us("_cohort").alias("cohort_us"),
+            "period",
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )

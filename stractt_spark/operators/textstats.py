@@ -192,3 +192,91 @@ def doc_fingerprint(
             )
 
     return src.mapInPandas(emit, "doc_id long, fingerprint long")
+
+
+def heavy_hitters(
+    docs,
+    text_col: str = "text",
+    k: int = 100,
+    analyzer: str = "ascii",
+):
+    """EXACT frequent terms via a two-pass distributed heavy-hitters
+    protocol → (term, n) for every term with global count > N/k.
+
+    Pass 1 finds a PROVABLE candidate superset with bounded per-task
+    output: each partition emits only its LOCAL heavy hitters (count_p >
+    N_p/k, ≤ k−1 items per partition by definition).  Pigeonhole: if
+    count(t) > N/k = Σ_p N_p/k then some partition has count_p(t) >
+    N_p/k, so every global heavy hitter appears in some partition's
+    emission — the union (≤ (k−1)·partitions tiny rows) is a superset.
+    (A Misra–Gries summary gives the same guarantee under adversarial
+    memory; per-partition exact counting is the simpler Spark-native
+    form since a task's vocabulary fits its executor.)  Pass 2 computes
+    exact global counts for the candidates only (`term IN` semi-join —
+    never a full-vocabulary shuffle) and keeps those above N/k, making
+    the final output EXACT, not approximate."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..functions.tokenizer import get_analyzer
+
+    tokenize = get_analyzer(analyzer)
+    src = docs.select(F.col(text_col).alias("_t"))
+
+    def local_hh(pdfs):
+        from collections import Counter
+
+        c: Counter = Counter()
+        total = 0
+        for pdf in pdfs:
+            for t in pdf["_t"]:
+                toks = tokenize(t or "")
+                total += len(toks)
+                c.update(toks)
+        thresh = total / k
+        items = [(t_, int(n)) for t_, n in c.items() if n > thresh]
+        yield pd.DataFrame(
+            {"term": pd.Series([t_ for t_, _ in items], dtype="object"),
+             "n_local": pd.Series([n for _, n in items], dtype="int64"),
+             "n_part": pd.Series([total] * len(items), dtype="int64")}
+        )
+
+    partials = src.mapInPandas(
+        local_hh, "term string, n_local long, n_part long"
+    )
+    cand_rows = partials.select("term").distinct().collect()
+    candidates = sorted(r["term"] for r in cand_rows)
+    if not candidates:
+        return docs.sparkSession.createDataFrame([], "term string, n long")
+    # pass 2: exact counts of the bounded candidate set + the global N
+    def count_cand(pdfs):
+        from collections import Counter
+
+        cset = set(candidates)
+        c: Counter = Counter()
+        total = 0
+        for pdf in pdfs:
+            for t in pdf["_t"]:
+                toks = tokenize(t or "")
+                total += len(toks)
+                for tok in toks:
+                    if tok in cset:
+                        c[tok] += 1
+        yield pd.DataFrame(
+            {"term": pd.Series(
+                list(c.keys()) + ["\x00__total__"], dtype="object"),
+             "n": pd.Series(
+                 list(c.values()) + [total], dtype="int64")}
+        )
+
+    counts = (
+        src.mapInPandas(count_cand, "term string, n long")
+        .groupBy("term").agg(F.sum("n").cast("long").alias("n"))
+    )
+    total_n = counts.filter(F.col("term") == "\x00__total__").collect()
+    N = int(total_n[0]["n"]) if total_n else 0
+    return (
+        counts.filter(F.col("term") != "\x00__total__")
+        .filter(F.col("n") > F.lit(N / k))
+        .select("term", "n")
+    )

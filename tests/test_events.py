@@ -110,3 +110,39 @@ def test_epoch_us_is_timezone_invariant(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert got == int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+
+
+def test_retention_cohorts_known_history(spark):
+    """Hand-computed cohort table: users joining on different days with
+    known return patterns."""
+    import datetime as dt
+
+    from stractt_spark.operators.events import retention_cohorts
+
+    def row(eid, day, user):
+        return (eid, dt.datetime(2024, 1, day, 12, 0), user, "view",
+                1.0, "{}")
+
+    rows = [
+        row(1, 1, 100), row(2, 1, 101),          # cohort d1: 2 users
+        row(3, 2, 100),                          # u100 returns day+1
+        row(4, 3, 100), row(5, 3, 101),          # both return day+2
+        row(6, 2, 102),                          # cohort d2: 1 user
+        row(7, 4, 102),                          # returns day+2
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = {
+        (r["cohort_us"], r["period"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    d1 = int(dt.datetime(2024, 1, 1).timestamp() -
+             dt.datetime(1970, 1, 1).timestamp()) * 1_000_000
+    day_us = 86400 * 1_000_000
+    assert out == {
+        (d1, 0): 2, (d1, 1): 1, (d1, 2): 2,
+        (d1 + day_us, 0): 1, (d1 + day_us, 2): 1,
+    }

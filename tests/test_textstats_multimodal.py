@@ -155,3 +155,35 @@ def test_resize_media_contract(spark):
     assert by_id[0] != by_id[1]
     with _pytest.raises(NotImplementedError, match="PIL"):
         LibraryResizer().resize_batch([b"x"], 4, 4)
+
+
+def test_heavy_hitters_exact_on_skewed_multipartition(spark):
+    """The two-pass protocol must find EXACTLY the > N/k terms even when
+    a global heavy hitter is lukewarm in most partitions (the pigeonhole
+    superset property), across many partitions."""
+    from collections import Counter
+
+    from stractt_spark.operators.textstats import heavy_hitters
+
+    # 400 docs over 16 partitions: 'omega' ~ just above N/k overall but
+    # concentrated; fillers unique per doc
+    texts = []
+    for i in range(400):
+        body = f"f{i}a f{i}b f{i}c"
+        if i % 7 == 0:
+            body += " omega omega"
+        if i % 2 == 0:
+            body += " common"
+        texts.append(body)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(16)
+    k = 50
+    got = {r["term"]: r["n"] for r in
+           heavy_hitters(docs, "text", k=k).collect()}
+    c = Counter()
+    for t in texts:
+        c.update(t.split())
+    n_total = sum(c.values())
+    want = {t: n for t, n in c.items() if n > n_total / k}
+    assert got == want and "omega" in got and "common" in got
