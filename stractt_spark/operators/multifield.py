@@ -802,19 +802,9 @@ class MultiFieldSegmentIndex:
             .applyInPandas(run, "segment_id int, doc_id long, score double")
         )
         if with_metrics:
-            rows = per_seg.collect()
-            metrics = {
-                "blocks_decoded": int(sum(
-                    r["score"] for r in rows if r["doc_id"] == -2)),
-                "blocks_total": int(sum(
-                    r["score"] for r in rows if r["doc_id"] == -3)),
-            }
-            top_list = sorted(
-                ((r["doc_id"], r["score"]) for r in rows
-                 if r["doc_id"] >= 0),
-                key=lambda t: (-t[1], t[0]),
-            )[:k_eff]
-            return top_list, metrics
+            from .wand import fold_metrics_topk
+
+            return fold_metrics_topk(per_seg, k_eff)
         top = (
             per_seg
             .select("doc_id", "score")

@@ -1096,18 +1096,7 @@ def wand_topk(
         .applyInPandas(run, _RESULT_SCHEMA)
     )
     if with_metrics:
-        rows = per_seg.collect()
-        metrics = {
-            "blocks_decoded": int(sum(
-                r["score"] for r in rows if r["doc_id"] == -2)),
-            "blocks_total": int(sum(
-                r["score"] for r in rows if r["doc_id"] == -3)),
-        }
-        top = sorted(
-            ((r["doc_id"], r["score"]) for r in rows if r["doc_id"] >= 0),
-            key=lambda t: (-t[1], t[0]),
-        )[:k]
-        return top, metrics
+        return fold_metrics_topk(per_seg, k)
     return (
         per_seg
         .select("doc_id", "score")
@@ -1317,6 +1306,42 @@ def fold_count_topk(per_seg: DataFrame, k: int) -> tuple[list[tuple[int, float]]
     total = int(row["_total"] or 0)
     top = [(int(x["d"]), -float(x["ns"])) for x in row["_top"]]
     return top, total
+
+
+def fold_metrics_topk(
+    per_seg: DataFrame, k: int
+) -> tuple[list[tuple[int, float]], dict]:
+    """Fold per-segment (top-k rows + pruning sentinels −2/−3) into the
+    global (top-k list, metrics) in ONE JVM aggregate — the metrics twin
+    of :func:`fold_count_topk`: the driver receives a single row
+    regardless of segment count."""
+    row = per_seg.agg(
+        F.sum(
+            F.when(F.col("doc_id") == -2, F.col("score"))
+        ).alias("_dec"),
+        F.sum(
+            F.when(F.col("doc_id") == -3, F.col("score"))
+        ).alias("_tot"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("doc_id") >= 0,
+                        F.struct(
+                            (-F.col("score")).alias("ns"),
+                            F.col("doc_id").alias("d"),
+                        ),
+                    )
+                )
+            ),
+            1, k,
+        ).alias("_top"),
+    ).collect()[0]
+    top = [(int(x["d"]), -float(x["ns"])) for x in row["_top"]]
+    return top, {
+        "blocks_decoded": int(row["_dec"] or 0),
+        "blocks_total": int(row["_tot"] or 0),
+    }
 
 
 def count_topk_agg(per_seg: DataFrame, k: int) -> DataFrame:
