@@ -1522,6 +1522,53 @@ _SESSIONIZE_SQL = (
 )
 
 
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator under the gate:
+    applyInPandasWithState gap-sessionization (constant per-user state;
+    gap-breaks close sessions exactly once, the EventTimeTimeout closes
+    idle sessions once the watermark passes end+gap).  Emitted sessions
+    must equal the batch sessionization restricted to CLOSED sessions —
+    every non-final session per user, plus final sessions whose end+gap
+    the watermark passed."""
+    import hashlib
+    import shutil as _sh
+
+    from stractt_spark.streaming.sessions import stream_sessionize
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"/tmp/stractt_entry_ssess_{tag}"
+    _sh.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/in", exist_ok=True)
+    _sh.copy(f"{sf_dir}/events.parquet", f"{base}/in/events.parquet")
+    stream_sessionize(
+        spark, f"{base}/in", f"{base}/ckpt", f"{base}/out",
+        gap_minutes=30, watermark="2 hours",
+    )
+    return spark.read.parquet(f"{base}/out").select(
+        "user_id", "started_us", "ended_us", "n_events", "sum_value"
+    )
+
+
+_STREAM_SESSIONIZE_SQL = (
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS t, value, event_id "
+    "FROM events), "
+    "lagged AS (SELECT *, lag(t) OVER "
+    "(PARTITION BY user_id ORDER BY t, event_id) AS pt FROM e), "
+    "marked AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800000000 "
+    "THEN 1 ELSE 0 END AS nw FROM lagged), "
+    "sess AS (SELECT *, sum(nw) OVER (PARTITION BY user_id "
+    "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS s FROM marked), "
+    "agg AS (SELECT user_id, s, min(t) AS started_us, max(t) AS ended_us, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "round(sum(value), 4) AS sum_value FROM sess GROUP BY user_id, s), "
+    "wm AS (SELECT max(t) - 7200000000 AS w FROM e), "
+    "rn AS (SELECT a.*, row_number() OVER (PARTITION BY user_id "
+    "ORDER BY s DESC) AS r FROM agg a) "
+    "SELECT user_id, started_us, ended_us, n_events, sum_value "
+    "FROM rn, wm WHERE r > 1 OR ended_us + 1800000000 < wm.w"
+)
+
+
 def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stractt_spark.operators.events import windowed_counts
 
@@ -2013,6 +2060,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "windowed_counts": _q_windowed_counts,
         "stream_windowed_counts": _q_stream_windowed,
+        "stream_sessionize": _q_stream_sessionize,
         "event_funnel": _q_funnel,
         "props_histogram": _q_props_histogram,
         "retention_cohorts": _q_retention,
@@ -2324,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
         "mf_goggles": _mf_goggles_sql({"source": 10.0, "text": 4.0}),
         "goggles_rerank": _GOGGLES_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
+        "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "harmonic_centrality_approx": (
