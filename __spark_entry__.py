@@ -1728,6 +1728,59 @@ _MULTIMODAL_DECODE_SQL = (
 )
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding under the gate (the WAV twin of
+    multimodal_decode): per-doc deterministic 16-bit PCM waveforms
+    (sample[j] = arithmetic fn of (j, doc_id)) are RIFF-encoded
+    executor-side by the from-scratch writer, decoded back by the
+    from-scratch reader through the Arrow-batched decode_audio kernel;
+    the oracle recomputes rates, frame counts, and the exact sum of
+    squared samples ARITHMETICALLY in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from stractt_spark.operators.multimodal import decode_audio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).filter(F.col("doc_id") < 64)
+
+    def gen(batches):
+        from stractt_spark.functions.wav import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 100 + i % 50
+                j = np.arange(n, dtype=np.int64)
+                s = ((j * (i + 3) + 7 * i) % 2048) - 1024
+                payloads.append(
+                    encode_wav(s.astype(np.int16), 8000 + (i % 5) * 1000)
+                )
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            })
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return decode_audio(media)
+
+
+_MULTIMODAL_AUDIO_SQL = (
+    "WITH m AS (SELECT doc_id AS media_id, 100 + doc_id % 50 AS n, "
+    "8000 + (doc_id % 5) * 1000 AS rate FROM documents WHERE doc_id < 64), "
+    "g AS (SELECT media_id, n, rate, "
+    "unnest(generate_series(0, n - 1)) AS j FROM m) "
+    "SELECT media_id, CAST(rate AS BIGINT) AS sample_rate, "
+    "CAST(n AS BIGINT) AS n_frames, CAST(1 AS INT) AS n_channels, "
+    "CAST(sum(((j * (media_id + 3) + 7 * media_id) % 2048 - 1024) "
+    "* ((j * (media_id + 3) + 7 * media_id) % 2048 - 1024)) AS BIGINT) "
+    "AS sum_sq "
+    "FROM g GROUP BY media_id, n, rate"
+)
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banded candidates verified with exact Jaccard, gated
     against the ALL-PAIRS Jaccard SQL oracle: with 32 bands of 2 rows a
@@ -2074,6 +2127,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_nbytes": _q_multimodal,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio": _q_multimodal_audio,
     }
 
 
@@ -2473,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY source"
         ),
         "multimodal_decode": _MULTIMODAL_DECODE_SQL,
+        "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
         "multimodal_nbytes": (
             "SELECT doc_id AS media_id, "
             "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type, "

@@ -7,8 +7,10 @@ decode / feature-extract / resize / frame-sample are Arrow-batched
 * ``PngDecoder`` / ``PngResizer`` — REAL bytes→pixels decode via the
   from-scratch PNG reader in :mod:`stractt_spark.functions.png` (pure
   Python + stdlib zlib, no third-party codec) — images are first-class;
+* ``WavDecoder`` — REAL bytes→samples decode via the from-scratch
+  RIFF/PCM reader in :mod:`stractt_spark.functions.wav` — audio too;
 * ``DeterministicFakeDecoder`` — a seeded, content-derived fake for
-  media types whose codecs (ffmpeg/librosa) are NOT in this container;
+  media types whose codecs (ffmpeg for video) are NOT in this container;
 * ``LibraryDecoder`` — raises ``NotImplementedError`` with the exact
   integration point, so swapping a C codec in is a one-function change.
 
@@ -125,6 +127,98 @@ def decode_images(
         emit,
         "media_id long, width int, height int, "
         "sum_r long, sum_g long, sum_b long",
+    )
+
+
+class WavDecoder:
+    """REAL audio decode (functions/wav.py — from-scratch RIFF/PCM
+    reader): payload bytes → samples → content features.
+
+    Feature layout (FEATURE_DIM=32): [rms, mean, zero-crossing rate,
+    log1p(n_frames), log1p(sample_rate), n_channels, 16-bin amplitude
+    histogram (normalized), 10× reserved zeros]."""
+
+    def decode_batch(self, payloads: list[bytes], media_type: str) -> np.ndarray:
+        from ..functions.wav import decode_wav
+
+        out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
+        for i, p in enumerate(payloads):
+            rate, s = decode_wav(p)
+            mono = s.mean(axis=1)
+            out[i, 0] = np.sqrt((mono ** 2).mean()) if mono.size else 0.0
+            out[i, 1] = mono.mean() if mono.size else 0.0
+            if mono.size > 1:
+                out[i, 2] = (np.diff(np.signbit(mono)) != 0).mean()
+            out[i, 3] = np.log1p(s.shape[0])
+            out[i, 4] = np.log1p(rate)
+            out[i, 5] = s.shape[1]
+            hist, _ = np.histogram(mono, bins=16, range=(-1.0, 1.0))
+            out[i, 6:22] = hist.astype(np.float32) / max(mono.size, 1)
+        return out
+
+
+def decode_audio(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, payload binary<WAV>) → (media_id, sample_rate,
+    n_frames, n_channels, sum_sq): REAL per-sample decode in an
+    Arrow-batched kernel — ``sum_sq`` is the exact integer sum of
+    squared RAW samples, an arithmetic fact a generation-rule-aware
+    oracle can verify without any audio library (the audio twin of
+    decode_images' pixel sums)."""
+    from ..functions.wav import _DTYPES, decode_wav
+
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("_p"),
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rates, frames, chans, sums = [], [], [], []
+            for p in pdf["_p"]:
+                b = bytes(p)
+                rate, s = decode_wav(b)
+                # raw integer samples for the exact arithmetic check
+                bits = None
+                pos = 12
+                while pos + 8 <= len(b):
+                    ct = b[pos:pos + 4]
+                    (ln,) = struct.unpack("<I", b[pos + 4:pos + 8])
+                    if ct == b"fmt ":
+                        bits = struct.unpack(
+                            "<HHIIHH", b[pos + 8:pos + 24]
+                        )[5]
+                    if ct == b"data":
+                        raw = np.frombuffer(
+                            b[pos + 8:pos + 8 + ln], dtype=_DTYPES[bits]
+                        )
+                        sums.append(int(
+                            (raw.astype(np.int64) ** 2).sum()
+                        ))
+                        break
+                    pos += 8 + ln + (ln & 1)
+                rates.append(rate)
+                frames.append(s.shape[0])
+                chans.append(s.shape[1])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"),
+                 "sample_rate": pd.Series(rates, dtype="int64"),
+                 "n_frames": pd.Series(frames, dtype="int64"),
+                 "n_channels": pd.Series(chans, dtype="int32"),
+                 "sum_sq": pd.Series(sums, dtype="int64")}
+            )
+
+    return src.mapInPandas(
+        emit,
+        "media_id long, sample_rate long, n_frames long, "
+        "n_channels int, sum_sq long",
     )
 
 

@@ -180,3 +180,79 @@ def test_png_resizer_real(spark):
     assert (row["width"], row["height"]) == (6, 3)
     out = decode_png(bytes(row["payload"]))
     assert (out == resize_nearest(px, 6, 3)).all()
+
+
+# ------------------------------------------------------------- WAV
+
+
+def test_wav_roundtrip_16bit_stereo():
+    from stractt_spark.functions.wav import decode_wav, encode_wav
+
+    s = RNG.integers(-32768, 32767, (500, 2), dtype=np.int64)
+    rate, out = decode_wav(encode_wav(s, 44100))
+    assert rate == 44100 and out.shape == (500, 2)
+    assert np.allclose(out, s / 32768.0)
+
+
+def test_wav_8bit_and_32bit():
+    from stractt_spark.functions.wav import decode_wav, encode_wav
+
+    s8 = RNG.integers(0, 256, 300, dtype=np.int64)
+    rate, out = decode_wav(encode_wav(s8, 8000, bits=8))
+    assert np.allclose(out[:, 0], (s8 - 128) / 128.0)
+    s32 = RNG.integers(-2**31, 2**31 - 1, 300, dtype=np.int64)
+    _, out32 = decode_wav(encode_wav(s32, 16000, bits=32))
+    assert np.allclose(out32[:, 0], s32 / 2.0**31)
+
+
+def test_wav_rejects_bad_input():
+    from stractt_spark.functions.wav import WavError, decode_wav
+
+    with pytest.raises(WavError, match="RIFF"):
+        decode_wav(b"OggS....")
+    # non-PCM format code
+    import struct
+    import zlib as _z  # noqa: F401
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)  # float fmt
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(WavError, match="PCM"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_wav_decoder_features(spark):
+    from stractt_spark.functions.wav import encode_wav
+    from stractt_spark.operators.multimodal import (
+        WavDecoder,
+        extract_features,
+    )
+
+    # constant half-amplitude signal: rms == mean == 0.5, zcr == 0
+    s = np.full(1000, 16384, dtype=np.int64)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav(s, 8000)))],
+        "media_id long, media_type string, payload binary",
+    )
+    f = extract_features(media, decoder=WavDecoder()).collect()[0]["feature"]
+    assert abs(f[0] - 0.5) < 1e-6          # rms
+    assert abs(f[1] - 0.5) < 1e-6          # mean
+    assert f[2] == 0.0                     # zero crossings
+    assert abs(f[4] - np.log1p(8000)) < 1e-4
+
+
+def test_decode_audio_operator(spark):
+    from stractt_spark.functions.wav import encode_wav
+    from stractt_spark.operators.multimodal import decode_audio
+
+    rows, want = [], {}
+    for i in range(8):
+        n = 50 + i * 10
+        s = RNG.integers(-1024, 1024, n, dtype=np.int64)
+        rows.append((i, bytearray(encode_wav(s, 8000 + i))))
+        want[i] = (8000 + i, n, 1, int((s.astype(np.int64) ** 2).sum()))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["sample_rate"], r["n_frames"],
+                           r["n_channels"], r["sum_sq"])
+           for r in decode_audio(media).collect()}
+    assert got == want
