@@ -1781,6 +1781,64 @@ _MULTIMODAL_AUDIO_SQL = (
 )
 
 
+def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling under the gate (the Y4M member of the
+    codec family): per-doc deterministic multi-frame videos
+    (luma[f][y][x] = arithmetic fn of (f, y, x, doc_id)) are
+    YUV4MPEG2-encoded executor-side, every 3rd frame decoded back and
+    summarized by sample_frames; the oracle recomputes dims, sampled
+    frame numbers, and exact luma sums ARITHMETICALLY in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from stractt_spark.operators.multimodal import sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).filter(F.col("doc_id") < 32)
+
+    def gen(batches):
+        from stractt_spark.functions.y4m import encode_y4m
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 8 + i % 5 * 2, 6 + i % 3 * 2
+                nf = 4 + i % 6
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                frames = [
+                    ((xx * 3 + yy * 5 + f * 11 + i) % 256).astype(np.uint8)
+                    for f in range(nf)
+                ]
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            })
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return sample_frames(media, every_n=3)
+
+
+_MULTIMODAL_VIDEO_SQL = (
+    "WITH m AS (SELECT doc_id AS media_id, 8 + doc_id % 5 * 2 AS w, "
+    "6 + doc_id % 3 * 2 AS h, 4 + doc_id % 6 AS nf "
+    "FROM documents WHERE doc_id < 32), "
+    "fr AS (SELECT media_id, w, h, "
+    "unnest(generate_series(0, nf - 1, 3)) AS f FROM m), "
+    "gx AS (SELECT media_id, w, h, f, "
+    "unnest(generate_series(0, w - 1)) AS x FROM fr), "
+    "g AS (SELECT media_id, w, h, f, x, "
+    "unnest(generate_series(0, h - 1)) AS y FROM gx) "
+    "SELECT media_id, CAST(f AS BIGINT) AS frame_no, "
+    "CAST(w AS INT) AS width, CAST(h AS INT) AS height, "
+    "CAST(sum((x * 3 + y * 5 + f * 11 + media_id) % 256) AS BIGINT) "
+    "AS luma_sum "
+    "FROM g GROUP BY media_id, f, w, h"
+)
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banded candidates verified with exact Jaccard, gated
     against the ALL-PAIRS Jaccard SQL oracle: with 32 bands of 2 rows a
@@ -2128,6 +2186,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_nbytes": _q_multimodal,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio": _q_multimodal_audio,
+        "multimodal_video": _q_multimodal_video,
     }
 
 
@@ -2528,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_decode": _MULTIMODAL_DECODE_SQL,
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
+        "multimodal_video": _MULTIMODAL_VIDEO_SQL,
         "multimodal_nbytes": (
             "SELECT doc_id AS media_id, "
             "CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type, "

@@ -256,3 +256,74 @@ def test_decode_audio_operator(spark):
                            r["n_channels"], r["sum_sq"])
            for r in decode_audio(media).collect()}
     assert got == want
+
+
+# ------------------------------------------------------------- Y4M
+
+
+def test_y4m_roundtrip_and_chroma_variants():
+    from stractt_spark.functions.y4m import decode_y4m, encode_y4m
+
+    frames = [RNG.integers(0, 256, (6, 8), dtype=np.uint8)
+              for _ in range(5)]
+    for chroma in ("420", "422", "444", "mono"):
+        w, h, fn, fd, out = decode_y4m(
+            encode_y4m(frames, fps=(25, 1), chroma=chroma)
+        )
+        assert (w, h, fn, fd) == (8, 6, 25, 1)
+        assert len(out) == 5
+        for a, b in zip(out, frames):
+            assert (a == b).all()
+
+
+def test_y4m_rejects_bad_input():
+    from stractt_spark.functions.y4m import Y4mError, decode_y4m, encode_y4m
+
+    with pytest.raises(Y4mError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFF....")
+    good = encode_y4m([np.zeros((4, 4), dtype=np.uint8)])
+    with pytest.raises(Y4mError, match="truncated frame"):
+        decode_y4m(good[:-5])
+    with pytest.raises(Y4mError, match="chroma"):
+        decode_y4m(good.replace(b"C420", b"C410"))
+
+
+def test_sample_frames_operator(spark):
+    from stractt_spark.functions.y4m import encode_y4m
+    from stractt_spark.operators.multimodal import sample_frames
+
+    rows, want = [], set()
+    for i in range(6):
+        nf = 5 + i
+        frames = [RNG.integers(0, 256, (4, 6), dtype=np.uint8)
+                  for _ in range(nf)]
+        rows.append((i, bytearray(encode_y4m(frames))))
+        for fno in range(0, nf, 2):
+            want.add((i, fno, 6, 4,
+                      int(frames[fno].astype(np.int64).sum())))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["media_id"], r["frame_no"], r["width"], r["height"],
+         r["luma_sum"])
+        for r in sample_frames(media, every_n=2).collect()
+    }
+    assert got == want
+
+
+def test_y4m_decoder_features(spark):
+    from stractt_spark.functions.y4m import encode_y4m
+    from stractt_spark.operators.multimodal import (
+        Y4mDecoder,
+        extract_features,
+    )
+
+    # constant frames: std 0, motion 0
+    frames = [np.full((4, 4), 100, dtype=np.uint8) for _ in range(3)]
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(encode_y4m(frames, fps=(24, 1))))],
+        "media_id long, media_type string, payload binary",
+    )
+    f = extract_features(media, decoder=Y4mDecoder()).collect()[0]["feature"]
+    assert f[0] == 3.0 and abs(f[1] - 24.0) < 1e-6
+    assert abs(f[4] - 100 / 255.0) < 1e-6
+    assert f[5] == 0.0 and f[6] == 0.0
