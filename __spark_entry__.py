@@ -1839,6 +1839,46 @@ _MULTIMODAL_VIDEO_SQL = (
 )
 
 
+def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL step: MinHash-LSH pairs clustered into
+    duplicate components by iterative min-label propagation (bounded-
+    lineage, the BFS discipline), one canonical keep per cluster.
+    Oracle: connected components as a recursive-CTE transitive closure
+    over the ALL-PAIRS Jaccard edges — a hash match proves banding +
+    propagation produced exactly the true clusters."""
+    from stractt_spark.operators.dedup import near_dup_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_components(
+        docs, "text", "doc_id", n=1, threshold=0.8, bands=32
+    )
+
+
+def _near_dup_components_sql() -> str:
+    pairs = _ALL_PAIRS_JACCARD_SQL.format(toks=_TOKS_L_CTE)
+    # strip the leading WITH: the pieces are re-wrapped below
+    body = pairs[len("WITH "):]
+    head, select = body.rsplit(" SELECT ", 1)
+    return (
+        "WITH RECURSIVE " + head + ", "
+        "pairs AS (SELECT " + select + "), "
+        "sym AS (SELECT a, b FROM (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION SELECT doc_b AS a, doc_a AS b FROM pairs)), "
+        # NOTE: union wrapped in a subquery — a bare UNION CTE under
+        # WITH RECURSIVE silently iterates in DuckDB
+        "reach(node, label) AS ("
+        "SELECT a AS node, a AS label FROM sym "
+        "UNION "
+        "SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b), "
+        "comp AS (SELECT node, min(label) AS component_id FROM reach "
+        "GROUP BY node) "
+        "SELECT d.doc_id, "
+        "coalesce(c.component_id, d.doc_id) AS component_id, "
+        "d.doc_id = coalesce(c.component_id, d.doc_id) AS keep "
+        "FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"
+    )
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banded candidates verified with exact Jaccard, gated
     against the ALL-PAIRS Jaccard SQL oracle: with 32 bands of 2 rows a
@@ -2152,6 +2192,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_pairs_capped": _q_jaccard_pairs_capped,
         "minhash_pairs": _q_minhash_pairs,
+        "near_dup_components": _q_near_dup_components,
         "simhash64": _q_simhash,
         # similarity
         "cosine_top10": _q_cosine_top10,
@@ -2507,6 +2548,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly (32×2 banding: P(miss a ≥0.8 pair) ≤ 4e-13) — a real
         # independent oracle for the LSH pipeline, not a rows-only check
         "minhash_pairs": _ALL_PAIRS_JACCARD_SQL.format(toks=_TOKS_L_CTE),
+        "near_dup_components": _near_dup_components_sql(),
         "simhash64": (
             "SELECT doc_id, simhash "
             "FROM '/tmp/stractt_expected_simhash.parquet'"

@@ -318,3 +318,121 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 30,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Undirected connected components by min-label propagation →
+    (doc_id, component_id = smallest id in the component).
+
+    The FINAL step of a real near-dup pipeline: pair edges (from
+    MinHash/SimHash/embedding banding) become duplicate CLUSTERS, and
+    ``component_id`` doubles as the canonical keep-id.  Iterative
+    small-parent propagation: each round every node adopts the minimum
+    label among itself and its neighbors' labels; converges in
+    O(diameter) rounds.  One shuffle per round on the node key; the same
+    bounded-lineage discipline as graph.bfs_distances (localCheckpoint
+    every k rounds — an uncut iterative plan stalls driver analysis).
+
+    Scale note: label propagation is the Spark-native form; the
+    large-star/small-star optimization (Kiveris et al.) halves rounds on
+    pathological chains — named here as the 100× refinement, not needed
+    at gate scale (near-dup components are tiny and shallow by
+    construction)."""
+    sym = (
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .unionByName(
+            edges.select(
+                F.col("b").cast("long").alias("a"),
+                F.col("a").cast("long").alias("b"),
+            )
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("_nl")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("_nl").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        prev, labels = labels, new_labels
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def near_dup_components(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs → duplicate CLUSTERS → per-doc
+    (doc_id, component_id, keep): ``keep`` marks the one canonical doc
+    per cluster (the smallest id — deterministic).  Docs in no near-dup
+    pair keep themselves.  This is the operator a training-data dedup
+    actually ends with: ``docs.join(..., keep).filter("keep")``."""
+    pairs = minhash_dedup_pairs(
+        docs, text_col, id_col, n=n, num_perm=num_perm, bands=bands,
+        threshold=threshold, analyzer=analyzer,
+    ).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    comp = connected_components(pairs)
+    all_docs = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        all_docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("component_id"))
+    )

@@ -100,3 +100,44 @@ def test_simhash_near_pairs(dup_docs):
     # exact hamming matches popcount of xor
     for (a, b), ham in pairs.items():
         assert bin((h[a] ^ h[b]) & ((1 << 64) - 1)).count("1") == ham
+
+
+def test_connected_components_known_graph(spark):
+    """Chains and stars collapse to their minimum id; singletons appear
+    only through edges (near_dup_components covers edge-free docs)."""
+    from stractt_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5 (propagation needs >1 round), star 10-{11,12},
+        # pair 20-21
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_near_dup_components_transitive_cluster(spark):
+    """A~B and B~C (but A~C below threshold) must still land in ONE
+    cluster — the transitivity exact pairs alone cannot express."""
+    from stractt_spark.operators.dedup import near_dup_components
+
+    base = [f"tok{i}" for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(base[:36] + ["xx1", "xx2", "xx3", "xx4"])
+    c = " ".join(base[:32] + ["xx1", "xx2", "xx3", "xx4",
+                              "yy1", "yy2", "yy3", "yy4"])
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, "totally different content here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["component_id"], r["keep"])
+           for r in near_dup_components(
+               docs, "text", "doc_id", n=1, threshold=0.8, bands=32
+           ).collect()}
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)   # linked through B only
+    assert out[3] == (3, True)    # untouched singleton keeps itself
