@@ -1637,6 +1637,19 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(docs, "text", "doc_id")
 
 
+def _q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality filtering by EXACT quantile threshold (drop the
+    worst 20%): the discrete p20 threshold computed distributed
+    (merge-based quantile summary, no global sort), keep = strictly
+    above it.  Oracle: DuckDB quantile_disc over the same quality SQL —
+    threshold values agree exactly, and the strict comparison makes the
+    keep-set tie-deterministic."""
+    from stractt_spark.operators.textstats import quality_quantile_cut
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_quantile_cut(docs, "text", "doc_id", q=0.2)
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stractt_spark.operators.textstats import token_stats
 
@@ -2221,6 +2234,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "token_counts_bpe": _q_token_counts,
         "quality_score": _q_quality,
+        "quality_cut": _q_quality_cut,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         # multimodal plumbing
@@ -2529,6 +2543,20 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
+        "quality_cut": (
+            f"WITH {_TOKS_L_CTE}, "
+            "qs AS (SELECT doc_id, "
+            "round(0.4 * least(1.0, len(l) / 70.0) "
+            "+ 0.3 * (len(list_distinct(l)) / "
+            "CAST(greatest(len(l), 1) AS DOUBLE)) "
+            f"+ 0.3 * least(1.0, (len(list_filter(l, x -> "
+            f"list_contains({_STOPLIST_SQL}, x))) / "
+            "CAST(greatest(len(l), 1) AS DOUBLE)) / 0.3), 6) AS quality "
+            "FROM toks), "
+            "thr AS (SELECT quantile_disc(quality, 0.2) AS t FROM qs) "
+            "SELECT doc_id, quality, quality > thr.t AS keep "
+            "FROM qs, thr"
+        ),
         "harmonic_centrality_approx": (
             "SELECT node, centrality "
             "FROM '/tmp/stractt_expected_hyperball.parquet'"

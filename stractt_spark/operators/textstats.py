@@ -280,3 +280,34 @@ def heavy_hitters(
         .filter(F.col("n") > F.lit(N / k))
         .select("term", "n")
     )
+
+
+def quality_quantile_cut(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q: float = 0.2,
+):
+    """Corpus quality filtering by EXACT quantile threshold →
+    (doc_id, quality, keep): keep docs whose quality score is strictly
+    above the corpus's q-quantile — the "drop the worst X%" cut every
+    training-data pipeline applies before tokenization.
+
+    The threshold is the exact DISCRETE quantile (an actual data value)
+    computed distributed via a merge-based quantile summary at maximal
+    accuracy (`percentile_approx(…, 2^31−1)` is exact below 2^31 rows
+    and never needs a global sort — the scale-correct form; at larger
+    corpora, drop the accuracy to taste and the keep-set becomes
+    approximate near the boundary only).  ``keep = quality > threshold``
+    is tie-deterministic: every doc AT the threshold value drops,
+    independent of rank-definition edge cases."""
+    from pyspark.sql import functions as F
+
+    scored = quality_score(docs, text_col, id_col)
+    thr = scored.agg(
+        F.expr(f"percentile_approx(quality, {float(q)}, 2147483647)")
+    ).collect()[0][0]
+    return scored.select(
+        id_col, "quality",
+        (F.col("quality") > F.lit(float(thr))).alias("keep"),
+    )

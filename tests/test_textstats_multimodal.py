@@ -187,3 +187,25 @@ def test_heavy_hitters_exact_on_skewed_multipartition(spark):
     n_total = sum(c.values())
     want = {t: n for t, n in c.items() if n > n_total / k}
     assert got == want and "omega" in got and "common" in got
+
+
+def test_quality_quantile_cut_exact_threshold(spark):
+    """The distributed discrete-quantile threshold equals the sorted
+    definition, and exactly the strictly-above docs keep."""
+    import math
+
+    from stractt_spark.operators.textstats import (
+        quality_quantile_cut,
+        quality_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = {r["doc_id"]: (r["quality"], r["keep"])
+           for r in quality_quantile_cut(docs, "text", "doc_id",
+                                         q=0.3).collect()}
+    qualities = sorted(q for q, _ in out.values())
+    # discrete q-quantile: the value at rank ceil(q*n) (1-based)
+    thr = qualities[max(math.ceil(0.3 * len(qualities)) - 1, 0)]
+    for d, (q_, keep) in out.items():
+        assert keep == (q_ > thr), (d, q_, thr)
+    assert 0 < sum(k for _, k in out.values()) < len(out)
