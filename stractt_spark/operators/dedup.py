@@ -397,10 +397,120 @@ def connected_components(
             pass
         if changed == 0:
             break
+    else:
+        # ADVICE r4: exhausting max_iter with labels still moving means
+        # a component (diameter > max_iter chain) got SPLIT labels —
+        # silently returning would over-keep duplicate docs.  Fail loud;
+        # callers with genuinely deep graphs raise max_iter (or use
+        # star-contraction, which converges in O(log n) rounds).
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            f"iterations ({changed} labels still changing) — components "
+            "would be split; raise max_iter or use "
+            "connected_components_star"
+        )
     sym.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star contraction round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm):
+    for every node u, connect each strictly-LARGER neighbor to the
+    minimum of u's closed neighborhood.  Edges are unordered in the
+    algorithm, so the input is symmetrized here."""
+    e = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    mins = e.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        e.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge (larger → smaller), then for
+    every node u connect all its smaller neighbors AND u itself to the
+    minimum neighbor."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    to_min = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return to_min
+
+
+def connected_components_star(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — O(log n) rounds even on pathological chain/path
+    graphs where plain min-label propagation needs O(diameter) rounds
+    (the 100×-scale refinement :func:`connected_components` names).
+
+    Same output contract as :func:`connected_components`:
+    (doc_id, component_id = smallest id in the component).  Convergence
+    test: a large-star round that changes nothing means every edge
+    already points at its component minimum (the edge set is a star
+    forest rooted at the minima)."""
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    nodes = (
+        e.select("u").unionByName(e.select(F.col("v").alias("u")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # symmetric start
+    e = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # converged iff the star test holds: large-star is a no-op when
+        # every node's neighbors are already all ≤ it or it points at
+        # the min — check by edge-set equality (cheap: both checkpointed)
+        same = (
+            e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty()
+        )
+        e = e2
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: not converged after {max_iter} "
+            "rounds — raise max_iter"
+        )
+    # at convergence every edge is (node → component min); isolated-in-e
+    # roots label themselves
+    labels = (
+        nodes.join(e, "u", "left")
+        .groupBy("u")
+        .agg(F.min("v").alias("m"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce(F.col("m"), F.col("u")).alias("component_id"),
+        )
+    )
+    return labels
 
 
 def near_dup_components(

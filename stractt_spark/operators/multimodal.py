@@ -189,8 +189,13 @@ def decode_audio(
             for p in pdf["_p"]:
                 b = bytes(p)
                 rate, s = decode_wav(b)
-                # raw integer samples for the exact arithmetic check
+                # raw integer samples for the exact arithmetic check.
+                # Two-pass over the chunk list like decode_wav itself
+                # (ADVICE r4: RIFF does not order chunks — a payload
+                # with 'data' before 'fmt ' decodes in decode_wav but
+                # crashed the one-pass re-parse here).
                 bits = None
+                data = None
                 pos = 12
                 while pos + 8 <= len(b):
                     ct = b[pos:pos + 4]
@@ -199,15 +204,17 @@ def decode_audio(
                         bits = struct.unpack(
                             "<HHIIHH", b[pos + 8:pos + 24]
                         )[5]
-                    if ct == b"data":
-                        raw = np.frombuffer(
-                            b[pos + 8:pos + 8 + ln], dtype=_DTYPES[bits]
-                        )
-                        sums.append(int(
-                            (raw.astype(np.int64) ** 2).sum()
-                        ))
-                        break
+                    elif ct == b"data":
+                        data = b[pos + 8:pos + 8 + ln]  # last wins, like decode_wav
                     pos += 8 + ln + (ln & 1)
+                if bits is None or data is None:
+                    from ..functions.wav import WavError
+
+                    raise WavError(
+                        "decode_audio: missing fmt/data chunk"
+                    )
+                raw = np.frombuffer(data, dtype=_DTYPES[bits])
+                sums.append(int((raw.astype(np.int64) ** 2).sum()))
                 rates.append(rate)
                 frames.append(s.shape[0])
                 chans.append(s.shape[1])

@@ -523,7 +523,7 @@ def ann_ivf_topk(
     probes = sorted(
         cent, key=lambda c: (float(((cent[c] - qq) ** 2).sum()), c)
     )[:nprobe]
-    cells = _read_ivf_cells(spark, index_dir).filter(
+    cells = _read_ivf_cells(spark, index_dir, with_batch=True).filter(
         F.col("cell").isin([int(c) for c in probes])
     )
     cells = mask_deleted(spark, index_dir, cells)
@@ -594,14 +594,42 @@ def _ivf_cell_dirs(index_dir: str) -> list[str]:
     ]
 
 
-def _read_ivf_cells(spark, index_dir: str) -> DataFrame:
+def _batch_of_dir(d: str) -> int:
+    """Ledger batch id encoded in a cells/sign dir name (base dir = 0)."""
+    stem = d.rstrip("/").rsplit("/", 1)[-1]
+    for prefix in ("cells_b", "sign_b"):
+        if stem.startswith(prefix):
+            return int(stem[len(prefix):].split(".")[0])
+    return 0
+
+
+def _read_ivf_cells(
+    spark, index_dir: str, with_batch: bool = False
+) -> DataFrame:
     """Union of per-dir reads: each batch dir is its own partitioned
     root (Spark refuses multiple partition roots in one read); a cell
-    predicate still prunes directories inside EVERY member scan."""
+    predicate still prunes directories inside EVERY member scan.
+    ``with_batch`` tags each row with its ledger batch id so
+    :func:`mask_deleted` can scope tombstones (a re-appended vec_id's
+    NEW row must serve while the pre-delete row stays masked)."""
     dirs = _ivf_cell_dirs(index_dir)
     out = None
     for d in dirs:
         x = spark.read.parquet(d).select("cell", "vec_id", "e")
+        if with_batch:
+            x = x.withColumn("_batch", F.lit(_batch_of_dir(d)))
+        out = x if out is None else out.unionByName(x)
+    return out
+
+
+def _read_sign(spark, index_dir: str, with_batch: bool = False) -> DataFrame:
+    """Union of per-dir sign-table reads, optionally batch-tagged (same
+    tombstone-scoping contract as :func:`_read_ivf_cells`)."""
+    out = None
+    for d in _sign_dirs(index_dir):
+        x = spark.read.parquet(d)
+        if with_batch:
+            x = x.withColumn("_batch", F.lit(_batch_of_dir(d)))
         out = x if out is None else out.unionByName(x)
     return out
 
@@ -638,10 +666,16 @@ def append_ivf(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
     )
-    # refuse duplicate ids loudly: a re-sent vec_id would occupy two
-    # physical rows (two top-k slots, inflated num_vecs) until a retrain
+    # refuse duplicate LIVE ids loudly: a re-sent vec_id would occupy
+    # two serving rows (two top-k slots, inflated num_vecs) until a
+    # retrain.  Tombstoned ids are fine — that's the documented
+    # ``update = delete + append`` flow; the batch-scoped tombstone
+    # keeps the stale row masked while the new one serves.
     dup = base.join(
-        _read_ivf_cells(spark, index_dir).select("vec_id"),
+        mask_deleted(
+            spark, index_dir,
+            _read_ivf_cells(spark, index_dir, with_batch=True),
+        ).select("vec_id"),
         "vec_id", "left_semi",
     ).count()
     if dup:
@@ -703,7 +737,10 @@ def ivf_needs_retrain(
         dtype=np.float64,
     )
     rows = (
-        mask_deleted(spark, index_dir, _read_ivf_cells(spark, index_dir))
+        mask_deleted(
+            spark, index_dir,
+            _read_ivf_cells(spark, index_dir, with_batch=True),
+        )
         .withColumn("_r", F.xxhash64(F.col("vec_id"), F.lit("ivf-drift")))
         .orderBy("_r", "vec_id")
         .limit(int(sample))
@@ -751,8 +788,8 @@ def retrain_ivf(
     # rebuild, like the text index's compaction)
     allv = mask_deleted(
         spark, index_dir,
-        _read_ivf_cells(spark, index_dir).select("vec_id", "e"),
-    )
+        _read_ivf_cells(spark, index_dir, with_batch=True),
+    ).select("vec_id", "e")
     build_ivf_index(
         spark, allv, out_dir,
         n_cells=n_cells or m["n_cells"],
@@ -820,7 +857,9 @@ def append_sign_index(
     dup = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id")
     ).join(
-        spark.read.parquet(*_sign_dirs(index_dir)).select("vec_id"),
+        mask_deleted(
+            spark, index_dir, _read_sign(spark, index_dir, with_batch=True)
+        ).select("vec_id"),
         "vec_id", "left_semi",
     ).count()
     if dup:
@@ -844,7 +883,7 @@ def open_sign_index(spark, index_dir: str) -> DataFrame:
     """The full signature table (base ∪ ledgered appends, tombstoned
     vectors masked) — feed to :func:`ann_bucketed_topk`."""
     return mask_deleted(
-        spark, index_dir, spark.read.parquet(*_sign_dirs(index_dir))
+        spark, index_dir, _read_sign(spark, index_dir, with_batch=True)
     )
 
 
@@ -868,7 +907,7 @@ def merge_sign_indexes(
                 )
     allsig = None
     for d in source_dirs:
-        x = mask_deleted(spark, d, spark.read.parquet(*_sign_dirs(d)))
+        x = mask_deleted(spark, d, _read_sign(spark, d, with_batch=True))
         allsig = x if allsig is None else allsig.unionByName(x)
     allsig.write.mode("overwrite").parquet(f"{out_dir}/sign.parquet")
     n = spark.read.parquet(f"{out_dir}/sign.parquet").select(
@@ -896,10 +935,16 @@ def _tombstone_path(index_dir: str) -> str:
 def delete_vectors(spark, index_dir: str, vec_ids) -> int:
     """Tombstone vectors in an IVF or sign index — the same
     mask-now/reclaim-at-rebuild discipline as the text index's deletes:
-    a (vec_id) parquet append that queries anti-join BEFORE the top-k
-    cut; the rows leave physically at the next retrain/merge.  Returns
-    the number of NEW tombstones (already-deleted and unknown ids are
-    skipped)."""
+    a (vec_id, upto_batch) parquet append that queries anti-join BEFORE
+    the top-k cut; the rows leave physically at the next retrain/merge.
+    Returns the number of NEW tombstones (already-deleted and unknown
+    ids are skipped).
+
+    Tombstones are BATCH-SCOPED: ``upto_batch`` records the highest
+    ledgered batch at delete time, and masking only hides rows in
+    batches ≤ that mark.  This is what makes ``update = delete +
+    append`` actually work — the re-appended row lands in a LATER batch
+    and serves, while the stale pre-delete row stays masked forever."""
     from pyspark.sql import functions as F
 
     m = read_ann_manifest(index_dir)
@@ -907,24 +952,21 @@ def delete_vectors(spark, index_dir: str, vec_ids) -> int:
     if not ids:
         return 0
     if m.get("kind") == "ivf":
-        live = _read_ivf_cells(spark, index_dir).select("vec_id")
+        rows = _read_ivf_cells(spark, index_dir, with_batch=True)
     else:
-        live = spark.read.parquet(*_sign_dirs(index_dir)).select(
-            "vec_id"
-        ).distinct()
+        rows = _read_sign(spark, index_dir, with_batch=True)
+    # live = has at least one unmasked row (already-deleted ids have
+    # none; a deleted-then-re-appended id is live again and gets a NEW
+    # tombstone covering its new batch)
+    live = mask_deleted(spark, index_dir, rows).select("vec_id").distinct()
+    upto = max(m.get("append_batches", []), default=0)
     cand = spark.createDataFrame(
-        [(i,) for i in ids], "vec_id long"
+        [(i, int(upto)) for i in ids], "vec_id long, upto_batch int"
     ).join(live, "vec_id", "left_semi")
-    import os
-
-    tp = _tombstone_path(index_dir)
-    if os.path.isdir(tp):
-        cand = cand.join(
-            spark.read.parquet(tp), "vec_id", "left_anti"
-        )
     n = cand.count()
     if n == 0:
         return 0
+    tp = _tombstone_path(index_dir)
     cand.write.mode("append").parquet(tp)
     m["deleted_vecs"] = int(m.get("deleted_vecs", 0) + n)
     _write_ann_manifest(index_dir, m)
@@ -934,10 +976,27 @@ def delete_vectors(spark, index_dir: str, vec_ids) -> int:
 def mask_deleted(spark, index_dir: str, df: DataFrame) -> DataFrame:
     """Anti-join a result/candidate frame against the index's tombstones
     (no-op when none exist).  A plain anti join, NOT a forced broadcast —
-    the deleted set is unbounded over an index's lifetime."""
+    the deleted set is unbounded over an index's lifetime.
+
+    When ``df`` carries a ``_batch`` column (from ``with_batch=True``
+    reads), tombstones mask only rows with batch ≤ the tombstone's
+    ``upto_batch`` — re-appended rows in later batches survive.  Without
+    a batch column every row of a tombstoned id is masked (legacy /
+    conservative behavior, correct whenever no re-append happened)."""
     import os
 
     tp = _tombstone_path(index_dir)
     if not os.path.isdir(tp):
-        return df
-    return df.join(spark.read.parquet(tp), "vec_id", "left_anti")
+        return df.drop("_batch") if "_batch" in df.columns else df
+    t = spark.read.parquet(tp)
+    if "upto_batch" not in t.columns:  # legacy tombstones: mask all
+        t = t.withColumn("upto_batch", F.lit(2**31 - 1))
+    if "_batch" in df.columns:
+        t = t.select(
+            F.col("vec_id").alias("_t_vid"), F.col("upto_batch")
+        )
+        cond = (df["vec_id"] == t["_t_vid"]) & (
+            df["_batch"] <= t["upto_batch"]
+        )
+        return df.join(t, cond, "left_anti").drop("_batch")
+    return df.join(t.select("vec_id"), "vec_id", "left_anti")

@@ -293,20 +293,47 @@ def quality_quantile_cut(
     above the corpus's q-quantile — the "drop the worst X%" cut every
     training-data pipeline applies before tokenization.
 
-    The threshold is the exact DISCRETE quantile (an actual data value)
-    computed distributed via a merge-based quantile summary at maximal
-    accuracy (`percentile_approx(…, 2^31−1)` is exact below 2^31 rows
-    and never needs a global sort — the scale-correct form; at larger
-    corpora, drop the accuracy to taste and the keep-set becomes
-    approximate near the boundary only).  ``keep = quality > threshold``
-    is tie-deterministic: every doc AT the threshold value drops,
-    independent of rank-definition edge cases."""
+    The threshold definition is PINNED (ADVICE r4: don't rely on two
+    engines' quantile conventions coinciding): it is the data value at
+    0-based sorted rank ``ceil(q·n) − 1`` — the lower inverse-CDF
+    discrete quantile, the rule DuckDB's ``quantile_disc`` implements
+    (probed empirically).  Computed distributed and EXACTLY, without a
+    global sort: a merge-based quantile summary
+    (``percentile_approx(…, 2^31−1)``) proposes a candidate, then a
+    bounded rank-verification loop (one narrow aggregation per step,
+    stepping one distinct value when the candidate's rank interval
+    misses the target) certifies the value that actually holds the
+    pinned rank.  ``keep = quality > threshold`` is tie-deterministic:
+    every doc AT the threshold value drops."""
+    import math
+
     from pyspark.sql import functions as F
 
-    scored = quality_score(docs, text_col, id_col)
+    scored = quality_score(docs, text_col, id_col).cache()
+    n = scored.count()
+    if n == 0:
+        return scored.select(
+            id_col, "quality", F.lit(False).alias("keep")
+        )
+    r = max(int(math.ceil(float(q) * n)) - 1, 0)  # pinned 0-based rank
     thr = scored.agg(
         F.expr(f"percentile_approx(quality, {float(q)}, 2147483647)")
     ).collect()[0][0]
+    qc = F.col("quality")
+    for _ in range(64):
+        cnt_lt, cnt_le, max_below, min_above = scored.agg(
+            F.sum((qc < F.lit(thr)).cast("long")),
+            F.sum((qc <= F.lit(thr)).cast("long")),
+            F.max(F.when(qc < F.lit(thr), qc)),
+            F.min(F.when(qc > F.lit(thr), qc)),
+        ).collect()[0]
+        if (cnt_lt or 0) <= r < (cnt_le or 0):
+            break  # thr occupies ranks [cnt_lt, cnt_le) ∋ r — certified
+        thr = max_below if r < (cnt_lt or 0) else min_above
+    else:
+        raise RuntimeError(
+            "quality_quantile_cut: rank verification did not converge"
+        )
     return scored.select(
         id_col, "quality",
         (F.col("quality") > F.lit(float(thr))).alias("keep"),

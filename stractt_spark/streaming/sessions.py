@@ -79,13 +79,19 @@ def make_session_fold(gap_minutes: int):
                     s += v
             if n:
                 state.update((st, en, n, s))
-                # close when the watermark passes end + gap; clamp
-                # above the current watermark (Spark refuses a
-                # timeout at or below it — possible when a barely-
-                # on-time event extends a nearly-expired session)
+                # close exactly when the watermark passes end + gap:
+                # Spark fires an event-time timeout when timeout_ms <
+                # watermark_ms (strict), so timeout = (en+gap)//1000
+                # fires iff wm_ms*1000 > en+gap_us — the same strict
+                # microsecond comparison the batch-equality oracle
+                # uses (ADVICE r4: the former ms-truncation +1 could
+                # defer a close one microbatch past the contract).
+                # Clamp AT the current watermark (Spark refuses only
+                # timeouts BELOW it — possible when a barely-on-time
+                # event extends a nearly-expired session).
                 state.setTimeoutTimestamp(max(
-                    (en + gap_us) // 1000 + 1,
-                    state.getCurrentWatermarkMs() + 1,
+                    (en + gap_us) // 1000,
+                    state.getCurrentWatermarkMs(),
                 ))
         if closed:
             yield pd.DataFrame(

@@ -262,3 +262,69 @@ def test_sign_delete_masks_and_merge_reclaims(spark, vecs):
     assert not __import__("os").path.isdir(f"{out}/tombstones.parquet")
     assert spark.read.parquet(f"{out}/sign.parquet").filter(
         F.col("vec_id") == 42).count() == 0
+
+
+# ------------------------------------------- update = delete + append
+
+
+def test_ivf_update_delete_then_reappend(spark, vecs):
+    """ADVICE r4: the documented ``update = delete + append`` flow must
+    actually work — re-appending a tombstoned id is accepted, the NEW
+    row serves, and the stale pre-delete row stays masked (batch-scoped
+    tombstones)."""
+    from stractt_spark.operators.similarity import (
+        delete_vectors,
+        mask_deleted,
+        _read_ivf_cells,
+    )
+
+    rows, df = vecs
+    d = f"{BASE}/ivf_upd"
+    build_ivf_index(spark, df, d, n_cells=8)
+    q = rows[7][1]
+    assert ann_ivf_topk(spark, d, q, k=1, nprobe=8).collect()[0][
+        "vec_id"] == 7
+    assert delete_vectors(spark, d, [7]) == 1
+    # update: re-append id 7 with a DIFFERENT vector (vec 9's direction,
+    # slightly scaled so it stays distinguishable from vec 9 itself)
+    new_vec = [1.001 * x for x in rows[9][1]]
+    append_ivf(spark, d, spark.createDataFrame(
+        [(7, new_vec)], "vec_id long, embedding array<float>"))
+    # exactly ONE live row for id 7, and it is the new vector
+    live = mask_deleted(
+        spark, d, _read_ivf_cells(spark, d, with_batch=True)
+    ).filter(F.col("vec_id") == 7).collect()
+    assert len(live) == 1
+    assert np.allclose(list(live[0]["e"]), new_vec, atol=1e-6)
+    # a query in the new direction now finds the updated 7 near the top
+    got = ann_ivf_topk(spark, d, rows[9][1], k=3, nprobe=8).collect()
+    assert {r["vec_id"] for r in got[:2]} == {7, 9}
+    # and a query in the OLD direction no longer returns it first
+    assert ann_ivf_topk(spark, d, q, k=1, nprobe=8).collect()[0][
+        "vec_id"] != 7
+    # delete-again of the re-appended id masks the NEW row too
+    assert delete_vectors(spark, d, [7]) == 1
+    assert mask_deleted(
+        spark, d, _read_ivf_cells(spark, d, with_batch=True)
+    ).filter(F.col("vec_id") == 7).count() == 0
+    assert read_ann_manifest(d)["deleted_vecs"] == 2
+
+
+def test_sign_update_delete_then_reappend(spark, vecs):
+    from stractt_spark.operators.similarity import delete_vectors
+
+    rows, df = vecs
+    d = f"{BASE}/sign_upd"
+    build_sign_index_persisted(spark, df, d)
+    assert delete_vectors(spark, d, [42]) == 1
+    new_vec = [1.001 * x for x in rows[10][1]]
+    upd = spark.createDataFrame(
+        [(42, new_vec)], "vec_id long, embedding array<float>")
+    append_sign_index(spark, d, upd)
+    sig = open_sign_index(spark, d)
+    m = read_ann_manifest(d)
+    # one live signature row per table for id 42 — the updated ones
+    assert sig.filter(F.col("vec_id") == 42).count() == m["n_tables"]
+    corpus = df.filter(F.col("vec_id") != 42).unionByName(upd)
+    got = ann_bucketed_topk(corpus, sig, rows[10][1], k=2, radius=1).collect()
+    assert {r["vec_id"] for r in got} == {10, 42}
