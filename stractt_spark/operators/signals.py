@@ -63,3 +63,106 @@ def aggregate_signals(
     return joined.select("doc_id", expr.alias("score")).orderBy(
         F.desc("score"), F.asc("doc_id")
     )
+
+
+# ------------------------------------------------- full 8-signal vector
+
+# the COMPLETE reference coefficient vector (signal.rs:122-131)
+FULL_COEFFS: dict[str, float] = {
+    "bm25": 1.0,
+    "host_centrality": 2048.0,
+    "page_centrality": 4096.0,
+    "is_homepage": 0.1,
+    "fetch_time_ms": 0.1,
+    "update_timestamp": 80.0,
+    "num_trackers": 20.0,
+    "region": 60.0,
+}
+
+# fix-point scaling of centrality fastfields (schema.rs:23)
+CENTRALITY_SCALING = 1e9
+
+# cache sizes (signal.rs:220-221,247-251): fetch times ≥ 1000 ms and
+# updates older than 3 years score 0
+_FETCH_CACHE_LEN = 1000
+_UPDATE_CACHE_HOURS = 3 * 365 * 24
+
+
+def region_fractions(docs: DataFrame, region_col: str = "region") -> dict:
+    """RegionCount.score (webpage/region.rs:203-211): per-region fraction
+    of the corpus — a tiny driver-side dict (regions are an enum)."""
+    total = docs.count()
+    rows = docs.groupBy(region_col).count().collect()
+    return {int(r[region_col]): r["count"] / total for r in rows}
+
+
+def full_signal_values(
+    docs: DataFrame,
+    current_timestamp: int,
+    selected_region: int | None = None,
+    region_fracs: dict | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the reference's per-signal VALUE transforms
+    (signal.rs:62-120) to raw fastfield columns → one column per signal,
+    ready for the coefficient dot product (:data:`FULL_COEFFS`):
+
+    * ``host_centrality`` / ``page_centrality``: u64 fix-point / 1e9
+    * ``is_homepage``: 0/1 as double
+    * ``fetch_time_ms``: 1/(t+1) for t < 1000 ms, else 0
+    * ``update_timestamp``: 1/log2(hours_since_update + 1) for updates
+      within 3 years, else 0 (dt ≤ 0 → 0).  log2 is computed as
+      ln(2)/ln(h+1) so Spark and any ln-based oracle share bit-exact
+      arithmetic.  Reference quirk reproduced faithfully: an update
+      < 1 hour old gives hours = 0 → 1/log2(1) = +inf in the reference
+      too (f64 division by zero) — synthesize timestamps ≥ 1 h old.
+    * ``num_trackers``: 1/(n+1)
+    * ``region``: 50·[region == selected] + corpus fraction of the
+      doc's region (RegionCount.score)
+
+    All pure Catalyst expressions — no UDFs, whole-stage codegen."""
+    import math
+
+    c = F.col
+    dt = (F.lit(int(current_timestamp)) - c("update_timestamp")).cast("long")
+    hours = F.floor(F.greatest(dt, F.lit(1)) / F.lit(3600)).cast("long")
+    upd = (
+        F.when(dt <= 0, F.lit(0.0))
+        .when(
+            hours < F.lit(_UPDATE_CACHE_HOURS),
+            F.lit(math.log(2.0)) / F.log(hours.cast("double") + F.lit(1.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    fetch = F.when(
+        c("fetch_time_ms") < F.lit(_FETCH_CACHE_LEN),
+        F.lit(1.0) / (c("fetch_time_ms").cast("double") + F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    frac_items = []
+    for rid, fr in sorted((region_fracs or {}).items()):
+        frac_items += [F.lit(int(rid)), F.lit(float(fr))]
+    frac_map = F.create_map(*frac_items) if frac_items else None
+    region_val = (
+        F.when(
+            c("region") == F.lit(int(selected_region)), F.lit(50.0)
+        ).otherwise(F.lit(0.0))
+        if selected_region is not None
+        else F.lit(0.0)
+    )
+    if frac_map is not None:
+        region_val = region_val + F.coalesce(
+            F.element_at(frac_map, c("region").cast("int")), F.lit(0.0)
+        )
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        (c("host_centrality").cast("double") / F.lit(CENTRALITY_SCALING)
+         ).alias("host_centrality"),
+        (c("page_centrality").cast("double") / F.lit(CENTRALITY_SCALING)
+         ).alias("page_centrality"),
+        c("is_homepage").cast("double").alias("is_homepage"),
+        fetch.alias("fetch_time_ms"),
+        upd.alias("update_timestamp"),
+        (F.lit(1.0) / (c("num_trackers").cast("double") + F.lit(1.0))
+         ).alias("num_trackers"),
+        region_val.alias("region"),
+    )

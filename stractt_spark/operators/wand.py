@@ -593,8 +593,19 @@ def _segment_topk_kernel(
     has_empty_discard: bool = False,
     score_coeff: float | None = None,
     with_metrics: bool = False,
+    ladder: tuple[tuple[float, int], ...] | None = None,
+    ladder_w: float = 0.0,
 ) -> pd.DataFrame:
-    """``max_docs``: early-termination quota — consider at most this many
+    """``ladder``: (boost, slop) proximity rungs scored IN-RETRIEVAL as
+    Should clauses over the full query-term sequence (reference
+    src/query/mod.rs:45-93) — the bonus lands BEFORE the per-segment
+    top-k cut, so a doc ranked low by base BM25 but lifted by tight
+    phrase proximity wins here exactly as in the reference (no two-phase
+    overfetch window to fall out of).  ``ladder_w`` is the shared phrase
+    weight Σ idf × (K1+1).  Ladder mode routes through the exact paths
+    (the block-max envelopes don't carry the bonus).
+
+    ``max_docs``: early-termination quota — consider at most this many
     docs of the driving posting list per segment (the reference's
     total_docs/num_segments cap, src/collector.rs:39-42,116-127).  On a
     PRESORTED index (doc ids assigned by pre-score rank) the quota keeps
@@ -681,17 +692,16 @@ def _segment_topk_kernel(
     def dl_of(ids: np.ndarray) -> np.ndarray:
         return dl_table[norms[(ids - base).astype(np.int64)]]
 
-    def intersect_terms(required: list[str], track: list[str]):
-        """Rarest-first block-skip leapfrog AND over ``required`` terms;
-        returns (ids, {t: aligned tf array for t in track}) or None."""
-        order_ = sorted(required, key=lambda t: int(by_term[t]["num_docs"].sum()))
+    def intersect_rest(
+        order_: list[str],
+        ids_: np.ndarray,
+        tfs_: np.ndarray,
+        track: list[str],
+    ):
+        """Narrow candidate ids (the decoded first/rarest term) through
+        the remaining terms' candidate-intersecting blocks; returns
+        (ids, {t: aligned tf array for t in track}) or None."""
         first = order_[0]
-        if kmetrics is not None and first in qweights:
-            kmetrics["blocks_decoded"] += len(by_term[first])
-        ids_, tfs_ = decode_term_blocks(by_term[first])
-        ids_ = ids_.astype(np.int64)
-        if max_docs is not None and ids_.size > max_docs:
-            ids_, tfs_ = ids_[:max_docs], tfs_[:max_docs]
         tracked: dict[str, np.ndarray] = {}
         if first in track:
             tracked[first] = tfs_
@@ -716,11 +726,122 @@ def _segment_topk_kernel(
                 tracked[t] = t_tfs[sel]
         return (ids_, tracked) if ids_.size else None
 
+    def intersect_terms(required: list[str], track: list[str]):
+        """Rarest-first block-skip leapfrog AND over ``required`` terms;
+        returns (ids, {t: aligned tf array for t in track}) or None."""
+        order_ = sorted(required, key=lambda t: int(by_term[t]["num_docs"].sum()))
+        first = order_[0]
+        if kmetrics is not None and first in qweights:
+            kmetrics["blocks_decoded"] += len(by_term[first])
+        ids_, tfs_ = decode_term_blocks(by_term[first])
+        ids_ = ids_.astype(np.int64)
+        if max_docs is not None and ids_.size > max_docs:
+            ids_, tfs_ = ids_[:max_docs], tfs_[:max_docs]
+        return intersect_rest(order_, ids_, tfs_, track)
+
     # canonical phrase order: sorted by joined text (stable → query order
     # for equal text), matching the oracle and the exhaustive path
     ph_order = sorted(range(len(phrases)), key=lambda i: " ".join(phrases[i]))
 
-    if mode == "must":
+    if mode == "must" and (
+        pre is not None
+        and max_docs is None
+        and not with_count
+        and not const_clauses
+        and not has_empty_discard
+        and score_coeff is None
+        and ladder is None
+    ):
+        # PRESORTED early-terminating AND: doc ids ascend ⇔ pre DESCENDS
+        # (production flavor — the reference's score-sorted segments,
+        # src/inverted_index.rs:100-106).  Process the rarest term's
+        # blocks in ascending chunks, bank exact pre+bm25+phrase scores,
+        # and stop once the next chunk's best-possible score — its first
+        # doc's pre plus the query's bm25 ceiling (tf_comp < 1 ⇒
+        # bm25 < Σ qweights + Σ pweights) — falls below the banked k-th.
+        # Exclusions are applied during banking so the threshold is
+        # never inflated by a doc that would later drop.
+        required = list(dict.fromkeys(
+            present + [t for ph in phrases for t in ph] + filter_terms
+        ))
+        order_ = sorted(
+            required, key=lambda t: int(by_term[t]["num_docs"].sum())
+        )
+        first = order_[0]
+        g_first = by_term[first]
+        ub_query = float(sum(qweights[t] for t in present) + sum(pweights))
+        excluded_sorted = (
+            np.sort(excluded) if excluded is not None else None
+        )
+        firsts_arr = g_first["first_doc_id"].to_numpy(dtype=np.int64)
+        bids: list[np.ndarray] = []
+        bscs: list[np.ndarray] = []
+        n_banked = 0
+        kth = -np.inf
+        CHUNK = 8
+        for c0 in range(0, len(g_first), CHUNK):
+            if n_banked >= k and (
+                pre[int(firsts_arr[c0] - base)] + ub_query < kth
+            ):
+                break  # every remaining doc's score is below the k-th
+            sub = g_first.iloc[c0:c0 + CHUNK]
+            if kmetrics is not None and first in qweights:
+                kmetrics["blocks_decoded"] += len(sub)
+            c_ids, c_tfs = decode_block_subset(sub)
+            res = intersect_rest(
+                order_, c_ids.astype(np.int64), c_tfs, track=present
+            )
+            if res is None:
+                continue
+            ids_c, tfs_c = res
+            pfs_c: list[np.ndarray] = []
+            dead = False
+            for i in range(len(phrases)):
+                pf = _phrase_freqs(by_term, phrases[i], ids_c)
+                keep = pf > 0
+                if not keep.any():
+                    dead = True
+                    break
+                ids_c = ids_c[keep]
+                for prev in tfs_c:
+                    tfs_c[prev] = tfs_c[prev][keep]
+                for j in range(len(pfs_c)):
+                    pfs_c[j] = pfs_c[j][keep]
+                pfs_c.append(pf[keep])
+            if dead or ids_c.size == 0:
+                continue
+            if excluded_sorted is not None:
+                m = ~_sorted_isin(excluded_sorted, ids_c)
+                ids_c = ids_c[m]
+                for prev in tfs_c:
+                    tfs_c[prev] = tfs_c[prev][m]
+                pfs_c = [p[m] for p in pfs_c]
+            if ids_c.size == 0:
+                continue
+            dls_c = dl_of(ids_c)
+            sc = np.zeros(ids_c.size, dtype=np.float64)
+            for t in sorted(present):  # canonical fp order: terms first
+                sc += qweights[t] * _tf_comp(
+                    tfs_c[t].astype(np.float64), dls_c, avgdl
+                )
+            for i in ph_order:  # then phrases by text
+                sc += pweights[i] * _tf_comp(
+                    pfs_c[i].astype(np.float64), dls_c, avgdl
+                )
+            sc = sc + pre[(ids_c - base).astype(np.int64)]
+            bids.append(ids_c)
+            bscs.append(sc)
+            n_banked += ids_c.size
+            if n_banked >= k:
+                allsc = np.concatenate(bscs)
+                kth = np.partition(allsc, allsc.size - k)[allsc.size - k]
+        ids = (
+            np.concatenate(bids) if bids else np.zeros(0, dtype=np.int64)
+        )
+        score = np.concatenate(bscs) if bscs else np.zeros(0)
+        excluded = None  # applied during banking
+        pre = None       # folded into the banked scores
+    elif mode == "must":
         required = list(dict.fromkeys(
             present + [t for ph in phrases for t in ph] + filter_terms
         ))
@@ -804,12 +925,17 @@ def _segment_topk_kernel(
         ids = np.concatenate(ids_parts) if ids_parts else np.zeros(0, dtype=np.int64)
         score = np.concatenate(score_parts) if score_parts else np.zeros(0)
     elif (
-        len(present) >= 2
+        # ≥2 terms, or a single term on a PRESORTED index: the combined
+        # pre+bm25 envelope gives real skip even for one common term
+        # (block bound = block-max pre + term ub; the doc-id-ordered
+        # single-term case is handled by the dedicated branch above)
+        (len(present) >= 2 or (len(present) == 1 and pre is not None))
         and not phrases
         and not filter_terms
         and max_docs is None
         and not with_count
         and not const_clauses
+        and ladder is None
         and not (
             # dense-union fallback: when EVERY term is above the cheap
             # limit (no high-idf seed to bank a threshold from) and the
@@ -890,6 +1016,37 @@ def _segment_topk_kernel(
             # block — report it as such (no pruning win to overstate)
             kmetrics["blocks_decoded"] = kmetrics["blocks_total"]
 
+    if (
+        ladder is not None and len(terms) >= 2 and ids.size
+        and all(t in by_term for t in terms)
+    ):
+        # in-retrieval proximity ladder: Should-phrases over the FULL
+        # query-term sequence at each (boost, slop) rung, scored before
+        # the top-k cut (src/query/mod.rs:45-93).  Only all-terms docs
+        # can match any rung, so candidates = the AND set — in must mode
+        # that is every result; in should mode one narrowed intersection
+        # pass finds them inside the (sorted) union.
+        if mode == "must":
+            cand = ids
+            sel = np.arange(ids.size)
+        else:
+            res_l = intersect_terms(list(dict.fromkeys(terms)), track=[])
+            if res_l is not None:
+                cand = res_l[0]
+                sel = np.searchsorted(ids, cand)
+            else:
+                cand = np.zeros(0, dtype=np.int64)
+                sel = cand
+        if cand.size:
+            slops_l = [s for _, s in ladder]
+            freqs_l = _ladder_freqs(by_term, list(terms), cand, slops_l)
+            dls_l = dl_of(cand)
+            bonus = np.zeros(cand.size, dtype=np.float64)
+            for si, (b, _slop) in enumerate(ladder):
+                bonus += b * ladder_w * _tf_comp(
+                    freqs_l[:, si].astype(np.float64), dls_l, avgdl
+                )
+            score[sel] = score[sel] + bonus
     if score_coeff is not None and ids.size:
         # @bm25 alteration: scales ONLY the relevance signal, before the
         # pre-computed signal and const bonuses land (signal.rs:343-387)
@@ -994,8 +1151,15 @@ def wand_topk(
     score_coeff: float | None = None,
     extra_neg_terms: list[str] | None = None,
     with_metrics: bool = False,
+    ladder: tuple[tuple[float, int], ...] | None = None,
 ) -> DataFrame:
     """→ (doc_id, score) global top-k from the segment index.
+
+    ``ladder``: (boost, slop) proximity rungs scored in-retrieval inside
+    the per-segment kernel (single-phase — reference parity with the
+    Should-phrase ladder of src/query/mod.rs:45-93).  Needs a
+    positions=True index; incompatible with the max-docs quota (the
+    quota's pre-dominance soundness argument doesn't cover the bonus).
 
     ``with_metrics=True`` changes the return into a driver-side
     ``(top_list, metrics)`` tuple where metrics sums the per-segment
@@ -1040,6 +1204,20 @@ def wand_topk(
         sum(idf_fn(term_df.get(t, 0), num_docs) for t in ph) * (K1 + 1.0)
         for ph in phrases
     ]
+    ladder_w = 0.0
+    if ladder is not None:
+        if max_docs_per_segment is not None:
+            raise ValueError(
+                "proximity ladder + max-docs quota is unsupported: the "
+                "quota's soundness argument does not bound the ladder "
+                "bonus"
+            )
+        if len(uniq) < 2:
+            ladder = None  # a 1-term query has no proximity rungs
+        else:
+            ladder_w = sum(
+                idf_fn(term_df.get(t, 0), num_docs) for t in uniq
+            ) * (K1 + 1.0)
     from .segments import attr_term
 
     # attribute filters → reserved-namespace filter terms (Must) and extra
@@ -1071,7 +1249,7 @@ def wand_topk(
         "segment_id", "term", "block_id", "first_doc_id", "last_doc_id",
         "num_docs", "id_bytes", "tf_bytes", "max_tf", "min_norm_id",
     ]
-    if phrases or clause_patterns:
+    if phrases or clause_patterns or ladder is not None:
         cols.insert(8, "pos_bytes")
     seg_filtered = segments.filter(
         F.col("term").isin(
@@ -1088,6 +1266,8 @@ def wand_topk(
             has_empty_discard=has_empty_discard,
             score_coeff=score_coeff,
             with_metrics=with_metrics,
+            ladder=ladder,
+            ladder_w=ladder_w,
         )
 
     per_seg = (

@@ -829,28 +829,26 @@ class SegmentIndex:
         ]
         return rerank_diverse(rows, key_fns, scales, k)
 
-    def search_proximity(
-        self, query: str, k: int = 10, mode: str = "must", overfetch: int = 4
-    ):
-        """Two-phase retrieval: WAND top-(k×overfetch) then the proximity
-        ladder rescoring (reference query/mod.rs:45-93).  Requires a
-        positions=True index."""
+    def search_proximity(self, query: str, k: int = 10, mode: str = "must"):
+        """Single-phase proximity retrieval: the (boost, slop) ladder is
+        scored as Should clauses INSIDE the per-segment kernel, before
+        the top-k cut — exact reference semantics (query/mod.rs:45-93;
+        r4 VERDICT #3: the former two-phase overfetch rescoring could
+        miss a doc whose base rank fell outside the overfetch window).
+        Requires a positions=True index."""
         from ..functions.query_parse import parse_query
-        from ..operators.wand import proximity_rescore
+        from ..operators.wand import PROXIMITY_LADDER, wand_topk
 
         if not self.stats.get("positions"):
             raise ValueError("proximity needs an index built with positions=True")
         pq = parse_query(query, self.analyzer)
-        base = [
-            (r["doc_id"], r["score"])
-            for r in self.search(query, k * overfetch, mode).collect()
-        ]
-        tdf = self.term_df(pq.uniq_terms)
-        return proximity_rescore(
-            self.segments, self.norms, pq.uniq_terms, base,
-            self.stats["num_docs"], self.stats["avgdl"], tdf,
-            self.stats["docs_per_segment"], k=k,
-        )
+        tdf = self.term_df(pq.all_match_terms)
+        rows = wand_topk(
+            self.segments, self.norms, pq, self.stats["num_docs"],
+            self.stats["avgdl"], tdf, k=k, mode=mode,
+            analyzer=self.analyzer, ladder=PROXIMITY_LADDER,
+        ).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
 
     def search_corrected(
         self, query: str, k: int = 10, mode: str = "must",
