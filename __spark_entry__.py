@@ -444,6 +444,129 @@ def _q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_multifield4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR-field boosted BM25 (r4 VERDICT #5 — the reference's real
+    schema shape, src/schema.rs:294-315: title/body/site/url analogue =
+    source 10 / text 4 / repo 3 / lang 1) with a per-field PhraseQuery
+    AND an attr filter in ONE query: ``repo3.code merge lang:en``.
+    The repo field is synthesized deterministically ('repo'||(doc_id%13)
+    ||'.code'), so the multi-token unit "repo3.code" becomes a per-field
+    phrase that can only match there; "merge" matches in text; lang:en
+    is an identity attr term.  Oracle: per-field BM25 units + the phrase
+    weight arithmetic in SQL."""
+    import hashlib
+
+    from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
+        build_index_fused_multifield,
+    )
+
+    key = "mf4:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs4 = docs.select(
+            "doc_id", "source", "text", "lang",
+            F.concat(
+                F.lit("repo"), (F.col("doc_id") % 13).cast("string"),
+                F.lit(".code"),
+            ).alias("repo"),
+        )
+        out = "/tmp/stractt_entry_mf4_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        build_index_fused_multifield(
+            spark, docs4, out,
+            {"source": "source", "text": "text", "repo": "repo",
+             "lang": "lang"},
+            id_col="doc_id", analyzer="ascii", docs_per_segment=256,
+            field_boosts={"source": 10.0, "text": 4.0, "repo": 3.0,
+                          "lang": 1.0},
+            positions=True, attr_cols=["lang"],
+        )
+        _WAND_INDEX_CACHE[key] = MultiFieldSegmentIndex(spark, out)
+    idx = _WAND_INDEX_CACHE[key]
+    top = idx.search("repo3.code merge lang:en", k=10, mode="must",
+                     phrase=True)
+    return top.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+_MF4_FIELDS = [("source", 10.0), ("text", 4.0), ("repo", 3.0),
+               ("lang", 1.0)]
+
+
+def _mf4_sql() -> str:
+    """Per-field BM25 + phrase-weight oracle for the 4-field gate: the
+    'merge' term is scored in every field it appears in (UNION ALL over
+    the four per-field unit scores); the "repo3.code" phrase matches iff
+    the synthesized repo field equals the literal (its 3 tokens are the
+    whole field), weighted boost·(Σ member idf)·2.2·tf-component with
+    the members' idfs added in phrase order; Must = both query units
+    matched; lang:en restricts."""
+    field_ctes, avg_parts = [], []
+    for f_, _b in _MF4_FIELDS:
+        field_ctes.append(
+            f"toks_{f_} AS (SELECT d.doc_id AS doc_id, t.term AS term "
+            f"FROM docs4 d, unnest(regexp_extract_all(lower(d.{f_}), "
+            f"'{TOKEN_RE}')) AS t(term)), "
+            f"tf_{f_} AS (SELECT doc_id, term, count(*) AS tf "
+            f"FROM toks_{f_} GROUP BY doc_id, term), "
+            f"dl_{f_} AS (SELECT doc_id, count(*) AS dl FROM toks_{f_} "
+            "GROUP BY doc_id), "
+            f"dlq_{f_} AS (SELECT dl.doc_id, "
+            f"(SELECT max(v) FROM norm WHERE v <= dl.dl) AS dl_quant "
+            f"FROM dl_{f_} dl), "
+            f"df_{f_} AS (SELECT term, count(*) AS c FROM tf_{f_} "
+            "GROUP BY term)"
+        )
+        avg_parts.append(
+            f"(SELECT CAST(sum(dl) AS DOUBLE) FROM dl_{f_}) / "
+            f"(SELECT count(*) FROM docs4) AS avgdl_{f_}"
+        )
+    stats = (
+        "stats AS (SELECT (SELECT count(*) FROM docs4) AS n_docs, "
+        + ", ".join(avg_parts) + ")"
+    )
+    term_units = []
+    for f_, b in _MF4_FIELDS:
+        term_units.append(
+            f"SELECT tf.doc_id, tf.term, "
+            f"{b} * (ln(1 + (s.n_docs - d.c + 0.5) / (d.c + 0.5)) * 2.2) * "
+            f"(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * "
+            f"(q.dl_quant / s.avgdl_{f_})))) AS ts "
+            f"FROM tf_{f_} tf JOIN dlq_{f_} q USING (doc_id) "
+            f"JOIN df_{f_} d USING (term) CROSS JOIN stats s "
+            "WHERE tf.term IN ('merge')"
+        )
+    idf = (
+        "(SELECT ln(1 + (s.n_docs - c + 0.5) / (c + 0.5)) "
+        "FROM df_repo WHERE term = '{m}')"
+    )
+    phrase_unit = (
+        "SELECT d.doc_id, 'repo3.code' AS term, "
+        "3.0 * ((" + idf.format(m="repo3") + " + " + idf.format(m=".")
+        + " + " + idf.format(m="code") + ") * 2.2) * "
+        "(1.0 / (1.0 + 1.2 * (0.25 + 0.75 * "
+        "(q.dl_quant / s.avgdl_repo)))) AS ts "
+        "FROM docs4 d JOIN dlq_repo q USING (doc_id) CROSS JOIN stats s "
+        "WHERE d.repo = 'repo3.code'"
+    )
+    units = " UNION ALL ".join(term_units + [phrase_unit])
+    return (
+        f"WITH {_NORM_CTE}, docs4 AS (SELECT doc_id, source, text, lang, "
+        "'repo' || CAST(doc_id % 13 AS VARCHAR) || '.code' AS repo "
+        "FROM documents), "
+        f"{', '.join(field_ctes)}, {stats}, units AS ({units}) "
+        "SELECT u.doc_id, round(sum(u.ts), 4) AS score "
+        "FROM units u JOIN docs4 d4 ON u.doc_id = d4.doc_id "
+        "WHERE d4.lang = 'en' "
+        "GROUP BY u.doc_id HAVING count(DISTINCT u.term) = 2 "
+        "ORDER BY sum(u.ts) DESC, u.doc_id ASC LIMIT 10"
+    )
+
+
 def _mf_sql(terms: list[str], boosts: dict[str, float]) -> str:
     """Per-field BM25 oracle: independent tokenization / df / fieldnorm /
     avgdl per field, unit scores boost_f·idf_f·2.2·tf-component, Must =
@@ -609,6 +732,31 @@ def _q_spell_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spell_corrected_sql() -> str:
+    base = _bm25_sql(["merge", "sort"], "must")
+    return base.replace(
+        "SELECT doc_id, round(sum(ts), 4) AS score ",
+        "SELECT doc_id, round(sum(ts), 4) AS score, "
+        "'merge sort' AS corrected ",
+    )
+
+
+def _q_compound_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-result compound → split retry (reference
+    src/spell/splitter.rs:26 — r4 VERDICT #9): "mergesort" has no
+    postings, the term dictionary splits it into the most probable known
+    pair (balanced split maximizing the smaller df → "merge sort"), and
+    the rows are that query's ordinary top-10.  Oracle: the split
+    query's full-scan BM25 with the corrected string pinned as a
+    literal."""
+    idx = _wand_index(spark, sf_dir)
+    rows, corrected = idx.search_split("mergesort", k=10, mode="must")
+    return spark.createDataFrame(
+        [(int(d), round(s, 4), corrected) for d, s in rows],
+        "doc_id long, score double, corrected string",
+    )
+
+
+def _compound_split_sql() -> str:
     base = _bm25_sql(["merge", "sort"], "must")
     return base.replace(
         "SELECT doc_id, round(sum(ts), 4) AS score ",
@@ -2317,6 +2465,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_nbytes": _q_multimodal,
         # -- new round-5 gates
         "signals_full": _q_signals_full,
+        "compound_split": _q_compound_split,
+        "bm25_multifield4": _q_bm25_multifield4,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -2643,6 +2793,8 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "signals_full": _signals_full_sql(),
+        "compound_split": _compound_split_sql(),
+        "bm25_multifield4": _mf4_sql(),
         "bm25_wand_and": _bm25_sql(["merge", "sort"], "must"),
         "bm25_wand_or": _bm25_sql(["hash", "join"], "should"),
         "bm25_merged": _bm25_sql(["merge", "sort"], "should"),

@@ -32,6 +32,11 @@ class ParsedQuery:
     phrases: list[list[str]] = field(default_factory=list)
     filters: dict[str, str] = field(default_factory=dict)      # field -> value (Must)
     anti_filters: dict[str, str] = field(default_factory=dict)  # field -> value (MustNot)
+    # ``!tag`` shortcut candidates in query order (reference
+    # Term::PossibleBang, src/query/parser.rs:312-313): recorded for
+    # redirect resolution AND still scored as a normal term ("!tag"
+    # re-enters simple tokenization, parser.rs:164-170)
+    bangs: list[str] = field(default_factory=list)
 
     @property
     def uniq_terms(self) -> list[str]:
@@ -64,6 +69,11 @@ def parse_query(query: str, analyzer: str = "ascii", phrase: bool = False) -> Pa
             fieldname, value = pref[:-1], body[len(pref):]
             (out.anti_filters if neg else out.filters)[fieldname] = value
             continue
+        if not neg and body.startswith("!") and len(body) > 1:
+            # candidate bang: surfaced for redirect resolution, and the
+            # whole "!tag" unit still tokenizes into the match terms
+            # (the reference's PossibleBang → simple_into_tantivy path)
+            out.bangs.append(body[1:])
         toks = an(body)
         if neg:
             out.neg_terms.extend(toks)
@@ -80,3 +90,27 @@ def parse_query(query: str, analyzer: str = "ascii", phrase: bool = False) -> Pa
             capped.append(t)
     out.pos_terms = capped
     return out
+
+
+def resolve_bang(
+    query: str, bangs: dict[str, str]
+) -> tuple[str, str] | None:
+    """``!tag`` shortcut resolution (reference src/bangs.rs:81-118): the
+    FIRST top-level ``!tag`` unit whose tag is registered wins; the
+    redirect URL is the bang's template with ``{{{s}}}`` replaced by the
+    rest of the query (every other unit verbatim, including other bangs
+    — the reference substitutes each remaining term's string form, which
+    round-trips to its original syntax).  A negated ``-!tag`` is a
+    MustNot term, not a bang (the reference only matches top-level
+    PossibleBang).  Returns (tag, redirect_url) or None.
+
+    ``bangs`` maps tag → URL template — the driver-side analogue of the
+    reference's JSON bang table (a small broadcastable dict)."""
+    units = query.split()
+    for i, u in enumerate(units):
+        if u.startswith("!") and len(u) > 1 and not u.startswith("!-"):
+            tag = u[1:]
+            if tag in bangs:
+                rest = " ".join(units[:i] + units[i + 1:])
+                return tag, bangs[tag].replace("{{{s}}}", rest)
+    return None

@@ -422,19 +422,29 @@ def _large_star(e: DataFrame) -> DataFrame:
     for every node u, connect each strictly-LARGER neighbor to the
     minimum of u's closed neighborhood.  Edges are unordered in the
     algorithm, so the input is symmetrized here."""
-    e = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
-    mins = e.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m")
-    )
+    # symmetrize by exploding each edge into both directions (single
+    # plan branch — a self-unionByName of shared lineage trips Spark's
+    # attribute dedup on checkpointed inputs, SPARK "key not found")
+    e = _both_directions(e).distinct()
+    # neighborhood min via a window: ONE shuffle on u, no self-join
+    m = F.least(F.col("u"), F.min("v").over(Window.partitionBy("u")))
     return (
-        e.join(mins, "u")
+        e.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+
+
+def _both_directions(e: DataFrame) -> DataFrame:
+    """(u,v) → rows (u,v) and (v,u) via explode — one plan branch."""
+    return e.select(
+        F.explode(F.array(
+            F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+            F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+        )).alias("s")
+    ).select("s.u", "s.v")
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -444,15 +454,22 @@ def _small_star(e: DataFrame) -> DataFrame:
     oriented = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).filter(F.col("u") != F.col("v")).distinct()
-    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-    to_min = (
-        oriented.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .unionByName(mins.select("u", F.col("m").alias("v")))
+    withm = oriented.withColumn(
+        "m", F.min("v").over(Window.partitionBy("u"))
+    )
+    # emit (v→m) and (u→m) from ONE plan branch (explode, not a
+    # self-union — see _large_star)
+    return (
+        withm.select(
+            F.explode(F.array(
+                F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+            )).alias("s")
+        )
+        .select("s.u", "s.v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    return to_min
 
 
 def connected_components_star(
@@ -475,14 +492,12 @@ def connected_components_star(
         .select(F.col("a").alias("u"), F.col("b").alias("v"))
     )
     nodes = (
-        e.select("u").unionByName(e.select(F.col("v").alias("u")))
+        _both_directions(e).select("u")
         .distinct()
         .localCheckpoint(eager=True)
     )
     # symmetric start
-    e = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
+    e = _both_directions(e).distinct().localCheckpoint(eager=True)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # converged iff the star test holds: large-star is a no-op when

@@ -870,6 +870,38 @@ class SegmentIndex:
         corrected = " ".join(suggestion)
         return self.search_list(corrected, k=k, mode=mode), corrected
 
+    def search_split(
+        self, query: str, k: int = 10, mode: str = "must",
+        dict_size: int = 100_000,
+    ):
+        """Zero-result query → compound-split retry (reference
+        src/spell/splitter.rs:26): each term unknown to the term
+        dictionary is split into the most probable known pair (the
+        balanced split maximizing the smaller document count), and the
+        rewritten query is retried — "mergesort" → "merge sort".
+        Returns (rows, corrected_query | None), the same surface as
+        :meth:`search_corrected`."""
+        rows = self.search_list(query, k=k, mode=mode)
+        if rows:
+            return rows, None
+        from ..functions.query_parse import parse_query
+
+        pq = parse_query(query, self.analyzer)
+        sp = self.spell_checker(dict_size)
+        changed = False
+        out_terms: list[str] = []
+        for t in pq.pos_terms:
+            parts = sp.split_compound(t)
+            if parts:
+                out_terms.extend(parts)
+                changed = True
+            else:
+                out_terms.append(t)
+        if not changed:
+            return rows, None
+        corrected = " ".join(out_terms)
+        return self.search_list(corrected, k=k, mode=mode), corrected
+
     def spell_checker(self, dict_size: int = 100_000):
         """Broadcastable top-N term dictionary → SpellChecker
         (reference src/spell/dictionary.rs:135-149)."""

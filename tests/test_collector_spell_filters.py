@@ -163,3 +163,56 @@ def test_search_corrected_fallback(spark):
     # clean query → no correction attempted
     got2, corrected2 = idx.search_corrected("buffer scan", k=5, mode="must")
     assert corrected2 is None and got2 == direct
+
+
+def test_bang_parsing_and_resolution():
+    """``!bang`` shortcuts (reference src/query/parser.rs:312-313 +
+    src/bangs.rs:133-190 — the reference's own unit test is the spec):
+    unregistered tags fall through to normal term scoring; the first
+    registered tag redirects with {{{s}}} substituted."""
+    from stractt_spark.functions.query_parse import (
+        parse_query,
+        resolve_bang,
+    )
+
+    table = {"ty": "https://www.youtube.com/results?search_query={{{s}}}"}
+    # no bang at all
+    assert parse_query("no bangs").bangs == []
+    assert resolve_bang("no bangs", table) is None
+    # a bang-shaped term with an unregistered tag: surfaced as a
+    # candidate, no redirect, and STILL scored as a normal term
+    pq = parse_query("!no bangs")
+    assert pq.bangs == ["no"]
+    assert pq.pos_terms == ["!", "no", "bangs"]  # punct-as-token parity
+    assert resolve_bang("!no bangs", table) is None
+    # registered tag → redirect with the rest of the query substituted
+    pq = parse_query("!ty bangs")
+    assert pq.bangs == ["ty"]
+    assert resolve_bang("!ty bangs", table) == (
+        "ty", "https://www.youtube.com/results?search_query=bangs"
+    )
+    # substitution keeps every OTHER unit verbatim, bang position free
+    assert resolve_bang("cat !ty videos", table)[1] == (
+        "https://www.youtube.com/results?search_query=cat videos"
+    )
+    # negated bang is a MustNot term, not a shortcut
+    pq = parse_query("-!ty bangs")
+    assert pq.bangs == []
+    assert "!" in pq.neg_terms and "ty" in pq.neg_terms
+    assert resolve_bang("-!ty bangs", table) is None
+
+
+def test_search_split_compound(built):
+    """Zero-result compound query → balanced dictionary split retry
+    (reference src/spell/splitter.rs:26): rows == the split query's
+    ordinary top-k, and the corrected string is surfaced."""
+    idx, _rows = built
+    rows, corrected = idx.search_split("mergesort", k=5, mode="must")
+    assert corrected == "merge sort"
+    assert rows == idx.search_list("merge sort", k=5, mode="must")
+    # a query with results is returned untouched
+    rows2, corr2 = idx.search_split("merge sort", k=5, mode="must")
+    assert corr2 is None and rows2 == rows
+    # an unknown, unsplittable term stays zero-result, no correction
+    rows3, corr3 = idx.search_split("zzqqzzqq", k=5, mode="must")
+    assert corr3 is None and rows3 == []
