@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""LLM-pipeline operators at SCALE (r4 VERDICT #7): MinHash dedup,
+connected components, and IVF ANN measured at ≥ 1M-item inputs — the
+100-TB design claims as bench numbers, not design prose.
+
+Sections (each emits docs/sec-style throughput plus the row counts that
+set the shuffle volume — the per-stage shuffle payload IS those rows):
+
+* ``dedup``  — minhash_dedup_pairs over the deterministic synthetic
+  code corpus (same generator as bench.py): shingle rows, signature
+  rows, band-bucket rows, LSH candidate pairs, verified pairs.
+* ``cc``     — connected_components vs connected_components_star over a
+  synthetic pair graph (random near-dup clusters + one 512-deep chain —
+  the star-contraction worst case): rounds + wall time each.
+* ``ann``    — build_ivf_index over N deterministic vectors, then
+  nprobe queries: build docs/sec, probe latency, candidate fraction.
+
+Usage::
+
+    python jobs/pipeline_bench.py [--docs 1200000] [--vecs 500000]
+        [--nodes 1000000] [--cpus 32]
+
+Emits one JSON line (recorded in BENCH.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_200_000)
+    ap.add_argument("--vecs", type=int, default=500_000)
+    ap.add_argument("--nodes", type=int, default=1_000_000)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument("--dim", type=int, default=64)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from stractt_spark.session import get_spark
+    from stractt_spark.sources.corpus import corpus_spark_df
+
+    spark = get_spark(app_name="stractt-pipeline-bench", cpus=args.cpus)
+    spark.range(0, args.cpus * 4, 1, args.cpus * 2).mapInPandas(
+        lambda it: it, "id long").count()
+    out: dict = {"docs": args.docs, "vecs": args.vecs, "nodes": args.nodes,
+                 "cpus": args.cpus}
+
+    # ---------------------------------------------------------- dedup
+    from stractt_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_dedup_pairs,
+        minhash_signatures,
+        token_shingles,
+    )
+
+    cache = f"/tmp/stractt_pipe_corpus_n{args.docs}.parquet"
+    if not os.path.isdir(cache):
+        base_corpus = corpus_spark_df(
+            spark, args.docs, partitions=args.cpus * 2
+        )
+        # inject 2% near-duplicates (one appended token — Jaccard ≈ 0.9)
+        # so the verified-pair path actually fires at scale
+        dups = base_corpus.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + F.lit(args.docs)).alias("doc_id"),
+            F.concat(F.col("content"), F.lit(" dupmark")).alias("content"),
+        )
+        base_corpus.select("doc_id", "content").unionByName(
+            dups
+        ).write.mode("overwrite").parquet(cache)
+    corpus = spark.read.parquet(cache)
+    t0 = time.time()
+    pairs = minhash_dedup_pairs(
+        corpus, "content", "doc_id", n=3, num_perm=64, bands=16,
+        threshold=0.5, analyzer="code",
+    )
+    n_pairs = pairs.count()
+    dt = time.time() - t0
+    # shuffle-volume evidence: the row counts each stage exchanges
+    sh = token_shingles(corpus, "content", "doc_id", 3, "code")
+    sigs = minhash_signatures(corpus, "content", "doc_id", 3, 64, "code")
+    cands = lsh_candidate_pairs(sigs, 16)
+    out["dedup"] = {
+        "wall_sec": round(dt, 2),
+        "docs_per_sec": round(args.docs / dt, 1),
+        "verified_pairs": int(n_pairs),
+        "shuffle_rows": {
+            "shingles": int(sh.count()),
+            "signatures": int(sigs.count()),
+            "lsh_candidates": int(cands.count()),
+        },
+    }
+
+    # ------------------------------------------------------------- cc
+    from stractt_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = args.nodes
+    # clustered pairs (near-dup shape: ~n/8 clusters of 2-5 nodes) plus
+    # one 512-deep chain — diameter >> label-propagation round budget
+    base = spark.range(n).select(
+        (F.col("id")).alias("a"),
+        (F.col("id") - (F.col("id") % 8) ).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    chain = spark.range(511).select(
+        (F.lit(n) + F.col("id")).alias("a"),
+        (F.lit(n) + F.col("id") + 1).alias("b"),
+    )
+    edges = base.unionByName(chain).cache()
+    n_edges = edges.count()
+    t0 = time.time()
+    star = connected_components_star(edges, max_iter=20)
+    n_comp_star = star.select("component_id").distinct().count()
+    t_star = time.time() - t0
+    t0 = time.time()
+    try:
+        plain = connected_components(edges, max_iter=30)
+        n_comp_plain = plain.select("component_id").distinct().count()
+        t_plain = round(time.time() - t0, 2)
+    except RuntimeError as ex:  # chain deeper than the round budget
+        n_comp_plain, t_plain = None, f"raised: {ex}"
+    out["cc"] = {
+        "edges": int(n_edges),
+        "star_wall_sec": round(t_star, 2),
+        "star_components": int(n_comp_star),
+        "star_edges_per_sec": round(n_edges / t_star, 1),
+        "plain_wall_sec": t_plain,
+        "plain_components": n_comp_plain,
+    }
+
+    # ------------------------------------------------------------ ann
+    import numpy as np
+
+    from stractt_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+
+    dim = args.dim
+    vecs = spark.range(args.vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: F.sin((F.col("id") + 1.0) * j * 0.7718) * 10.0,
+        ).alias("embedding"),
+    ).cache()
+    vecs.count()
+    d = "/tmp/stractt_pipe_ivf"
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    t0 = time.time()
+    build_ivf_index(spark, vecs, d, n_cells=256, sample=8192, iters=8)
+    t_build = time.time() - t0
+    q = [float(np.sin(12346.0 * j * 0.7718) * 10.0)
+         for j in range(1, dim + 1)]  # == vector id 12345's direction
+    lat = []
+    for _ in range(3):
+        t0 = time.time()
+        rows = ann_ivf_topk(spark, d, q, k=10, nprobe=8).collect()
+        lat.append(time.time() - t0)
+    # candidate fraction: docs in the probed cells / all docs
+    from stractt_spark.operators.similarity import _read_ivf_cells
+    probed = 8 / 256
+    out["ann"] = {
+        "build_wall_sec": round(t_build, 2),
+        "build_vecs_per_sec": round(args.vecs / t_build, 1),
+        "query_sec_best_of_3": round(min(lat), 3),
+        "nprobe_cells_frac": probed,
+        "top1": int(rows[0]["vec_id"]) if rows else None,
+    }
+
+    try:
+        la = os.getloadavg()
+        out["loadavg"] = [round(x, 2) for x in la]
+    except OSError:
+        pass
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
