@@ -49,7 +49,11 @@ def main() -> None:
     from stractt_spark.session import get_spark
     from stractt_spark.sources.corpus import corpus_spark_df
 
-    spark = get_spark(app_name="stractt-pipeline-bench", cpus=args.cpus)
+    os.makedirs("/dev/shm/stractt_spill", exist_ok=True)
+    spark = get_spark(
+        app_name="stractt-pipeline-bench", cpus=args.cpus,
+        extra_conf={"spark.local.dir": "/dev/shm/stractt_spill"},
+    )
     spark.range(0, args.cpus * 4, 1, args.cpus * 2).mapInPandas(
         lambda it: it, "id long").count()
     out: dict = {"docs": args.docs, "vecs": args.vecs, "nodes": args.nodes,

@@ -241,9 +241,20 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(docs, text_col, id_col, n, num_perm, analyzer)
     cands = lsh_candidate_pairs(sigs, bands)
     sh = token_shingles(docs, text_col, id_col, n, analyzer)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.withColumnRenamed("doc_id", "doc_a")
-    b = sh.withColumnRenamed("doc_id", "doc_b")
+    # prune the shingle table to CANDIDATE docs before the verify join:
+    # at corpus scale the candidate set is a sliver of the corpus, and
+    # without this the join shuffles every doc's shingles (measured: the
+    # unpruned verify spilled ~80 GB at 1.2M docs; pruned it ships only
+    # the candidates' shingles)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh_c.withColumnRenamed("doc_id", "doc_a")
+    b = sh_c.withColumnRenamed("doc_id", "doc_b")
     inter = (
         cands.join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
