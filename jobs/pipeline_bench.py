@@ -49,10 +49,13 @@ def main() -> None:
     from stractt_spark.session import get_spark
     from stractt_spark.sources.corpus import corpus_spark_df
 
-    os.makedirs("/dev/shm/stractt_spill", exist_ok=True)
+    # spill on DISK (tmpfs spill competes with the JVM for physical RAM
+    # and OOM-killed the 1.2M-doc run); periodic GC lets the
+    # ContextCleaner drop finished stages' shuffle files mid-run instead
+    # of accumulating ~95 GB across sections
     spark = get_spark(
         app_name="stractt-pipeline-bench", cpus=args.cpus,
-        extra_conf={"spark.local.dir": "/dev/shm/stractt_spill"},
+        extra_conf={"spark.cleaner.periodicGC.interval": "30s"},
     )
     spark.range(0, args.cpus * 4, 1, args.cpus * 2).mapInPandas(
         lambda it: it, "id long").count()
@@ -82,27 +85,39 @@ def main() -> None:
             dups
         ).write.mode("overwrite").parquet(cache)
     corpus = spark.read.parquet(cache)
+    # bench parameters: bands=8 (r=8 rows/band — selective enough that
+    # the templated synthetic corpus's shared shingles don't make every
+    # random pair a candidate; an injected j≈0.9 dup still collides
+    # w.p. 1-(1-0.9^8)^8 ≈ 0.98) + the bucket skew cap
     t0 = time.time()
     pairs = minhash_dedup_pairs(
-        corpus, "content", "doc_id", n=3, num_perm=64, bands=16,
-        threshold=0.5, analyzer="code",
+        corpus, "content", "doc_id", n=3, num_perm=64, bands=8,
+        threshold=0.5, analyzer="code", max_bucket_size=1000,
     )
     n_pairs = pairs.count()
     dt = time.time() - t0
-    # shuffle-volume evidence: the row counts each stage exchanges
-    sh = token_shingles(corpus, "content", "doc_id", 3, "code")
+    # shuffle-volume evidence: the row counts each stage exchanges.
+    # shingles = scan-only count; signatures = one row per doc by
+    # construction; candidates re-runs only the signature+band stage
+    sh_rows = int(
+        token_shingles(corpus, "content", "doc_id", 3, "code").count()
+    )
     sigs = minhash_signatures(corpus, "content", "doc_id", 3, 64, "code")
-    cands = lsh_candidate_pairs(sigs, 16)
+    cand_rows = int(lsh_candidate_pairs(sigs, 8, 1000).count())
     out["dedup"] = {
         "wall_sec": round(dt, 2),
         "docs_per_sec": round(args.docs / dt, 1),
         "verified_pairs": int(n_pairs),
         "shuffle_rows": {
-            "shingles": int(sh.count()),
-            "signatures": int(sigs.count()),
-            "lsh_candidates": int(cands.count()),
+            "shingles": sh_rows,
+            "signatures": int(corpus.count()),
+            "lsh_candidates": cand_rows,
         },
     }
+    # drop the python references so the ContextCleaner can reap the
+    # section's shuffle files during the next periodic GC
+    pairs = sigs = None  # noqa: F841
+    spark.sparkContext._jvm.System.gc()
 
     # ------------------------------------------------------------- cc
     from stractt_spark.operators.dedup import (
@@ -142,6 +157,8 @@ def main() -> None:
         "plain_wall_sec": t_plain,
         "plain_components": n_comp_plain,
     }
+    edges.unpersist()
+    spark.sparkContext._jvm.System.gc()
 
     # ------------------------------------------------------------ ann
     import numpy as np

@@ -193,10 +193,23 @@ def minhash_signatures(
     return src.mapInPandas(emit, "doc_id long, sig array<long>")
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """LSH banding: signatures split into ``bands`` rows-per-band chunks;
     docs sharing any (band, chunk-hash) bucket become candidate pairs.
-    → (doc_a, doc_b) distinct, doc_a < doc_b."""
+    → (doc_a, doc_b) distinct, doc_a < doc_b.
+
+    ``max_bucket_size`` is the scale skew guard (the LSH analogue of
+    ngram_jaccard_pairs' ``max_shingle_freq``): a bucket of f docs emits
+    f² candidate rows, so one templated cluster can dominate the whole
+    shuffle.  Buckets above the cap are dropped BEFORE the self-join
+    (one window count, no extra join).  Recall note: a true near-dup
+    pair collides in ~bands·j^r bands, so it survives unless EVERY one
+    of its buckets is oversized; None (default) keeps literal
+    exactness, which the correctness gates use."""
     num_perm = None  # derived JVM-side via slice
     sig_len = F.size("sig")
     rows_per_band = (sig_len / F.lit(bands)).cast("int")
@@ -215,6 +228,15 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
         .withColumn("bucket", F.xxhash64(F.col("band"), F.col("chunk").cast("string")))
         .select("doc_id", "band", "bucket")
     )
+    if max_bucket_size is not None:
+        banded = (
+            banded.withColumn(
+                "_bc",
+                F.count("*").over(Window.partitionBy("band", "bucket")),
+            )
+            .filter(F.col("_bc") <= int(max_bucket_size))
+            .drop("_bc")
+        )
     x = banded.alias("x")
     y = banded.alias("y")
     return (
@@ -234,12 +256,14 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     analyzer: str = "ascii",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (the scale path: LSH
     prunes the pair space, the exact check runs only on candidates).
-    → (doc_a, doc_b, jaccard ≥ threshold)."""
+    → (doc_a, doc_b, jaccard ≥ threshold).  ``max_bucket_size`` passes
+    through to :func:`lsh_candidate_pairs` (bucket skew guard)."""
     sigs = minhash_signatures(docs, text_col, id_col, n, num_perm, analyzer)
-    cands = lsh_candidate_pairs(sigs, bands)
+    cands = lsh_candidate_pairs(sigs, bands, max_bucket_size)
     sh = token_shingles(docs, text_col, id_col, n, analyzer)
     # prune the shingle table to CANDIDATE docs before the verify join:
     # at corpus scale the candidate set is a sliver of the corpus, and

@@ -189,3 +189,28 @@ def test_connected_components_chain_guards_and_star_logn(spark):
     got = {r["doc_id"]: r["component_id"]
            for r in connected_components_star(edges, max_iter=10).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_lsh_bucket_cap_guard(spark):
+    """max_bucket_size drops oversized buckets before the pair self-join
+    (the f² skew guard); true near-dups sharing a small bucket survive."""
+    from stractt_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    # 30 IDENTICAL docs (every band bucket has 30 members) + one
+    # near-dup pair with distinct text
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, "common " + base) for i in range(30)]
+    rows += [(100, base + " tail1 tail2"), (101, base + " tail1 tail3")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, "text", "doc_id", n=3, num_perm=64)
+    uncapped = lsh_candidate_pairs(sigs, bands=16)
+    assert uncapped.count() >= 30 * 29 // 2  # the identical cluster
+    capped = lsh_candidate_pairs(sigs, bands=16, max_bucket_size=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # the 30-doc cluster's buckets are all oversized → dropped
+    assert all(a >= 100 for a, b in got)
+    # the small-bucket near-dup pair survives
+    assert (100, 101) in got
