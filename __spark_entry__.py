@@ -1265,6 +1265,194 @@ def _signals_full_sql() -> str:
     )
 
 
+def _entity_index(spark: SparkSession, sf_dir: str):
+    """Shared entity-index handle (reference src/entity_index/mod.rs):
+    entities synthesized deterministically from the documents table
+    (title = first 3 tokens, abstract = text, 1-3 info attrs, every 3rd
+    entity image-bearing — all plain column arithmetic the oracle
+    reproduces in SQL)."""
+    import hashlib
+
+    from stractt_spark.operators.entity import (
+        EntityIndex,
+        build_entity_index,
+        synthesize_entities,
+    )
+
+    key = "entity:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = "/tmp/stractt_entry_ent_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        build_entity_index(
+            spark, synthesize_entities(docs), out, docs_per_segment=256
+        )
+        _WAND_INDEX_CACHE[key] = EntityIndex(spark, out)
+    return _WAND_INDEX_CACHE[key]
+
+
+_ENTITY_QUERY = "the agg row"  # "the" must drop via the stopword filter
+
+
+def _q_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-entity lookup (reference src/entity_index/mod.rs:271-305):
+    stopword-filtered tokens, each Must(title) + Should(abstract), top-1
+    by summed per-field BM25 — the Must runs field-RESTRICTED through
+    the MF kernel (must_fields=["title"]), which plain MF must/should
+    cannot express."""
+    idx = _entity_index(spark, sf_dir)
+    return _q_entity_search_df(idx)
+
+
+def _q_entity_search_df(idx) -> DataFrame:
+    top = idx.search(_ENTITY_QUERY, k=1)
+    return top.select(
+        F.col("entity_id").cast("long").alias("entity_id"),
+        "title",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_entity_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related entities (mod.rs:238-269): MoreLikeThis analogue — the
+    matched entity's own distinct terms (len >= 2) as a Should union,
+    Must has_image (MustNot img:false), self excluded, top 4."""
+    idx = _entity_index(spark, sf_dir)
+    src = _q_entity_search_df(idx).collect()
+    rel = idx.related_entities(int(src[0]["entity_id"]), k=4)
+    return rel.select(
+        F.col("entity_id").cast("long").alias("entity_id"),
+        "title",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _q_entity_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-occurrence counts (mod.rs:203-209,366-368: the RocksDB
+    per-attribute counters) — one exact groupBy over map_keys(info)."""
+    idx = _entity_index(spark, sf_dir)
+    return idx.attribute_occurrences().select(
+        "attribute", F.col("occurrences").cast("long").alias("occurrences")
+    )
+
+
+def _entity_sql_ctes() -> str:
+    """CTE prefix shared by the entity oracles: the derived entity table
+    (same deterministic arithmetic as synthesize_entities) + independent
+    per-field tokenization / tf / fieldnorm / df / avgdl for
+    title/abstract — the per-field BM25 machinery of _mf_sql over
+    DERIVED fields."""
+    ents = (
+        "ents AS (SELECT doc_id, array_to_string(list_slice("
+        f"regexp_extract_all(lower(text), '{TOKEN_RE}'), 1, 3), ' ') "
+        "AS title, text AS abstract FROM documents)"
+    )
+    field_ctes = []
+    for f_ in ("title", "abstract"):
+        field_ctes.append(
+            f"toks_{f_} AS (SELECT e.doc_id AS doc_id, t.term AS term "
+            f"FROM ents e, unnest(regexp_extract_all(lower(e.{f_}), "
+            f"'{TOKEN_RE}')) AS t(term)), "
+            f"tf_{f_} AS (SELECT doc_id, term, count(*) AS tf FROM toks_{f_} "
+            "GROUP BY doc_id, term), "
+            f"dl_{f_} AS (SELECT doc_id, count(*) AS dl FROM toks_{f_} "
+            "GROUP BY doc_id), "
+            f"dlq_{f_} AS (SELECT dl.doc_id, "
+            f"(SELECT max(v) FROM norm WHERE v <= dl.dl) AS dl_quant "
+            f"FROM dl_{f_} dl), "
+            f"df_{f_} AS (SELECT term, count(*) AS c FROM tf_{f_} "
+            "GROUP BY term)"
+        )
+    stats = (
+        "stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs, "
+        "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl_title) / "
+        "(SELECT count(*) FROM documents) AS avgdl_title, "
+        "(SELECT CAST(sum(dl) AS DOUBLE) FROM dl_abstract) / "
+        "(SELECT count(*) FROM documents) AS avgdl_abstract)"
+    )
+    return f"{_NORM_CTE}, {ents}, {', '.join(field_ctes)}, {stats}"
+
+
+def _entity_units_sql(term_pred: str) -> str:
+    """Per-(doc, field) BM25 scoring units (boost 1.0 both fields) for
+    terms matching ``term_pred`` (a SQL predicate over ``tf.term``)."""
+    parts = []
+    for f_ in ("title", "abstract"):
+        parts.append(
+            f"SELECT tf.doc_id, tf.term, "
+            f"(ln(1 + (s.n_docs - d.c + 0.5) / (d.c + 0.5)) * 2.2) * "
+            f"(tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * "
+            f"(q.dl_quant / s.avgdl_{f_})))) AS ts "
+            f"FROM tf_{f_} tf JOIN dlq_{f_} q USING (doc_id) "
+            f"JOIN df_{f_} d USING (term) CROSS JOIN stats s "
+            f"WHERE {term_pred}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _entity_search_sql() -> str:
+    # query "the agg row": "the" drops (stopword), Must agg+row in TITLE
+    terms = ["agg", "row"]
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    units = _entity_units_sql(f"tf.term IN ({tlist})")
+    must = (
+        f"must AS (SELECT doc_id FROM tf_title WHERE term IN ({tlist}) "
+        f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)})"
+    )
+    return (
+        f"WITH {_entity_sql_ctes()}, units AS ({units}), {must} "
+        "SELECT u.doc_id AS entity_id, any_value(e.title) AS title, "
+        "round(sum(u.ts), 4) AS score "
+        "FROM units u JOIN must USING (doc_id) "
+        "JOIN ents e ON e.doc_id = u.doc_id "
+        "GROUP BY u.doc_id "
+        "ORDER BY sum(u.ts) DESC, u.doc_id ASC LIMIT 1"
+    )
+
+
+def _entity_related_sql() -> str:
+    terms = ["agg", "row"]
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    units = _entity_units_sql(f"tf.term IN ({tlist})")
+    must = (
+        f"must AS (SELECT doc_id FROM tf_title WHERE term IN ({tlist}) "
+        f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(terms)})"
+    )
+    src = (
+        "src AS (SELECT u.doc_id AS id FROM units u "
+        "JOIN must USING (doc_id) GROUP BY u.doc_id "
+        "ORDER BY sum(u.ts) DESC, u.doc_id ASC LIMIT 1)"
+    )
+    # MoreLikeThis term set: the source entity's distinct terms, len >= 2
+    mlt = (
+        "mlt AS (SELECT DISTINCT term FROM "
+        "(SELECT doc_id, term FROM toks_title "
+        "UNION ALL SELECT doc_id, term FROM toks_abstract) tt "
+        "WHERE doc_id = (SELECT id FROM src) AND length(term) >= 2)"
+    )
+    units2 = _entity_units_sql("tf.term IN (SELECT term FROM mlt)")
+    return (
+        f"WITH {_entity_sql_ctes()}, units AS ({units}), {must}, {src}, "
+        f"{mlt}, units2 AS ({units2}) "
+        "SELECT u.doc_id AS entity_id, any_value(e.title) AS title, "
+        "round(sum(u.ts), 4) AS score "
+        "FROM units2 u JOIN ents e ON e.doc_id = u.doc_id "
+        "WHERE u.doc_id % 3 = 0 AND u.doc_id <> (SELECT id FROM src) "
+        "GROUP BY u.doc_id "
+        "ORDER BY sum(u.ts) DESC, u.doc_id ASC LIMIT 4"
+    )
+
+
+_ENTITY_ATTRS_SQL = (
+    "WITH ak AS (SELECT 'attr' || CAST((doc_id + "
+    "unnest(range(0, doc_id % 3 + 1))) % 7 AS VARCHAR) AS attribute "
+    "FROM documents) "
+    "SELECT attribute, count(*) AS occurrences FROM ak "
+    "GROUP BY attribute ORDER BY attribute"
+)
+
+
 def _bm25_presorted_sql(terms: list[str], mode: str) -> str:
     tlist = ", ".join("'" + t + "'" for t in terms)
     per_term = (
@@ -2467,6 +2655,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signals_full": _q_signals_full,
         "compound_split": _q_compound_split,
         "bm25_multifield4": _q_bm25_multifield4,
+        "entity_search": _q_entity_search,
+        "entity_related": _q_entity_related,
+        "entity_attributes": _q_entity_attributes,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -2795,6 +2986,9 @@ def oracle_sql() -> dict[str, str]:
         "signals_full": _signals_full_sql(),
         "compound_split": _compound_split_sql(),
         "bm25_multifield4": _mf4_sql(),
+        "entity_search": _entity_search_sql(),
+        "entity_related": _entity_related_sql(),
+        "entity_attributes": _ENTITY_ATTRS_SQL,
         "bm25_wand_and": _bm25_sql(["merge", "sort"], "must"),
         "bm25_wand_or": _bm25_sql(["hash", "join"], "should"),
         "bm25_merged": _bm25_sql(["merge", "sort"], "should"),

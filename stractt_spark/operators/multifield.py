@@ -626,14 +626,27 @@ class MultiFieldSegmentIndex:
         return {r["term"]: r["df"] for r in rows}
 
     def _spec(self, query, mode: str = "must", phrase: bool = False,
-              extra_neg: list[str] | None = None) -> dict | None:
+              extra_neg: list[str] | None = None,
+              must_fields: list[str] | None = None) -> dict | None:
         """Compile one query into the per-segment kernel's inputs (None
         when provably empty): per-(term,field) physical weights,
         per-(phrase,field) weights, MustNot + attr-filter physical terms,
         and the pruned-scan term set.  Shared by search / batch / count /
-        goggle paths so every entry point lowers queries identically."""
+        goggle paths so every entry point lowers queries identically.
+
+        ``must_fields``: restrict Must MEMBERSHIP to these fields (every
+        term must match in one of them); all fields still score.  The
+        entity-index query shape (reference src/entity_index/mod.rs:
+        271-305: per-token Must on title + Should on abstract)."""
         from ..functions.bm25 import idf as idf_fn
         from .segments import attr_term
+
+        if must_fields is not None:
+            bad = sorted(set(must_fields) - set(self.fields))
+            if bad:
+                raise ValueError(f"must_fields not in index fields: {bad}")
+            if mode != "must":
+                raise ValueError("must_fields requires mode='must'")
 
         pq = parse_query(query, self.analyzer, phrase=phrase)
         uniq = pq.uniq_terms
@@ -658,8 +671,9 @@ class MultiFieldSegmentIndex:
             | set(extra_neg or [])
         )
         dfs = self.term_df(list(phys.values()) + neg_phys)
+        memb_fields = sorted(must_fields) if must_fields else fields
         if mode == "must" and any(
-            all(dfs.get(phys[(t, f_)], 0) == 0 for f_ in fields)
+            all(dfs.get(phys[(t, f_)], 0) == 0 for f_ in memb_fields)
             for t in uniq
         ):
             return None
@@ -694,6 +708,7 @@ class MultiFieldSegmentIndex:
             "filter_phys": filter_phys,
             "scan_terms": scan_terms,
             "mode": mode,
+            "must_fields": sorted(must_fields) if must_fields else None,
         }
 
     def _empty_df(self) -> DataFrame:
@@ -726,6 +741,7 @@ class MultiFieldSegmentIndex:
         _has_empty_discard: bool = False,
         _score_coeff: float | None = None,
         _extra_neg: list[str] | None = None,
+        must_fields: list[str] | None = None,
     ) -> DataFrame:
         """Top-(k+offset) over the per-field index (paging slices on the
         driver, the reference's top_n = page_size + offset).
@@ -760,7 +776,8 @@ class MultiFieldSegmentIndex:
             if with_metrics:
                 return [], {"blocks_decoded": 0, "blocks_total": 0}
             return self._empty_df()
-        spec = self._spec(query, mode, phrase, extra_neg=_extra_neg)
+        spec = self._spec(query, mode, phrase, extra_neg=_extra_neg,
+                          must_fields=must_fields)
         if spec is None:
             if with_metrics:
                 return [], {"blocks_decoded": 0, "blocks_total": 0}
@@ -792,6 +809,7 @@ class MultiFieldSegmentIndex:
                 max_docs=max_docs, add_pre=add_pre, with_metrics=wm,
                 filter_phys=s["filter_phys"], const_clauses=cc,
                 has_empty_discard=hed, score_coeff=sc,
+                must_fields=s.get("must_fields"),
             )
 
         self_fields = self.fields
@@ -1205,6 +1223,7 @@ def _mf_segment_topk(
     has_empty_discard: bool = False,
     score_coeff: float | None = None,
     with_count: bool = False,
+    must_fields: list[str] | None = None,
 ) -> pd.DataFrame:
     """Per-segment multi-field exact top-k: per logical term the docset is
     the union over fields; Must intersects logical docsets, Should unions;
@@ -1396,16 +1415,17 @@ def _mf_segment_topk(
 
     from .wand import _cache_term_blocks, _lookup_tfs
 
-    def full_union(t: str) -> np.ndarray:
+    def full_union(t: str, flds: list[str] | None = None) -> np.ndarray:
         """All docs containing logical term t in any field (full decode,
         cached per block for later candidate lookups).  With the quota on,
         the union is truncated to its first max_docs ids — on a presorted
         build those are the term's best-pre docs (every truncated doc has
         ≥ max_docs higher-pre docs containing the term; admitted docs
         still score EXACTLY over all terms and fields, a strictly tighter
-        cut than per-list truncation)."""
+        cut than per-list truncation).  ``flds`` restricts the union to a
+        field subset (must_fields membership)."""
         parts = []
-        for f_ in fields_sorted:
+        for f_ in (flds or fields_sorted):
             p = mf_term(f_, t)
             g = by_term.get(p)
             if g is None:
@@ -1421,11 +1441,13 @@ def _mf_segment_topk(
              else np.zeros(0, dtype=np.int64))
         return u[:max_docs] if max_docs is not None else u
 
-    def member_mask(t: str, cand: np.ndarray) -> np.ndarray:
+    def member_mask(t: str, cand: np.ndarray,
+                    flds: list[str] | None = None) -> np.ndarray:
         """cand ∈ term t in ANY field — candidate-intersecting block
-        lookups only (the multi-field leapfrog step)."""
+        lookups only (the multi-field leapfrog step); ``flds`` restricts
+        membership to a field subset (must_fields)."""
         m = np.zeros(cand.size, dtype=bool)
-        for f_ in fields_sorted:
+        for f_ in (flds or fields_sorted):
             tfs = _lookup_tfs(by_term, mf_term(f_, t), cand, blk_cache)
             if tfs is not None:
                 m |= tfs > 0
@@ -1433,14 +1455,17 @@ def _mf_segment_topk(
 
     if mode == "must":
         # rarest logical term drives; later terms decode only candidate-
-        # intersecting blocks (never a common term's full lists)
+        # intersecting blocks (never a common term's full lists).
+        # must_fields (entity-index shape) narrows MEMBERSHIP to a field
+        # subset; scoring below still folds every weighted field.
+        memb_flds = must_fields or fields_sorted
         sizes = {
             t: sum(int(by_term[mf_term(f_, t)]["num_docs"].sum())
-                   for f_ in fields_sorted if mf_term(f_, t) in by_term)
+                   for f_ in memb_flds if mf_term(f_, t) in by_term)
             for t in uniq_sorted
         }
         order_l = sorted(uniq_sorted, key=lambda t: (sizes[t], t))
-        cand = (full_union(order_l[0]) if order_l
+        cand = (full_union(order_l[0], memb_flds) if order_l
                 else np.zeros(0, dtype=np.int64))
         if not order_l and phrases:
             # phrase-only Must: drive from the first phrase's docset
@@ -1448,7 +1473,7 @@ def _mf_segment_topk(
         for t in order_l[1:]:
             if cand.size == 0:
                 return empty
-            cand = cand[member_mask(t, cand)]
+            cand = cand[member_mask(t, cand, memb_flds)]
         for ph in phrases:
             if cand is None:
                 per_field_hits = []
