@@ -194,12 +194,32 @@ def main() -> None:
     # candidate fraction: docs in the probed cells / all docs
     from stractt_spark.operators.similarity import _read_ivf_cells
     probed = 8 / 256
+    # measured recall@10 vs exact brute-force, 16 deterministic query
+    # directions (vec ids 10_000, 20_000, ... — real index members, the
+    # standard self-query recall protocol)
+    from stractt_spark.operators.similarity import cosine_topk_arrow
+    recalls = {8: [], 16: []}
+    for qid in range(10_000, 170_000, 10_000):
+        qv = [float(np.sin((qid + 1.0) * j * 0.7718) * 10.0)
+              for j in range(1, dim + 1)]
+        exact = {int(r["vec_id"])
+                 for r in cosine_topk_arrow(vecs, qv, k=10).collect()}
+        for np_ in (8, 16):
+            got = {int(r["vec_id"])
+                   for r in ann_ivf_topk(spark, d, qv, k=10,
+                                         nprobe=np_).collect()}
+            recalls[np_].append(len(got & exact) / 10.0)
     out["ann"] = {
         "build_wall_sec": round(t_build, 2),
         "build_vecs_per_sec": round(args.vecs / t_build, 1),
         "query_sec_best_of_3": round(min(lat), 3),
         "nprobe_cells_frac": probed,
         "top1": int(rows[0]["vec_id"]) if rows else None,
+        "recall_at_10_nprobe8": round(
+            sum(recalls[8]) / len(recalls[8]), 4),
+        "recall_at_10_nprobe16": round(
+            sum(recalls[16]) / len(recalls[16]), 4),
+        "recall_queries": len(recalls[8]),
     }
 
     try:
