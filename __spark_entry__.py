@@ -2027,6 +2027,50 @@ _STREAM_SESSIONIZE_SQL = (
 )
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup across microbatches: the documents table
+    arrives as file 1; file 2 re-ingests every 10th doc under a new
+    doc_id (an exact re-crawl).  maxFilesPerTrigger=1 forces the two
+    files into SEPARATE microbatches, so the duplicates in batch 2 are
+    dropped only if the checkpointed dropDuplicates state carries the
+    hashes over — the continuous-ingest dedup guarantee.  Output: one
+    row per distinct text hash (only text-determined columns, since
+    which physical row is kept is explicitly arbitrary)."""
+    import hashlib
+    import shutil as _sh
+
+    import pandas as _pd
+
+    from stractt_spark.streaming.dedup import stream_dedup
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = f"/tmp/stractt_entry_sdedup_{tag}"
+    _sh.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/in", exist_ok=True)
+    _sh.copy(f"{sf_dir}/documents.parquet", f"{base}/in/part1.parquet")
+    dup = _pd.read_parquet(f"{sf_dir}/documents.parquet")
+    dup = dup[dup["doc_id"] % 10 == 0].copy()
+    dup["doc_id"] = dup["doc_id"] + 1_000_000
+    dup.to_parquet(f"{base}/in/part2.parquet", index=False)
+    stream_dedup(
+        spark, f"{base}/in", f"{base}/ckpt", f"{base}/out",
+        max_files_per_trigger=1,
+    )
+    return spark.read.parquet(f"{base}/out").select(
+        "text_sha256", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+_STREAM_DEDUP_SQL = (
+    # the injected duplicates add no new text, so the expected output is
+    # one row per distinct original text; lang/n_chars are functionally
+    # determined by the text (originals are hash-distinct, and the
+    # re-crawl file copies every column)
+    "SELECT sha256(text) AS text_sha256, min(lang) AS lang, "
+    "min(n_chars) AS n_chars FROM documents GROUP BY 1"
+)
+
+
 def _q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stractt_spark.operators.events import windowed_counts
 
@@ -2658,6 +2702,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_search": _q_entity_search,
         "entity_related": _q_entity_related,
         "entity_attributes": _q_entity_attributes,
+        "stream_dedup": _q_stream_dedup,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3026,6 +3071,7 @@ def oracle_sql() -> dict[str, str]:
         "goggles_rerank": _GOGGLES_SQL,
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
+        "stream_dedup": _STREAM_DEDUP_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "quality_cut": (
