@@ -2588,6 +2588,53 @@ def _q_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING IVF ingest under the gate: the index is built on half
+    the augmented table; the other half (including every planted true
+    neighbor) arrives as TWO parquet files drained through Structured
+    Streaming (maxFilesPerTrigger=1 → two separate microbatches, each a
+    ledgered frozen-quantizer append via foreachBatch).  The query must
+    still recall the full true top-10 — all of it streamed in — against
+    the same exact cosine oracle as the build-once IVF gate."""
+    import hashlib
+    import shutil as _sh
+
+    from stractt_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+    from stractt_spark.streaming.ann import stream_ingest_ivf
+
+    aug, qvec = _augmented_embeddings(spark, sf_dir)
+    key = "ivfstream:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        base = "/tmp/stractt_entry_ivfstream_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        _sh.rmtree(base, ignore_errors=True)
+        out = f"{base}/idx"
+        half = aug.filter(F.col("vec_id") % 2 == 0).filter(
+            F.col("vec_id") < 1000000
+        )
+        build_ivf_index(spark, half, out, n_cells=16, vec_col="e")
+        inp = f"{base}/in"
+        aug.filter(
+            (F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 1000000)
+        ).coalesce(1).write.mode("append").parquet(inp)
+        aug.filter(F.col("vec_id") >= 1000000).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        stream_ingest_ivf(
+            spark, inp, out, f"{base}/ckpt",
+            schema="vec_id long, e array<double>", vec_col="e",
+            max_files_per_trigger=1,
+        )
+        _WAND_INDEX_CACHE[key] = out
+    return ann_ivf_topk(
+        spark, _WAND_INDEX_CACHE[key], qvec, k=10, nprobe=4, exclude_id=0
+    )
+
+
 def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN through the PERSISTED bucketed sign-LSH index: the signature
     table is built once and written to parquet; the query pushes a
@@ -2703,6 +2750,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_related": _q_entity_related,
         "entity_attributes": _q_entity_attributes,
         "stream_dedup": _q_stream_dedup,
+        "ann_ivf_streamed_top10": _q_ann_ivf_streamed,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3133,6 +3181,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bucketed_top10": _ANN_BUCKETED_SQL,
         "ann_ivf_top10": _ANN_BUCKETED_SQL,  # same exact-cosine truth
         "ann_ivf_appended_top10": _ANN_BUCKETED_SQL,  # appends must not lose recall
+        "ann_ivf_streamed_top10": _ANN_BUCKETED_SQL,  # streamed ingest either
         "emb_near_dup_pairs": _EMB_DUP_SQL,
         "jaccard_pairs_capped": (
             f"WITH {_TOKS_L_CTE}, "

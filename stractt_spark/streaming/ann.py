@@ -1,0 +1,115 @@
+"""Streaming ANN ingest — continuous embedding arrival into a persisted
+IVF index (the vector twin of :mod:`stractt_spark.streaming.ingest`).
+
+Shape: ``readStream`` over arriving embedding files → ``foreachBatch``
+→ :func:`stractt_spark.operators.similarity.append_ivf` (one
+distributed assignment pass under the FROZEN quantizer, written
+``partitionBy(cell)`` into a new ledgered batch dir).  The index stays
+queryable throughout — ``ann_ivf_topk`` reads base ∪ ledgered appends,
+and an in-flight append is invisible until its ledger commit.
+
+Exactly-once across failures: Structured Streaming may re-deliver a
+microbatch whose foreachBatch ran but whose offset commit didn't.
+``append_ivf`` is not idempotent on its own (re-sending live vec_ids is
+a loud error by design), so this wrapper records the STREAM batch id →
+append batch id mapping in the ANN manifest and skips already-ledgered
+stream batches on re-delivery.  The ledger write happens after
+``append_ivf``'s own commit, so the crash windows are: (a) before the
+append ledger — orphan dir, invisible, rewritten on retry; (b) between
+the two ledgers — the stream batch re-runs, sees its vec_ids live, and
+the manifest self-heals by adopting the committed append (the data is
+already exactly what the retry would write, since assignment under a
+frozen quantizer is a pure function of the vector).
+
+Retrain policy is unchanged: appends never nudge centroids;
+``ivf_needs_retrain`` flags drift and ``retrain_ivf`` rebuilds — the
+streaming wrapper just makes arrival continuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EMBEDDINGS_SCHEMA = "vec_id long, embedding array<float>"
+
+
+def stream_ingest_ivf(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema: str = EMBEDDINGS_SCHEMA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Drain every embedding file currently in ``input_dir``
+    (availableNow) into frozen-quantizer IVF appends; re-invoking after
+    new files arrive continues from the checkpoint.  Idempotent under
+    microbatch re-delivery via the manifest's stream-batch ledger."""
+    from ..operators.similarity import (
+        _write_ann_manifest,
+        append_ivf,
+        read_ann_manifest,
+    )
+
+    import hashlib
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    # microbatch ids restart at 0 for every NEW checkpoint, so the
+    # ledger key must be namespaced by the stream identity (one logical
+    # stream ↔ one checkpoint dir — Spark's own contract) or a second
+    # stream's batch 0 would collide with the first's
+    ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"{ns}:{batch_id}"
+        m = read_ann_manifest(index_dir)
+        ledger = m.get("stream_batches", {})
+        if key in ledger:
+            return  # re-delivered batch: already fully committed
+        if batch_df.isEmpty():
+            return
+        try:
+            ab = append_ivf(
+                spark, index_dir, batch_df, id_col=id_col, vec_col=vec_col
+            )
+        except ValueError as ex:
+            if "already exist" not in str(ex):
+                raise
+            # crash window (b): append_ivf committed but the stream
+            # ledger write didn't happen.  The committed append IS this
+            # batch's data (frozen-quantizer assignment is pure), so
+            # adopt the newest append batch instead of re-writing —
+            # but only after verifying the id sets actually coincide;
+            # a genuine user-duplicate stays a loud error.
+            m = read_ann_manifest(index_dir)
+            ab = max(m.get("append_batches", [0]))
+            prev = spark.read.parquet(
+                f"{index_dir}/cells_b{ab}.parquet"
+            ).select("vec_id")
+            ours = batch_df.select(
+                F.col(id_col).cast("long").alias("vec_id"))
+            if (
+                prev.join(ours, "vec_id", "left_anti").count()
+                or ours.join(prev, "vec_id", "left_anti").count()
+            ):
+                raise
+        m = read_ann_manifest(index_dir)
+        m.setdefault("stream_batches", {})[key] = int(ab)
+        _write_ann_manifest(index_dir, m)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
