@@ -440,8 +440,21 @@ def build_ivf_index(
     M = np.array([list(r["e"]) for r in rows], dtype=np.float64)
     k_ = min(n_cells, len(M))
     cent = M[:k_].copy()
+
+    def _d2(A: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # ‖a−c‖² via the GEMM expansion — same form the distributed
+        # assign_cells kernel uses (train/assign arithmetic consistency),
+        # and ~100× faster than the (sample × cells × dim) broadcast
+        # temp, which at 8192×256×64 float64 allocates ~1 GB per k-means
+        # iteration and is pure memory-bandwidth burn
+        return (
+            (A ** 2).sum(axis=1)[:, None]
+            - 2.0 * A @ C.T
+            + (C ** 2).sum(axis=1)[None, :]
+        )
+
     for _ in range(iters):
-        d2 = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = _d2(M, cent)
         assign = d2.argmin(axis=1)
         for c in range(k_):
             sel = assign == c
@@ -460,7 +473,7 @@ def build_ivf_index(
     cent_b = cent.copy()
     # lifecycle manifest: frozen-quantizer fingerprint, append ledger,
     # and the train-time dispersion the drift guard compares against
-    d2_final = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    d2_final = _d2(M, cent)
     train_disp = float(d2_final.min(axis=1).mean()) if len(M) else 0.0
 
     def assign_cells(pdfs):
@@ -483,6 +496,14 @@ def build_ivf_index(
         base.mapInPandas(
             assign_cells, "cell int, vec_id long, e array<double>"
         )
+        # cell-pure output partitions: without this, partitionBy writes
+        # (input partitions × cells) files — 8k+ tiny files at 500k
+        # vecs/256 cells, and the file-count scales with cluster width.
+        # One hash shuffle on cell caps it at ≤1 file per cell per
+        # holding partition; the within-partition sort makes file
+        # contents deterministic (shuffle arrival order is not)
+        .repartition(int(k_), "cell")
+        .sortWithinPartitions("cell", "vec_id")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{out_dir}/cells.parquet")
@@ -704,7 +725,12 @@ def append_ivf(
         assign_cells, "cell int, vec_id long, e array<double>"
     )
     (
-        assigned.write.mode("overwrite")  # idempotent retry rewrites
+        # cell-pure partitions + deterministic order, like the base
+        # build: caps the batch dir at ≤1 file per cell instead of
+        # (input partitions × cells)
+        assigned.repartition(int(m["n_cells"]), "cell")
+        .sortWithinPartitions("cell", "vec_id")
+        .write.mode("overwrite")  # idempotent retry rewrites
         .partitionBy("cell").parquet(bdir)
     )
     n = spark.read.parquet(bdir).count()
@@ -749,7 +775,11 @@ def ivf_needs_retrain(
     )
     X = np.array([list(r["e"]) for r in rows], dtype=np.float64)
     disp = float(
-        ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).min(axis=1).mean()
+        (
+            (X ** 2).sum(axis=1)[:, None]
+            - 2.0 * X @ cent.T
+            + (cent ** 2).sum(axis=1)[None, :]
+        ).min(axis=1).mean()
     ) if len(X) else 0.0
     base_n = int(m.get("base_vecs", m["num_vecs"]))
     deleted = int(m.get("deleted_vecs", 0))
