@@ -482,7 +482,7 @@ def build_ivf_index(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            X = np.array([list(v) for v in pdf["e"]], dtype=np.float64)
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"].values])
             d2 = (
                 (X ** 2).sum(axis=1)[:, None]
                 - 2.0 * X @ cent_b.T
@@ -709,7 +709,7 @@ def append_ivf(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            X = np.array([list(v) for v in pdf["e"]], dtype=np.float64)
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"].values])
             d2 = (
                 (X ** 2).sum(axis=1)[:, None]
                 - 2.0 * X @ cent_b.T
