@@ -572,19 +572,31 @@ def near_dup_components(
     bands: int = 16,
     threshold: float = 0.5,
     analyzer: str = "ascii",
+    method: str = "star",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs → duplicate CLUSTERS → per-doc
     (doc_id, component_id, keep): ``keep`` marks the one canonical doc
     per cluster (the smallest id — deterministic).  Docs in no near-dup
     pair keep themselves.  This is the operator a training-data dedup
-    actually ends with: ``docs.join(..., keep).filter("keep")``."""
+    actually ends with: ``docs.join(..., keep).filter("keep")``.
+
+    ``method="star"`` (default) clusters with large-star/small-star
+    contraction — O(log n) rounds regardless of component diameter, the
+    production choice (plain label propagation needs O(diameter) rounds
+    and raises past its round budget on pathological dup chains; pass
+    ``method="label"`` to use it where components are known shallow)."""
     pairs = minhash_dedup_pairs(
         docs, text_col, id_col, n=n, num_perm=num_perm, bands=bands,
         threshold=threshold, analyzer=analyzer,
     ).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    comp = connected_components(pairs)
+    if method == "star":
+        comp = connected_components_star(pairs)
+    elif method == "label":
+        comp = connected_components(pairs)
+    else:
+        raise ValueError(f"near_dup_components: unknown method {method!r}")
     all_docs = docs.select(F.col(id_col).cast("long").alias("doc_id"))
     return (
         all_docs.join(comp, "doc_id", "left")
