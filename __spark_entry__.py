@@ -2027,6 +2027,41 @@ _STREAM_SESSIONIZE_SQL = (
 )
 
 
+def _q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSTRING-level duplication metric (Lee et al. 2022): per doc,
+    the fraction of token positions covered by an exact 8-token window
+    that also occurs in another doc — catches verbatim boilerplate
+    (license headers, generated stubs) that doc-level MinHash/SimHash
+    can't see.  No pair join anywhere: window expansion → count-agg on
+    the window string → semi-join → per-doc coverage distinct/count."""
+    from stractt_spark.operators.dedup import duplicated_ngram_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_ngram_stats(docs, "text", "doc_id", n=8)
+
+
+_DUP_NGRAM_SQL = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE}') AS l FROM documents), "
+    "starts AS (SELECT doc_id, l, "
+    "unnest(range(1, greatest(len(l)-8+1, 0)+1)) AS s FROM toks), "
+    "wins AS (SELECT doc_id, s, "
+    "array_to_string(list_slice(l, s, s+7), chr(1)) AS ng FROM starts), "
+    "dup AS (SELECT ng FROM wins GROUP BY ng "
+    "HAVING count(DISTINCT doc_id) > 1), "
+    "dwins AS (SELECT w.doc_id, w.s FROM wins w JOIN dup USING (ng)), "
+    "cov AS (SELECT DISTINCT doc_id, p FROM "
+    "(SELECT doc_id, unnest(range(s, s+8)) AS p FROM dwins)), "
+    "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens "
+    "FROM cov GROUP BY doc_id) "
+    "SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens, "
+    "coalesce(a.dup_tokens, 0) AS dup_tokens, "
+    "round(coalesce(a.dup_tokens, 0) / greatest(len(t.l), 1), 6) "
+    "AS dup_frac "
+    "FROM toks t LEFT JOIN agg a USING (doc_id)"
+)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup across microbatches: the documents table
     arrives as file 1; file 2 re-ingests every 10th doc under a new
@@ -2751,6 +2786,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_attributes": _q_entity_attributes,
         "stream_dedup": _q_stream_dedup,
         "ann_ivf_streamed_top10": _q_ann_ivf_streamed,
+        "dup_ngram_coverage": _q_dup_ngram_coverage,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3120,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_windowed_counts": _STREAM_WINDOWED_SQL,
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
+        "dup_ngram_coverage": _DUP_NGRAM_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "quality_cut": (

@@ -214,3 +214,39 @@ def test_lsh_bucket_cap_guard(spark):
     assert all(a >= 100 for a, b in got)
     # the small-bucket near-dup pair survives
     assert (100, 101) in got
+
+
+def test_duplicated_ngram_stats(spark):
+    from stractt_spark.operators.dedup import duplicated_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the 3-gram "a b c" once each; doc 3
+            # repeats "x y z" internally but NO OTHER doc has it, so
+            # within-doc repetition alone must not count; doc 4 is
+            # shorter than n and must report 0/0
+            (1, "a b c d e"),
+            (2, "q a b c r"),
+            (3, "x y z x y z"),
+            (4, "s t"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in duplicated_ngram_stats(docs, "text", "doc_id", n=3).collect()
+    }
+    assert got[1] == (5, 3, 0.6)       # positions 1-3 covered
+    assert got[2] == (5, 3, 0.6)       # positions 2-4 covered
+    assert got[3] == (6, 0, 0.0)       # self-repeat only
+    assert got[4] == (2, 0, 0.0)       # shorter than n
+
+    # overlapping duplicated windows: coverage is the UNION of positions
+    docs2 = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id long, text string"
+    )
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in duplicated_ngram_stats(docs2, "text", "doc_id", n=3).collect()
+    }
+    assert got2[1] == (4, 4) and got2[2] == (4, 4)
