@@ -2062,6 +2062,44 @@ _DUP_NGRAM_SQL = (
 )
 
 
+def _q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The intervention half of dup_ngram_coverage: the corpus rewritten
+    with every cross-doc-duplicated 8-token window removed (Lee et al.
+    2022 cut spans, not docs).  Kept tokens are re-joined in document
+    order via array_sort on (position, token) structs — deterministic,
+    no shuffle-order reliance."""
+    from stractt_spark.operators.dedup import strip_duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return strip_duplicated_spans(docs, "text", "doc_id", n=8)
+
+
+_STRIP_DUP_SQL = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE}') AS l FROM documents), "
+    "starts AS (SELECT doc_id, l, "
+    "unnest(range(1, greatest(len(l)-8+1, 0)+1)) AS s FROM toks), "
+    "wins AS (SELECT doc_id, s, "
+    "array_to_string(list_slice(l, s, s+7), chr(1)) AS ng FROM starts), "
+    "dup AS (SELECT ng FROM wins GROUP BY ng "
+    "HAVING count(DISTINCT doc_id) > 1), "
+    "dwins AS (SELECT w.doc_id, w.s FROM wins w JOIN dup USING (ng)), "
+    "cov AS (SELECT DISTINCT doc_id, p FROM "
+    "(SELECT doc_id, unnest(range(s, s+8)) AS p FROM dwins)), "
+    "pos AS (SELECT doc_id, p, l[p] AS tok FROM "
+    "(SELECT doc_id, l, unnest(range(1, len(l)+1)) AS p FROM toks)), "
+    "kept AS (SELECT k.doc_id, k.p, k.tok FROM pos k LEFT JOIN cov c "
+    "ON c.doc_id = k.doc_id AND c.p = k.p WHERE c.p IS NULL), "
+    "reb AS (SELECT doc_id, "
+    "array_to_string(list(tok ORDER BY p), ' ') AS clean_text, "
+    "CAST(count(*) AS BIGINT) AS kept_tokens FROM kept GROUP BY doc_id) "
+    "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+    "CAST(len(t.l) AS BIGINT) AS n_tokens, "
+    "coalesce(r.kept_tokens, 0) AS kept_tokens "
+    "FROM toks t LEFT JOIN reb r USING (doc_id)"
+)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup across microbatches: the documents table
     arrives as file 1; file 2 re-ingests every 10th doc under a new
@@ -2787,6 +2825,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "ann_ivf_streamed_top10": _q_ann_ivf_streamed,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
+        "strip_dup_spans": _q_strip_dup_spans,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3157,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessionize": _STREAM_SESSIONIZE_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "dup_ngram_coverage": _DUP_NGRAM_SQL,
+        "strip_dup_spans": _STRIP_DUP_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "quality_cut": (

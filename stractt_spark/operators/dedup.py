@@ -694,3 +694,89 @@ def duplicated_ngram_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """→ (doc_id, clean_text, n_tokens, kept_tokens): the corpus with
+    every cross-doc-duplicated ``n``-token window REMOVED — the
+    intervention half of :func:`duplicated_ngram_stats` (Lee et al.
+    2022 cut duplicated spans rather than whole docs).  ``clean_text``
+    is the kept tokens joined by single spaces (tokenization is the
+    normalizing pass — original whitespace/punctuation outside tokens
+    is not preserved, which is the standard contract for a training-
+    corpus rewrite).
+
+    Same no-pair-join shape as the stats op, plus one ordered
+    re-aggregation: kept (position, token) pairs are grouped per doc
+    and ``array_sort`` restores document order (sort key is the
+    position struct field — deterministic, no reliance on shuffle
+    order)."""
+    from ..functions.tokenizer import SQL_TOKEN_PATTERN as _SQL_TOKEN_PATTERN
+
+    tokens = F.expr(
+        f"regexp_extract_all(lower({text_col}), "
+        "'" + _SQL_TOKEN_PATTERN + "', 0)"
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), tokens.alias("t")
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.sequence(F.lit(1), F.size("t") - F.lit(n - 1)),
+            ).otherwise(F.array())
+        ).alias("s"),
+        "t",
+    ).select(
+        "doc_id", "s",
+        F.concat_ws("\x01", F.slice("t", F.col("s"), n)).alias("ng"),
+    )
+    dup = (
+        wins.groupBy("ng")
+        .agg(F.count_distinct("doc_id").alias("d"))
+        .filter(F.col("d") > 1)
+        .select("ng")
+    )
+    covered = (
+        wins.join(dup, "ng", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    pos_tok = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = pos_tok.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda st: st["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("kept_tokens"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+        )
+    )

@@ -250,3 +250,25 @@ def test_duplicated_ngram_stats(spark):
         for r in duplicated_ngram_stats(docs2, "text", "doc_id", n=3).collect()
     }
     assert got2[1] == (4, 4) and got2[2] == (4, 4)
+
+
+def test_strip_duplicated_spans(spark):
+    from stractt_spark.operators.dedup import strip_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),   # "a b c" duplicated with doc 2 → keep "d e"
+            (2, "q a b c r"),   # → keep "q r"
+            (3, "x y z"),       # unique → unchanged
+            (4, "a b c"),       # entirely duplicated → empty rewrite
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["kept_tokens"])
+        for r in strip_duplicated_spans(docs, "text", "doc_id", n=3).collect()
+    }
+    assert got[1] == ("d e", 5, 2)
+    assert got[2] == ("q r", 5, 2)
+    assert got[3] == ("x y z", 3, 3)
+    assert got[4] == ("", 3, 0)
