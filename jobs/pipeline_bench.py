@@ -119,6 +119,33 @@ def main() -> None:
     pairs = sigs = None  # noqa: F841
     spark.sparkContext._jvm.System.gc()
 
+    # --------------------------------------------------------- substr
+    # substring-level dup coverage (Lee et al. window metric) at the
+    # same 1.2M docs: no pair join anywhere, so the cost is the window
+    # expansion + one count-agg on the window string
+    from stractt_spark.operators.dedup import duplicated_ngram_stats
+
+    t0 = time.time()
+    stats = duplicated_ngram_stats(corpus, "content", "doc_id", n=8)
+    agg = stats.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tok"),
+        F.sum("dup_tokens").alias("dup"),
+        F.sum((F.col("dup_tokens") > 0).cast("long")).alias("docs_dup"),
+        F.sum(
+            F.greatest(F.col("n_tokens") - F.lit(7), F.lit(0))
+        ).alias("windows"),
+    ).collect()[0]
+    dt = time.time() - t0
+    out["substr"] = {
+        "wall_sec": round(dt, 2),
+        "docs_per_sec": round(args.docs / dt, 1),
+        "windows": int(agg["windows"]),
+        "dup_token_frac": round(float(agg["dup"]) / float(agg["tok"]), 6),
+        "docs_with_dup_spans": int(agg["docs_dup"]),
+    }
+    spark.sparkContext._jvm.System.gc()
+
     # ------------------------------------------------------------- cc
     from stractt_spark.operators.dedup import (
         connected_components,

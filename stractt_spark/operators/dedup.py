@@ -636,7 +636,14 @@ def duplicated_ngram_stats(
          window×window join, so the f² blowup of shingle-pair
          approaches cannot occur);
       3. a semi-join of windows against the duplicated set;
-      4. one distinct + count per doc over covered positions.
+      4. covered-position counting as an INTERVAL UNION via one window
+         function over (doc_id, start) — each duplicated window
+         contributes ``max(0, end − max(start−1, prev_max_end))``
+         tokens, which sums to exactly the union length.  Never
+         explodes windows into positions: on a boilerplate-saturated
+         corpus (dup_frac → 1) the position explode is n× the window
+         count (measured: 1.7B rows at 1.2M docs) while the interval
+         union stays at one row per window.
     """
     from ..functions.tokenizer import SQL_TOKEN_PATTERN as _SQL_TOKEN_PATTERN
 
@@ -647,6 +654,11 @@ def duplicated_ngram_stats(
     toks = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), tokens.alias("t")
     )
+    # windows are keyed by xxhash64 of the token slice, not the joined
+    # string: the shuffle key shrinks from ~50 B of text to 8 B and no
+    # concat string is ever built.  A 64-bit collision can only mark a
+    # unique window as duplicated (P ≈ W²/2⁶⁴ over the whole corpus —
+    # the same probabilistic-exactness class as MinHash banding)
     wins = toks.select(
         "doc_id",
         F.explode(
@@ -658,25 +670,40 @@ def duplicated_ngram_stats(
         "t",
     ).select(
         "doc_id", "s",
-        F.concat_ws("\x01", F.slice("t", F.col("s"), n)).alias("ng"),
+        F.xxhash64(F.slice("t", F.col("s"), n)).alias("ng"),
     )
+    # cross-doc duplication test as min!=max over doc_id: ONE shuffle
+    # with map-side partial min/max, vs count_distinct's two-phase
+    # distinct expansion over the full window table
     dup = (
         wins.groupBy("ng")
-        .agg(F.count_distinct("doc_id").alias("d"))
-        .filter(F.col("d") > 1)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("ng")
     )
+    dwins = wins.join(dup, "ng", "left_semi").select("doc_id", "s")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     covered = (
-        wins.join(dup, "ng", "left_semi")
+        dwins.withColumn(
+            "prev_end", F.max(F.col("s") + F.lit(n - 1)).over(w)
+        )
         .select(
             "doc_id",
-            F.explode(
-                F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))
-            ).alias("p"),
+            F.greatest(
+                F.lit(0),
+                (F.col("s") + F.lit(n - 1))
+                - F.greatest(
+                    F.col("s") - F.lit(1),
+                    F.coalesce(F.col("prev_end"), F.lit(0)),
+                ),
+            ).alias("contrib"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("dup_tokens"))
+        .agg(F.sum("contrib").cast("long").alias("dup_tokens"))
     )
     return (
         toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
@@ -736,12 +763,16 @@ def strip_duplicated_spans(
         "t",
     ).select(
         "doc_id", "s",
-        F.concat_ws("\x01", F.slice("t", F.col("s"), n)).alias("ng"),
+        # same 64-bit window key as duplicated_ngram_stats (see there)
+        F.xxhash64(F.slice("t", F.col("s"), n)).alias("ng"),
     )
+    # cross-doc duplication test as min!=max over doc_id: ONE shuffle
+    # with map-side partial min/max, vs count_distinct's two-phase
+    # distinct expansion over the full window table
     dup = (
         wins.groupBy("ng")
-        .agg(F.count_distinct("doc_id").alias("d"))
-        .filter(F.col("d") > 1)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("ng")
     )
     covered = (
