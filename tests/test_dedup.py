@@ -272,3 +272,44 @@ def test_strip_duplicated_spans(spark):
     assert got[2] == ("q r", 5, 2)
     assert got[3] == ("x y z", 3, 3)
     assert got[4] == ("", 3, 0)
+
+
+def test_duplicated_ngram_randomized_vs_python(spark):
+    """Randomized (deterministic-seed) cross-check of the interval-union
+    coverage against a brute-force python oracle."""
+    import random
+    import re
+
+    from stractt_spark.functions.tokenizer import SQL_TOKEN_PATTERN
+    from stractt_spark.operators.dedup import duplicated_ngram_stats
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → many collisions
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    n = 4
+    tok = {
+        i: re.findall(SQL_TOKEN_PATTERN, t.lower()) for i, t in docs
+    }
+    wins = {}
+    for i, ts in tok.items():
+        for s in range(len(ts) - n + 1):
+            wins.setdefault(tuple(ts[s:s + n]), set()).add(i)
+    dup = {ng for ng, ds in wins.items() if len(ds) > 1}
+    want = {}
+    for i, ts in tok.items():
+        cov = set()
+        for s in range(len(ts) - n + 1):
+            if tuple(ts[s:s + n]) in dup:
+                cov.update(range(s, s + n))
+        want[i] = (len(ts), len(cov))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in duplicated_ngram_stats(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "text", "doc_id", n=n,
+        ).collect()
+    }
+    assert got == want
