@@ -2040,7 +2040,9 @@ def _q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_ngram_stats(docs, "text", "doc_id", n=8)
 
 
-_DUP_NGRAM_SQL = (
+# shared CTE prefix of the two substring-dedup oracles: tokenized docs →
+# 8-token windows → cross-doc-duplicated windows → covered positions
+_DUP_WINS_CTE = (
     "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
     f"'{TOKEN_RE}') AS l FROM documents), "
     "starts AS (SELECT doc_id, l, "
@@ -2052,6 +2054,11 @@ _DUP_NGRAM_SQL = (
     "dwins AS (SELECT w.doc_id, w.s FROM wins w JOIN dup USING (ng)), "
     "cov AS (SELECT DISTINCT doc_id, p FROM "
     "(SELECT doc_id, unnest(range(s, s+8)) AS p FROM dwins)), "
+)
+
+
+_DUP_NGRAM_SQL = (
+    _DUP_WINS_CTE +
     "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens "
     "FROM cov GROUP BY doc_id) "
     "SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens, "
@@ -2075,17 +2082,7 @@ def _q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STRIP_DUP_SQL = (
-    "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
-    f"'{TOKEN_RE}') AS l FROM documents), "
-    "starts AS (SELECT doc_id, l, "
-    "unnest(range(1, greatest(len(l)-8+1, 0)+1)) AS s FROM toks), "
-    "wins AS (SELECT doc_id, s, "
-    "array_to_string(list_slice(l, s, s+7), chr(1)) AS ng FROM starts), "
-    "dup AS (SELECT ng FROM wins GROUP BY ng "
-    "HAVING count(DISTINCT doc_id) > 1), "
-    "dwins AS (SELECT w.doc_id, w.s FROM wins w JOIN dup USING (ng)), "
-    "cov AS (SELECT DISTINCT doc_id, p FROM "
-    "(SELECT doc_id, unnest(range(s, s+8)) AS p FROM dwins)), "
+    _DUP_WINS_CTE +
     "pos AS (SELECT doc_id, p, l[p] AS tok FROM "
     "(SELECT doc_id, l, unnest(range(1, len(l)+1)) AS p FROM toks)), "
     "kept AS (SELECT k.doc_id, k.p, k.tok FROM pos k LEFT JOIN cov c "

@@ -613,6 +613,52 @@ def near_dup_components(
 # ----------------------------- substring-level (token-window) dedup
 
 
+def _cross_doc_dup_windows(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared front half of the substring-dedup ops: → (toks, wins, dup).
+
+    ``toks`` = (doc_id, t array<string>); ``wins`` = one row per n-token
+    window (doc_id, s, ng) where ``ng`` is the xxhash64 of the token
+    slice — the shuffle key shrinks from ~50 B of text to 8 B and no
+    concat string is ever built (a 64-bit collision can only mark a
+    unique window as duplicated, P ≈ W²/2⁶⁴ over the whole corpus — the
+    same probabilistic-exactness class as MinHash banding); ``dup`` =
+    the window keys occurring in more than one doc, tested as
+    min(doc_id) != max(doc_id): ONE shuffle with map-side partial
+    min/max, vs count_distinct's two-phase distinct expansion over the
+    full window table."""
+    from ..functions.tokenizer import SQL_TOKEN_PATTERN as _SQL_TOKEN_PATTERN
+
+    tokens = F.expr(
+        f"regexp_extract_all(lower({text_col}), "
+        "'" + _SQL_TOKEN_PATTERN + "', 0)"
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), tokens.alias("t")
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.sequence(F.lit(1), F.size("t") - F.lit(n - 1)),
+            ).otherwise(F.array())
+        ).alias("s"),
+        "t",
+    ).select(
+        "doc_id", "s",
+        F.xxhash64(F.slice("t", F.col("s"), n)).alias("ng"),
+    )
+    dup = (
+        wins.groupBy("ng")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("ng")
+    )
+    return toks, wins, dup
+
+
 def duplicated_ngram_stats(
     docs: DataFrame,
     text_col: str,
@@ -645,42 +691,7 @@ def duplicated_ngram_stats(
          count (measured: 1.7B rows at 1.2M docs) while the interval
          union stays at one row per window.
     """
-    from ..functions.tokenizer import SQL_TOKEN_PATTERN as _SQL_TOKEN_PATTERN
-
-    tokens = F.expr(
-        f"regexp_extract_all(lower({text_col}), "
-        "'" + _SQL_TOKEN_PATTERN + "', 0)"
-    )
-    toks = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"), tokens.alias("t")
-    )
-    # windows are keyed by xxhash64 of the token slice, not the joined
-    # string: the shuffle key shrinks from ~50 B of text to 8 B and no
-    # concat string is ever built.  A 64-bit collision can only mark a
-    # unique window as duplicated (P ≈ W²/2⁶⁴ over the whole corpus —
-    # the same probabilistic-exactness class as MinHash banding)
-    wins = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("t") >= n,
-                F.sequence(F.lit(1), F.size("t") - F.lit(n - 1)),
-            ).otherwise(F.array())
-        ).alias("s"),
-        "t",
-    ).select(
-        "doc_id", "s",
-        F.xxhash64(F.slice("t", F.col("s"), n)).alias("ng"),
-    )
-    # cross-doc duplication test as min!=max over doc_id: ONE shuffle
-    # with map-side partial min/max, vs count_distinct's two-phase
-    # distinct expansion over the full window table
-    dup = (
-        wins.groupBy("ng")
-        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
-        .filter(F.col("_mn") != F.col("_mx"))
-        .select("ng")
-    )
+    toks, wins, dup = _cross_doc_dup_windows(docs, text_col, id_col, n)
     dwins = wins.join(dup, "ng", "left_semi").select("doc_id", "s")
     w = (
         Window.partitionBy("doc_id")
@@ -743,38 +754,7 @@ def strip_duplicated_spans(
     and ``array_sort`` restores document order (sort key is the
     position struct field — deterministic, no reliance on shuffle
     order)."""
-    from ..functions.tokenizer import SQL_TOKEN_PATTERN as _SQL_TOKEN_PATTERN
-
-    tokens = F.expr(
-        f"regexp_extract_all(lower({text_col}), "
-        "'" + _SQL_TOKEN_PATTERN + "', 0)"
-    )
-    toks = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"), tokens.alias("t")
-    )
-    wins = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("t") >= n,
-                F.sequence(F.lit(1), F.size("t") - F.lit(n - 1)),
-            ).otherwise(F.array())
-        ).alias("s"),
-        "t",
-    ).select(
-        "doc_id", "s",
-        # same 64-bit window key as duplicated_ngram_stats (see there)
-        F.xxhash64(F.slice("t", F.col("s"), n)).alias("ng"),
-    )
-    # cross-doc duplication test as min!=max over doc_id: ONE shuffle
-    # with map-side partial min/max, vs count_distinct's two-phase
-    # distinct expansion over the full window table
-    dup = (
-        wins.groupBy("ng")
-        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
-        .filter(F.col("_mn") != F.col("_mx"))
-        .select("ng")
-    )
+    toks, wins, dup = _cross_doc_dup_windows(docs, text_col, id_col, n)
     covered = (
         wins.join(dup, "ng", "left_semi")
         .select(

@@ -98,13 +98,25 @@ def stream_ingest_ann(
             if "already exist" not in str(ex):
                 raise
             # crash window (b): the append committed but the stream
-            # ledger write didn't happen.  The committed append IS this
-            # batch's data (frozen-quantizer assignment is pure), so
-            # adopt the newest append batch instead of re-writing —
-            # but only after verifying the id sets actually coincide;
-            # a genuine user-duplicate stays a loud error.
+            # ledger write didn't happen.  Adopt the newest append batch
+            # instead of re-writing — but ONLY when (1) appends exist at
+            # all, (2) that append is not already claimed by another
+            # stream-ledger entry (a truly crash-orphaned append is
+            # never ledgered), and (3) its vec_id set equals this
+            # batch's.  Anything else is a genuine user-duplicate and
+            # stays a loud error.  Content equality inside the window is
+            # guaranteed by the source-replay contract: the retried
+            # microbatch re-reads the SAME checkpointed file offsets, so
+            # the re-delivered rows are byte-identical to the ones the
+            # crashed attempt appended.
             m = sim.read_ann_manifest(index_dir)
-            ab = max(m.get("append_batches", [0]))
+            batches = m.get("append_batches", [])
+            if not batches:
+                raise  # fresh index, no append to adopt: genuine dup
+            ab = max(batches)
+            if int(ab) in {int(v) for v in
+                           m.get("stream_batches", {}).values()}:
+                raise  # newest append already ledgered: genuine dup
             prev = (
                 spark.read.parquet(f"{index_dir}/{bprefix}{ab}.parquet")
                 .select("vec_id").distinct()

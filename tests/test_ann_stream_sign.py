@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from stractt_spark.operators.similarity import (
     append_sign_index,
-    build_sign_index,
+    build_sign_index_persisted,
     open_sign_index,
     read_ann_manifest,
 )
@@ -30,26 +30,27 @@ def _vecs(spark, lo, hi):
     )
 
 
-def _persist_sign(spark, vecs, out):
-    from stractt_spark.operators.similarity import (
-        build_sign_index_persisted,
-    )
-
-    build_sign_index_persisted(spark, vecs, out, n_tables=4, n_planes=8)
-
-
-def test_sign_stream_equals_batch_appends(spark):
+@pytest.fixture(scope="module")
+def streamed_sign(spark):
     shutil.rmtree(BASE, ignore_errors=True)
     idx, idx_b = f"{BASE}/idx", f"{BASE}/idx_batch"
-    _persist_sign(spark, _vecs(spark, 0, 100), idx)
-    _persist_sign(spark, _vecs(spark, 0, 100), idx_b)
+    build_sign_index_persisted(
+        spark, _vecs(spark, 0, 100), idx, n_tables=4, n_planes=8)
+    build_sign_index_persisted(
+        spark, _vecs(spark, 0, 100), idx_b, n_tables=4, n_planes=8)
     inp = f"{BASE}/in"
     _vecs(spark, 100, 150).coalesce(1).write.mode("append").parquet(inp)
     _vecs(spark, 150, 200).coalesce(1).write.mode("append").parquet(inp)
     stream_ingest_ann(spark, inp, idx, f"{BASE}/ckpt",
                       max_files_per_trigger=1)
+    # batch twin: the same two appends through the direct API
     append_sign_index(spark, idx_b, _vecs(spark, 100, 150))
     append_sign_index(spark, idx_b, _vecs(spark, 150, 200))
+    return idx, idx_b
+
+
+def test_sign_stream_equals_batch_appends(spark, streamed_sign):
+    idx, idx_b = streamed_sign
 
     def rows(d):
         return sorted(
@@ -65,11 +66,29 @@ def test_sign_stream_equals_batch_appends(spark):
     assert sorted(m["stream_batches"].values()) == m["append_batches"]
 
 
-def test_sign_duplicate_ids_stay_loud(spark):
-    idx = f"{BASE}/idx"
+def test_sign_duplicate_ids_stay_loud(spark, streamed_sign):
+    idx, _ = streamed_sign
     inp2 = f"{BASE}/in_dup"
     shutil.rmtree(inp2, ignore_errors=True)
+    # vec_id 50 is live in the BASE index; the newest append is already
+    # stream-ledgered, so the self-heal path must refuse to adopt it
     _vecs(spark, 50, 60).coalesce(1).write.parquet(inp2)
     with pytest.raises(Exception) as ei:
         stream_ingest_ann(spark, inp2, idx, f"{BASE}/ckpt_dup")
+    assert "already exist" in str(ei.value)
+
+
+def test_sign_duplicate_on_fresh_index_stays_loud(spark):
+    """Review finding (r5): an index with ZERO appends used to crash
+    with max(()) in the self-heal path instead of surfacing the
+    duplicate-id error."""
+    base = BASE + "_fresh"
+    shutil.rmtree(base, ignore_errors=True)
+    idx = f"{base}/idx"
+    build_sign_index_persisted(
+        spark, _vecs(spark, 0, 100), idx, n_tables=2, n_planes=8)
+    inp = f"{base}/in"
+    _vecs(spark, 50, 60).coalesce(1).write.parquet(inp)
+    with pytest.raises(Exception) as ei:
+        stream_ingest_ann(spark, inp, idx, f"{base}/ckpt")
     assert "already exist" in str(ei.value)
