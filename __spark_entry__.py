@@ -2097,6 +2097,24 @@ _STRIP_DUP_SQL = (
 )
 
 
+def _q_det_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/test split by content-keyed md5 bucket: pure
+    map-side expression (no shuffle, no RNG state, append- and
+    cluster-size-stable), with the contamination guard that
+    byte-identical docs land in the same side by construction."""
+    from stractt_spark.operators.dedup import deterministic_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_split(docs, "doc_id", text_col="text")
+
+
+_DET_SPLIT_SQL = (
+    "SELECT doc_id, substr(md5('split-v1' || text), 1, 2) AS bucket_hex, "
+    "CASE WHEN substr(md5('split-v1' || text), 1, 2) < '19' "
+    "THEN 'test' ELSE 'train' END AS split FROM documents"
+)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup across microbatches: the documents table
     arrives as file 1; file 2 re-ingests every 10th doc under a new
@@ -2823,6 +2841,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_streamed_top10": _q_ann_ivf_streamed,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "strip_dup_spans": _q_strip_dup_spans,
+        "det_split": _q_det_split,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3194,6 +3213,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": _STREAM_DEDUP_SQL,
         "dup_ngram_coverage": _DUP_NGRAM_SQL,
         "strip_dup_spans": _STRIP_DUP_SQL,
+        "det_split": _DET_SPLIT_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "quality_cut": (

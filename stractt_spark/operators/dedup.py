@@ -791,3 +791,38 @@ def strip_duplicated_spans(
             ),
         )
     )
+
+
+def deterministic_split(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    test_buckets: int = 25,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """→ (doc_id, bucket_hex, split): reproducible train/test assignment
+    by md5 bucket — ``bucket_hex`` is the first byte of
+    ``md5(salt ‖ key)`` (256 buckets), ``split = 'test'`` for the first
+    ``test_buckets`` of them (realized test fraction = test_buckets/256).
+
+    Pure map-side expression: no shuffle, no RNG state, stable across
+    engines, runs, and cluster sizes — the properties a 100 TB split
+    must have (a `rand()` split is neither reproducible nor append-
+    stable; a mod-on-id split breaks when ids are reassigned).
+
+    ``text_col`` keys the hash by CONTENT instead of id: byte-identical
+    docs land in the same side by construction, so exact duplicates can
+    never straddle train/test — the contamination guard; compose with
+    :func:`near_dup_components` / :func:`strip_duplicated_spans` for
+    near-dup and substring leakage.  Changing ``salt`` re-deals every
+    bucket (fresh split without touching the data)."""
+    key = F.col(text_col) if text_col else F.col(id_col).cast("string")
+    h2 = F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 2)
+    thr = format(test_buckets, "02x")
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        h2.alias("bucket_hex"),
+        F.when(h2 < thr, F.lit("test")).otherwise(F.lit("train")).alias(
+            "split"
+        ),
+    )

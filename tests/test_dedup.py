@@ -313,3 +313,30 @@ def test_duplicated_ngram_randomized_vs_python(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_deterministic_split(spark):
+    from stractt_spark.operators.dedup import deterministic_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 50}") for i in range(400)],
+        "doc_id long, text string",
+    )
+    # content-keyed: identical texts always land in the same split
+    by_text = deterministic_split(docs, "doc_id", text_col="text").collect()
+    sides = {}
+    for r in by_text:
+        t = r["doc_id"] % 50
+        assert sides.setdefault(t, r["split"]) == r["split"]
+    # id-keyed: deterministic across invocations, fraction ≈ 25/256
+    a = {r["doc_id"]: r["split"]
+         for r in deterministic_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in deterministic_split(docs, "doc_id").collect()}
+    assert a == b
+    frac = sum(1 for s in a.values() if s == "test") / len(a)
+    assert 0.02 < frac < 0.25
+    # salt re-deals the buckets
+    c = {r["doc_id"]: r["split"]
+         for r in deterministic_split(docs, "doc_id", salt="v2").collect()}
+    assert c != a
