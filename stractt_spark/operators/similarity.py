@@ -704,6 +704,8 @@ def append_ivf(
             f"append_ivf: {dup} vec_id(s) already exist in the index — "
             "delete_vectors first (update = delete + append), or retrain"
         )
+    _refuse_legacy_tombstoned(
+        spark, index_dir, base.select("vec_id"), "append_ivf")
 
     def assign_cells(pdfs):
         for pdf in pdfs:
@@ -897,6 +899,10 @@ def append_sign_index(
             f"append_sign_index: {dup} vec_id(s) already exist — "
             "delete_vectors first (update = delete + append)"
         )
+    _refuse_legacy_tombstoned(
+        spark, index_dir,
+        embeddings.select(F.col(id_col).cast("long").alias("vec_id")),
+        "append_sign_index")
     batch_id = 1 + max(m.get("append_batches", []), default=0)
     bdir = f"{index_dir}/sign_b{batch_id}.parquet"
     build_sign_index(
@@ -1003,6 +1009,38 @@ def delete_vectors(spark, index_dir: str, vec_ids) -> int:
     return int(n)
 
 
+def _legacy_tombstoned(spark, index_dir: str) -> DataFrame | None:
+    """vec_ids covered by a LEGACY tombstone (no ``upto_batch`` — masks
+    every batch, including future appends), or None when no tombstones
+    exist.  Appends must refuse these ids: the re-appended row would be
+    invisible forever while still counting in ``num_vecs``."""
+    import os
+
+    tp = _tombstone_path(index_dir)
+    if not os.path.isdir(tp):
+        return None
+    t = spark.read.option("mergeSchema", "true").parquet(tp)
+    if "upto_batch" not in t.columns:
+        return t.select("vec_id").distinct()
+    return (
+        t.filter(F.col("upto_batch").isNull()).select("vec_id").distinct()
+    )
+
+
+def _refuse_legacy_tombstoned(spark, index_dir: str, ids: DataFrame,
+                              op: str) -> None:
+    legacy = _legacy_tombstoned(spark, index_dir)
+    if legacy is None:
+        return
+    n = ids.join(legacy, "vec_id", "left_semi").count()
+    if n:
+        raise ValueError(
+            f"{op}: {n} vec_id(s) are covered by LEGACY all-batch "
+            "tombstones — a re-append would be masked forever; retrain "
+            "(reclaims tombstones) before re-appending these ids"
+        )
+
+
 def mask_deleted(spark, index_dir: str, df: DataFrame) -> DataFrame:
     """Anti-join a result/candidate frame against the index's tombstones
     (no-op when none exist).  A plain anti join, NOT a forced broadcast —
@@ -1018,9 +1056,18 @@ def mask_deleted(spark, index_dir: str, df: DataFrame) -> DataFrame:
     tp = _tombstone_path(index_dir)
     if not os.path.isdir(tp):
         return df.drop("_batch") if "_batch" in df.columns else df
-    t = spark.read.parquet(tp)
-    if "upto_batch" not in t.columns:  # legacy tombstones: mask all
+    # mergeSchema: a dir can hold BOTH legacy (vec_id-only) and new
+    # (vec_id, upto_batch) files; without it one file's schema wins and
+    # either upto_batch disappears for every row or legacy rows read as
+    # NULL — and `_batch <= NULL` is never true, resurrecting deleted
+    # vectors.  Per-ROW legacy handling: NULL upto_batch → mask all.
+    t = spark.read.option("mergeSchema", "true").parquet(tp)
+    if "upto_batch" not in t.columns:  # legacy tombstones only: mask all
         t = t.withColumn("upto_batch", F.lit(2**31 - 1))
+    else:
+        t = t.withColumn(
+            "upto_batch", F.coalesce(F.col("upto_batch"), F.lit(2**31 - 1))
+        )
     if "_batch" in df.columns:
         t = t.select(
             F.col("vec_id").alias("_t_vid"), F.col("upto_batch")

@@ -697,6 +697,7 @@ def _segment_topk_kernel(
         ids_: np.ndarray,
         tfs_: np.ndarray,
         track: list[str],
+        count_metrics: bool = True,
     ):
         """Narrow candidate ids (the decoded first/rarest term) through
         the remaining terms' candidate-intersecting blocks; returns
@@ -711,7 +712,7 @@ def _segment_topk_kernel(
             sub = _blocks_for_candidates(by_term[t], ids_)
             if sub is None:
                 return None
-            if kmetrics is not None and t in qweights:
+            if kmetrics is not None and count_metrics and t in qweights:
                 kmetrics["blocks_decoded"] += len(sub)
             t_ids, t_tfs = decode_block_subset(sub)
             t_ids = t_ids.astype(np.int64)
@@ -726,18 +727,22 @@ def _segment_topk_kernel(
                 tracked[t] = t_tfs[sel]
         return (ids_, tracked) if ids_.size else None
 
-    def intersect_terms(required: list[str], track: list[str]):
+    def intersect_terms(required: list[str], track: list[str],
+                        count_metrics: bool = True):
         """Rarest-first block-skip leapfrog AND over ``required`` terms;
-        returns (ids, {t: aligned tf array for t in track}) or None."""
+        returns (ids, {t: aligned tf array for t in track}) or None.
+        ``count_metrics=False`` for auxiliary rescoring passes (the
+        proximity ladder) whose re-decodes would otherwise push
+        blocks_decoded past blocks_total in the pruning metric."""
         order_ = sorted(required, key=lambda t: int(by_term[t]["num_docs"].sum()))
         first = order_[0]
-        if kmetrics is not None and first in qweights:
+        if kmetrics is not None and count_metrics and first in qweights:
             kmetrics["blocks_decoded"] += len(by_term[first])
         ids_, tfs_ = decode_term_blocks(by_term[first])
         ids_ = ids_.astype(np.int64)
         if max_docs is not None and ids_.size > max_docs:
             ids_, tfs_ = ids_[:max_docs], tfs_[:max_docs]
-        return intersect_rest(order_, ids_, tfs_, track)
+        return intersect_rest(order_, ids_, tfs_, track, count_metrics)
 
     # canonical phrase order: sorted by joined text (stable → query order
     # for equal text), matching the oracle and the exhaustive path
@@ -1030,7 +1035,8 @@ def _segment_topk_kernel(
             cand = ids
             sel = np.arange(ids.size)
         else:
-            res_l = intersect_terms(list(dict.fromkeys(terms)), track=[])
+            res_l = intersect_terms(list(dict.fromkeys(terms)), track=[],
+                                    count_metrics=False)
             if res_l is not None:
                 cand = res_l[0]
                 sel = np.searchsorted(ids, cand)
@@ -1547,85 +1553,6 @@ def count_topk_agg(per_seg: DataFrame, k: int) -> DataFrame:
             1, k,
         ).alias("_top"),
     )
-
-
-def proximity_rescore(
-    segments: DataFrame,
-    norms: DataFrame,
-    query_terms: list[str],
-    base_rows: list[tuple[int, float]],
-    num_docs: int,
-    avgdl: float,
-    term_df: dict[str, int],
-    docs_per_segment: int,
-    k: int = 10,
-    ladder: tuple[tuple[float, int], ...] = PROXIMITY_LADDER,
-) -> list[tuple[int, float]]:
-    """Phase-2 proximity ladder over first-phase candidates (the
-    reference's Should-phrases at (boost, slop) rungs, query/mod.rs:45-93):
-
-        score' = base + Σ_rungs boost × w_phrase × tf_comp(sloppy_freq)
-
-    Candidates (≤ overfetched k) are grouped by segment and shipped into a
-    cogrouped Arrow kernel that decodes each term's positions ONCE for all
-    rungs.  Returns the re-sorted top-k (doc_id, score')."""
-    from ..functions.bm25 import idf as idf_fn
-
-    if len(query_terms) < 2 or not base_rows:
-        return sorted(base_rows, key=lambda r: (-r[1], r[0]))[:k]
-    w_phrase = sum(idf_fn(term_df.get(t, 0), num_docs) for t in query_terms) * (
-        K1 + 1.0
-    )
-    by_seg: dict[int, list[int]] = {}
-    for d, _ in base_rows:
-        by_seg.setdefault(d // docs_per_segment, []).append(d)
-    slops = [s for _, s in ladder]
-    boosts = [b for b, _ in ladder]
-    seg_ids = sorted(by_seg)
-
-    seg_filtered = segments.filter(
-        F.col("term").isin(query_terms) & F.col("segment_id").isin(seg_ids)
-    )
-    norms_f = norms.filter(F.col("segment_id").isin(seg_ids))
-
-    def run(key, blocks_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"segment_id": pd.Series([], dtype="int32"),
-             "doc_id": pd.Series([], dtype="int64"),
-             "score": pd.Series([], dtype="float64")}
-        )
-        if len(blocks_pdf) == 0 or len(norms_pdf) == 0:
-            return empty
-        seg = int(blocks_pdf["segment_id"].iloc[0])
-        cand = np.array(sorted(by_seg.get(seg, [])), dtype=np.int64)
-        if cand.size == 0:
-            return empty
-        base = int(norms_pdf["base_doc_id"].iloc[0])
-        narr = np.frombuffer(norms_pdf["norm_bytes"].iloc[0], dtype=np.uint8)
-        dls = FIELD_NORMS_TABLE.astype(np.float64)[narr[(cand - base)]]
-        by_term = {t: g for t, g in blocks_pdf.groupby("term")}
-        freqs = _ladder_freqs(by_term, query_terms, cand, slops)
-        bonus = np.zeros(cand.size, dtype=np.float64)
-        for si, b in enumerate(boosts):
-            bonus += b * w_phrase * _tf_comp(
-                freqs[:, si].astype(np.float64), dls, avgdl
-            )
-        return pd.DataFrame(
-            {"segment_id": pd.Series(np.full(cand.size, seg), dtype="int32"),
-             "doc_id": pd.Series(cand, dtype="int64"),
-             "score": pd.Series(bonus, dtype="float64")}
-        )
-
-    bonus_rows = (
-        seg_filtered.groupBy("segment_id")
-        .cogroup(norms_f.groupBy("segment_id"))
-        .applyInPandas(run, _RESULT_SCHEMA)
-        .collect()
-    )
-    bonus = {r["doc_id"]: r["score"] for r in bonus_rows}
-    rescored = [(d, s + bonus.get(d, 0.0)) for d, s in base_rows]
-    rescored.sort(key=lambda r: (-r[1], r[0]))
-    return rescored[:k]
 
 
 def decode_doc_ids(blocks: DataFrame) -> DataFrame:

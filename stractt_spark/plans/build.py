@@ -529,6 +529,20 @@ def build_index_fused(
     return paths
 
 
+
+def _rebuild_query(new_pos_terms: list, pq) -> str:
+    """Rebuild a retry query from corrected/split positive terms while
+    PRESERVING the original MustNot terms and field filters (review
+    finding r5: the former pos-terms-only rebuild silently dropped
+    ``-term`` exclusions and ``lang:``/``site:`` filters on the spell /
+    compound-split retry, returning docs the user excluded)."""
+    parts = list(new_pos_terms)
+    parts += [f"-{t}" for t in pq.neg_terms]
+    parts += [f"{f}:{v}" for f, v in pq.filters.items()]
+    parts += [f"-{f}:{v}" for f, v in pq.anti_filters.items()]
+    return " ".join(parts)
+
+
 class SegmentIndex:
     """Query handle over a persisted index directory (staged or fused)."""
 
@@ -867,7 +881,7 @@ class SegmentIndex:
         suggestion = self.spell_checker(dict_size).suggest_query(pq.uniq_terms)
         if not suggestion:
             return rows, None
-        corrected = " ".join(suggestion)
+        corrected = _rebuild_query(suggestion, pq)
         return self.search_list(corrected, k=k, mode=mode), corrected
 
     def search_split(
@@ -899,7 +913,7 @@ class SegmentIndex:
                 out_terms.append(t)
         if not changed:
             return rows, None
-        corrected = " ".join(out_terms)
+        corrected = _rebuild_query(out_terms, pq)
         return self.search_list(corrected, k=k, mode=mode), corrected
 
     def spell_checker(self, dict_size: int = 100_000):

@@ -381,11 +381,12 @@ def test_mf_proximity_matches_brute_force(spark, mf):
 
     idx, oracle, data = mf
     terms = ["hash", "join"]
-    got = idx.search_proximity("hash join", k=10, mode="should",
-                               overfetch=4)
+    got = idx.search_proximity("hash join", k=10, mode="should")
 
     tok = get_analyzer("ascii")
-    base = oracle.search("hash join", k=40, mode="should")
+    # FULL-SCAN oracle (single-phase semantics): every matching doc is
+    # rescored, so the oracle could catch an overfetch-window miss
+    base = oracle.search("hash join", k=10**6, mode="should")
     # per-field df of the physical content terms + content avgdl
     content_idx = oracle.fields["content"]
     w_phrase = idx.boosts["content"] * sum(
@@ -478,3 +479,35 @@ def test_mf_bare_discard_only_program_returns_empty(spark, mf):
     assert got == []
     want = _brute_goggle(oracle, data, "$discard", "hash join", "should")
     assert want == []
+
+
+def test_mf_proximity_catches_overfetch_miss(spark):
+    """MF twin of the single-field regression: a doc whose base MF rank
+    falls far outside any overfetch window but whose content terms sit
+    perfectly adjacent must still win — the failure mode the former
+    two-phase k×4 rescoring structurally missed (r5 review)."""
+    from stractt_spark.operators.multifield import (
+        MultiFieldSegmentIndex,
+        build_index_fused_multifield,
+    )
+
+    filler = " ".join(
+        ["alpha " + " ".join(["x"] * 40) + " beta " + " ".join(["y"] * 40)]
+        * 6
+    )
+    winner = "alpha beta " + " ".join(["pad"] * 40)
+    rows = [(i, f"p{i}", filler) for i in range(80)] + [
+        (80, "p80", winner)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, path string, content string")
+    d = "/tmp/stractt_mf_prox_overfetch_idx"
+    shutil.rmtree(d, ignore_errors=True)
+    build_index_fused_multifield(
+        spark, docs, d, {"path": "path", "content": "content"},
+        docs_per_segment=32, positions=True, field_boosts=BOOSTS,
+    )
+    idx = MultiFieldSegmentIndex(spark, d)
+    base = idx.search_list("alpha beta", k=81, mode="must")
+    assert [r[0] for r in base].index(80) >= 40
+    prox = idx.search_proximity("alpha beta", k=10, mode="must")
+    assert prox[0][0] == 80
