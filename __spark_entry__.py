@@ -2723,6 +2723,63 @@ def _q_ann_ivf_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ANN update flow under the gate (the exact flow ADVICE r4
+    flagged): build on half the augmented table, append the rest, then
+    UPDATE every planted neighbor — delete_vectors (batch-scoped
+    tombstones) + re-append with CHANGED vectors (the planted coordinate
+    halved) — and query.  The top-10 must be the UPDATED planted rows
+    with their new cosines, against an exact oracle over the updated
+    table: stale rows must stay masked, tombstones must not block the
+    re-append, and the re-appended batch must serve."""
+    import hashlib
+    import shutil as _sh
+
+    from stractt_spark.operators.similarity import (
+        ann_ivf_topk,
+        append_ivf,
+        build_ivf_index,
+        delete_vectors,
+    )
+
+    aug, qvec = _augmented_embeddings(spark, sf_dir)
+    key = "ivfupd:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        out = "/tmp/stractt_entry_ivfupd_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        _sh.rmtree(out, ignore_errors=True)
+        half = aug.filter(F.col("vec_id") % 2 == 0).filter(
+            F.col("vec_id") < 1000000
+        )
+        build_ivf_index(spark, half, out, n_cells=16, vec_col="e")
+        append_ivf(
+            spark, out,
+            aug.filter((F.col("vec_id") % 2 == 1)
+                       & (F.col("vec_id") < 1000000)),
+            vec_col="e",
+        )
+        append_ivf(
+            spark, out, aug.filter(F.col("vec_id") >= 1000000), vec_col="e"
+        )
+        # update = delete + append: v2 halves the flipped coordinate
+        planted2 = []
+        for j in range(1, 11):
+            v = list(qvec)
+            v[j - 1] = -0.5 * v[j - 1]
+            planted2.append((1000000 + j, v))
+        delete_vectors(spark, out, [1000000 + j for j in range(1, 11)])
+        append_ivf(
+            spark, out,
+            spark.createDataFrame(planted2, "vec_id long, e array<double>"),
+            vec_col="e",
+        )
+        _WAND_INDEX_CACHE[key] = out
+    return ann_ivf_topk(
+        spark, _WAND_INDEX_CACHE[key], qvec, k=10, nprobe=4, exclude_id=0
+    )
+
+
 def _q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN through the PERSISTED bucketed sign-LSH index: the signature
     table is built once and written to parquet; the query pushes a
@@ -2839,6 +2896,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_attributes": _q_entity_attributes,
         "stream_dedup": _q_stream_dedup,
         "ann_ivf_streamed_top10": _q_ann_ivf_streamed,
+        "ann_ivf_updated_top10": _q_ann_ivf_updated,
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "strip_dup_spans": _q_strip_dup_spans,
         "det_split": _q_det_split,
@@ -2945,6 +3003,21 @@ _ANN_BUCKETED_SQL = (
     "FROM aug a, q WHERE a.vec_id <> 0 "
     f"ORDER BY {_ANN_COS} DESC, a.vec_id ASC LIMIT 10"
 )
+
+_ANN_UPDATED_SQL = (
+    "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+    "q AS (SELECT e FROM base WHERE vec_id = 0), "
+    # the UPDATED planted rows: the flipped coordinate is halved
+    "planted AS (SELECT CAST(1000000 + j AS BIGINT) AS vec_id, "
+    "list_concat(list_concat(list_slice(q.e, 1, j-1), [-0.5*list_extract(q.e, j)]), "
+    "list_slice(q.e, j+1, len(q.e))) AS e "
+    "FROM q, generate_series(1, 10) AS g(j)), "
+    "aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted) "
+    f"SELECT a.vec_id AS vec_id, round({_ANN_COS}, 6) AS cos "
+    "FROM aug a, q WHERE a.vec_id <> 0 "
+    f"ORDER BY {_ANN_COS} DESC, a.vec_id ASC LIMIT 10"
+)
+
 
 _TOKS_L_CTE = (
     "toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
@@ -3276,6 +3349,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_top10": _ANN_BUCKETED_SQL,  # same exact-cosine truth
         "ann_ivf_appended_top10": _ANN_BUCKETED_SQL,  # appends must not lose recall
         "ann_ivf_streamed_top10": _ANN_BUCKETED_SQL,  # streamed ingest either
+        "ann_ivf_updated_top10": _ANN_UPDATED_SQL,  # delete+re-append serves v2
         "emb_near_dup_pairs": _EMB_DUP_SQL,
         "jaccard_pairs_capped": (
             f"WITH {_TOKS_L_CTE}, "
