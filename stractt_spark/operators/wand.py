@@ -151,6 +151,41 @@ PROXIMITY_LADDER: tuple[tuple[float, int], ...] = (
 )
 
 
+def _chain_max_gaps(pos_lists: list[np.ndarray]) -> np.ndarray:
+    """Per chain start p0: the greedy in-order chain's MAXIMUM step gap,
+    or +inf when the chain breaks.  The greedy step is slop-independent
+    (always the first position ≥ prev+1; a slop only changes the failure
+    threshold), so `sloppy_chain_count(pos_lists, s) ==
+    (gaps ≤ s+1).sum()` for every s — one vectorized multi-term walk
+    replaces one Python chain walk per (start, rung)."""
+    prev = pos_lists[0].astype(np.int64)
+    gmax = np.zeros(prev.size, dtype=np.float64)
+    alive = np.ones(prev.size, dtype=bool)
+    for nxt in pos_lists[1:]:
+        nxt = np.asarray(nxt, dtype=np.int64)
+        j = np.searchsorted(nxt, prev + 1)
+        ok = j < nxt.size
+        j_c = np.minimum(j, max(nxt.size - 1, 0))
+        step = nxt[j_c] - prev if nxt.size else np.zeros(prev.size, dtype=np.int64)
+        alive &= ok
+        gmax = np.maximum(gmax, np.where(alive, step, np.inf))
+        prev = np.where(alive & ok, nxt[j_c] if nxt.size else prev, prev)
+    gmax[~alive] = np.inf
+    return gmax
+
+
+def _gather_ranges(flat: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """Vectorized ``concat(flat[s:s+l] for s, l in zip(starts, lens))``
+    (the standard repeat+cumsum range-gather — no Python loop)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=flat.dtype)
+    idx = np.repeat(starts + lens, lens)
+    off = np.arange(total) - np.repeat(np.cumsum(lens), lens)
+    return flat[(idx + off).astype(np.int64)]
+
+
 def _ladder_freqs(
     by_term: dict[str, pd.DataFrame],
     terms: list[str],
@@ -158,24 +193,86 @@ def _ladder_freqs(
     slops: list[int],
 ) -> np.ndarray:
     """(len(cand) × len(slops)) sloppy-chain counts for the full query-term
-    sequence — ONE positions decode shared by every rung."""
+    sequence — ONE positions decode shared by every rung, then ONE
+    global vectorized greedy walk for ALL docs at once: every doc's
+    positions are lifted into a disjoint stride band (doc_rank ×
+    2^20 + pos), the per-term bands concatenate into one globally
+    sorted array, and the slop-independent greedy step (first position
+    ≥ prev+1, see :func:`_chain_max_gaps`) runs as a single searchsorted
+    per term.  A chain that would cross into another doc's band shows a
+    gap ≥ 2^19, which no rung threshold (≤ 33) accepts — so cross-doc
+    chains auto-fail with no masking logic.  Exact equivalence with
+    :func:`sloppy_chain_count` is property-tested."""
     member = _candidate_positions(by_term, terms, cand)
     out = np.zeros((len(cand), len(slops)), dtype=np.int64)
     if member is None:
         return out
-    for ci, d in enumerate(cand):
-        pos_lists = []
-        present = True
-        for ids, pos, offs in member:
-            j = int(np.searchsorted(ids, d))
-            if j >= len(ids) or ids[j] != d:
-                present = False
-                break
-            pos_lists.append(pos[offs[j]:offs[j + 1]])
-        if not present:
+    cand = np.asarray(cand, dtype=np.int64)
+    # per term: row index of each candidate doc (or -1 when absent)
+    rows_per_term = []
+    present = np.ones(cand.size, dtype=bool)
+    for ids, _pos, _offs in member:
+        if ids.size == 0:
+            present[:] = False
+            rows_per_term.append(np.zeros(cand.size, dtype=np.int64))
             continue
-        for si, slop in enumerate(slops):
-            out[ci, si] = sloppy_chain_count(pos_lists, slop)
+        j = np.searchsorted(ids, cand)
+        j_c = np.minimum(j, ids.size - 1)
+        present &= (ids[j_c] == cand) & (j < ids.size)
+        rows_per_term.append(j_c)
+    pidx = np.flatnonzero(present)
+    if pidx.size == 0:
+        return out
+    # stride must exceed any in-doc position so bands stay disjoint —
+    # adaptive for pathological giant docs (>1M tokens)
+    max_pos = max(
+        (int(np.asarray(pos).max()) if len(pos) else 0)
+        for _ids, pos, _offs in member
+    )
+    STRIDE = np.int64(max(1 << 20, max_pos + 64))
+    bands = pidx.astype(np.int64) * STRIDE  # one band per present doc
+    glob: list[np.ndarray] = []
+    lens0 = None
+    for (ids, pos, offs), j in zip(member, rows_per_term):
+        starts = offs[j[pidx]].astype(np.int64)
+        lens = (offs[j[pidx] + 1] - offs[j[pidx]]).astype(np.int64)
+        g = _gather_ranges(np.asarray(pos, dtype=np.int64), starts, lens)
+        g = g + np.repeat(bands, lens)
+        glob.append(g)
+        if lens0 is None:
+            lens0 = lens
+    thresholds = np.asarray([s + 1 for s in slops], dtype=np.float64)
+    if len(glob) == 1:
+        counts = lens0[:, None] * np.ones(
+            (1, len(slops)), dtype=np.int64)
+    else:
+        prev = glob[0]
+        gmax = np.zeros(prev.size, dtype=np.float64)
+        alive = np.ones(prev.size, dtype=bool)
+        for nxt in glob[1:]:
+            j = np.searchsorted(nxt, prev + 1)
+            ok = j < nxt.size
+            j_c = np.minimum(j, max(nxt.size - 1, 0))
+            step = (nxt[j_c] - prev) if nxt.size else np.zeros(
+                prev.size, dtype=np.int64)
+            alive &= ok
+            gmax = np.maximum(gmax, np.where(alive, step, np.inf))
+            prev = np.where(alive, nxt[j_c] if nxt.size else prev, prev)
+        gmax[~alive] = np.inf
+        hits = gmax[:, None] <= thresholds[None, :]  # (Σ lens0, n_slops)
+        offs0 = np.concatenate(([0], np.cumsum(lens0)))[:-1]
+        # per-doc sums over each doc's p0 range; reduceat needs non-empty
+        # input and strictly covers empty ranges via equal offsets
+        if hits.shape[0]:
+            # reduceat quirk-guard: clip (lens0 is ≥1 for present docs —
+            # tf ≥ 1 ⇒ ≥1 position — so empty ranges can't occur, but
+            # stay defensive) and zero any empty range afterwards
+            offs0_c = np.minimum(offs0, hits.shape[0] - 1).astype(np.int64)
+            counts = np.add.reduceat(hits.astype(np.int64), offs0_c, axis=0)
+            counts[lens0 == 0] = 0
+        else:
+            counts = np.zeros((pidx.size, len(slops)), dtype=np.int64)
+    out[pidx, :] = counts
     return out
 
 

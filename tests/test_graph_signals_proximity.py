@@ -232,3 +232,33 @@ def test_full_signal_values_reference_transforms(spark):
         + 80.0 * (math.log(2.0) / math.log(11.0))
     )
     assert math.isclose(pre[0], want0, rel_tol=1e-12)
+
+
+def test_chain_max_gaps_equals_sloppy_chain_count():
+    """The vectorized one-walk-per-start rung counting must equal the
+    reference sloppy_chain_count for every slop, on randomized position
+    lists (deterministic seed)."""
+    import random
+
+    import numpy as np
+
+    from stractt_spark.operators.wand import (
+        _chain_max_gaps,
+        sloppy_chain_count,
+    )
+
+    rng = random.Random(77)
+    for _ in range(300):
+        n_terms = rng.randint(2, 4)
+        lists = []
+        for _t in range(n_terms):
+            n = rng.randint(0, 8)
+            lists.append(np.array(
+                sorted(rng.sample(range(40), n)), dtype=np.int64))
+        if any(a.size == 0 for a in lists):
+            continue
+        gaps = _chain_max_gaps(lists)
+        for slop in (0, 1, 2, 4, 16, 32):
+            want = sloppy_chain_count(lists, slop)
+            got = int((gaps <= slop + 1).sum())
+            assert got == want, (lists, slop, got, want)
