@@ -2115,6 +2115,128 @@ _DET_SPLIT_SQL = (
 )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination composed with the deterministic split:
+    the det_split test side plays the held-out eval suite, and every
+    TRAIN doc reports how many of its 8-token windows leak from it.
+    The bench window-hash set broadcasts (an eval suite is MBs against
+    TBs of corpus), so the op is one map-side pass over train bytes —
+    no corpus shuffle, no pair join."""
+    from stractt_spark.operators.dedup import (
+        decontaminate,
+        deterministic_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sp = deterministic_split(docs, "doc_id", text_col="text")
+    train = docs.join(sp.filter("split = 'train'").select("doc_id"), "doc_id")
+    bench = docs.join(sp.filter("split = 'test'").select("doc_id"), "doc_id")
+    return decontaminate(train, bench, "text", "doc_id", n=8)
+
+
+_DECONTAM_SQL = (
+    "WITH sp AS (SELECT doc_id, CASE WHEN "
+    "substr(md5('split-v1' || text), 1, 2) < '19' THEN 'test' ELSE "
+    "'train' END AS split, text FROM documents), "
+    "toks AS (SELECT doc_id, split, regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE}') AS l FROM sp), "
+    "wins AS (SELECT doc_id, split, "
+    "array_to_string(list_slice(l, s, s+7), chr(1)) AS ng FROM "
+    "(SELECT doc_id, split, l, "
+    "unnest(range(1, greatest(len(l)-8+1, 0)+1)) AS s FROM toks)), "
+    "bset AS (SELECT DISTINCT ng FROM wins WHERE split = 'test'), "
+    "tw AS (SELECT doc_id, ng FROM wins WHERE split = 'train'), "
+    "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS hit_windows "
+    "FROM tw JOIN bset USING (ng) GROUP BY doc_id), "
+    "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows "
+    "FROM tw GROUP BY doc_id) "
+    "SELECT t.doc_id, coalesce(o.n_windows, 0) AS n_windows, "
+    "coalesce(h.hit_windows, 0) AS hit_windows, "
+    "coalesce(h.hit_windows, 0) > 0 AS contaminated "
+    "FROM (SELECT doc_id FROM sp WHERE split = 'train') t "
+    "LEFT JOIN tot o USING (doc_id) LEFT JOIN hits h USING (doc_id)"
+)
+
+
+# Deterministic PII injection for the redaction gate (the synthetic corpus
+# carries no organic PII): one shared expression string, valid verbatim in
+# BOTH Spark SQL and DuckDB, appends fixed email / IP / phone payloads to
+# deterministic doc subsets.
+_PII_INJECT_EXPR = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || "
+    "' contact alice@example.com or bob.smith+x@sub.domain.org' "
+    "WHEN doc_id % 5 = 0 THEN text || ' from 10.1.2.3 tel 555-123-4567' "
+    "ELSE text END"
+)
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based PII scrub (emails / IPv4 / phone-shaped numbers →
+    typed placeholders + per-category counts) over the corpus with
+    deterministic synthetic PII injected — pure map-side regexp
+    expressions, zero shuffle."""
+    from stractt_spark.operators.textstats import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pdocs = docs.selectExpr("doc_id", f"{_PII_INJECT_EXPR} AS text")
+    return redact_pii(pdocs, "text", "doc_id")
+
+
+def _pii_oracle_sql() -> str:
+    from stractt_spark.operators.textstats import PII_PATTERNS
+
+    repl = "text"
+    for _name, pat, tok in PII_PATTERNS:
+        repl = f"regexp_replace({repl}, '{pat}', '{tok}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        f"AS n_{name}"
+        for name, pat, _tok in PII_PATTERNS
+    )
+    return (
+        f"WITH p AS (SELECT doc_id, {_PII_INJECT_EXPR} AS text "
+        "FROM documents) "
+        f"SELECT doc_id, {repl} AS clean_text, {counts} FROM p"
+    )
+
+
+def _q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality signal: per-doc perplexity under an
+    add-0.5-smoothed bigram model trained on the corpus itself.  One
+    groupBy shuffle for the count table, one join keyed by the bigram
+    for scoring — nothing pair-joins, nothing collects but two scalar
+    aggregates."""
+    from stractt_spark.operators.textstats import bigram_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm_score(docs, "text", "doc_id", alpha=0.5)
+
+
+_LM_PPL_SQL = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE}') AS l FROM documents), "
+    "bg AS (SELECT doc_id, l[i] AS v, l[i+1] AS w FROM "
+    "(SELECT doc_id, l, unnest(range(1, greatest(len(l), 1))) AS i "
+    "FROM toks) WHERE i+1 <= len(l)), "
+    "cnt AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw "
+    "FROM bg GROUP BY v, w), "
+    "ctx AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v "
+    "FROM cnt GROUP BY v), "
+    "voc AS (SELECT count(DISTINCT tok) + 1 AS vsz FROM "
+    "(SELECT unnest(l) AS tok FROM toks)), "
+    "per AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "sum(ln((c.c_vw + 0.5) / (x.c_v + 0.5 * (SELECT vsz FROM voc)))) "
+    "AS slp FROM bg b JOIN cnt c USING (v, w) JOIN ctx x USING (v) "
+    "GROUP BY b.doc_id) "
+    "SELECT t.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, "
+    "round(CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0.0 "
+    "ELSE -p.slp / p.n_bigrams END, 6) AS avg_nll, "
+    "round(CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 1.0 "
+    "ELSE exp(-p.slp / p.n_bigrams) END, 6) AS ppl "
+    "FROM toks t LEFT JOIN per p USING (doc_id)"
+)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup across microbatches: the documents table
     arrives as file 1; file 2 re-ingests every 10th doc under a new
@@ -2900,6 +3022,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_coverage": _q_dup_ngram_coverage,
         "strip_dup_spans": _q_strip_dup_spans,
         "det_split": _q_det_split,
+        "decontaminate": _q_decontaminate,
+        "pii_redact": _q_pii_redact,
+        "lm_ppl": _q_lm_ppl,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3287,6 +3412,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_coverage": _DUP_NGRAM_SQL,
         "strip_dup_spans": _STRIP_DUP_SQL,
         "det_split": _DET_SPLIT_SQL,
+        "decontaminate": _DECONTAM_SQL,
+        "pii_redact": _pii_oracle_sql(),
+        "lm_ppl": _LM_PPL_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "quality_cut": (

@@ -835,3 +835,90 @@ def deterministic_split(
             "split"
         ),
     )
+
+
+def _window_hashes(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """→ (doc_id, s, ng): one row per ``n``-token window, keyed by the
+    xxhash64 of the token slice (same key discipline as
+    :func:`_cross_doc_dup_windows` — 8-byte join keys, no concat string,
+    collision class P ≈ W²/2⁶⁴)."""
+    from ..functions.tokenizer import SQL_TOKEN_PATTERN as _P
+
+    tokens = F.expr(
+        f"regexp_extract_all(lower({text_col}), '" + _P + "', 0)"
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), tokens.alias("t")
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= n,
+                F.sequence(F.lit(1), F.size("t") - F.lit(n - 1)),
+            ).otherwise(F.array())
+        ).alias("s"),
+        "t",
+    ).select(
+        "doc_id", "s",
+        F.xxhash64(F.slice("t", F.col("s"), n)).alias("ng"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: → (doc_id, n_windows, hit_windows,
+    contaminated) — for each TRAIN doc, how many of its ``n``-token
+    windows also occur anywhere in the BENCH set, and whether any do.
+    This is the standard eval-leakage check run before LLM training
+    (n-gram overlap against the held-out / benchmark suite): a train doc
+    with ``contaminated = true`` teaches the model its own test answers
+    and must be dropped or span-stripped before training.
+
+    Counting is per window POSITION (not distinct n-grams), so
+    ``hit_windows / n_windows`` is the contaminated-window fraction and
+    composes with the interval-union coverage machinery of
+    :func:`duplicated_ngram_stats` when span-level cuts are wanted.
+
+    100-TB shape: the bench side is an eval suite — MBs against a corpus
+    of TBs — so its distinct window-hash set broadcasts
+    (``broadcast_bench=True``) and the whole op is ONE map-side pass
+    over the train corpus plus a map-side join: no shuffle of corpus
+    bytes at all.  With ``broadcast_bench=False`` it degrades to a
+    shuffle semi-join keyed by the 8-byte hash (for decontaminating
+    against another full corpus).  Train windows never pair-join
+    against each other, so there is no f² blowup on hot n-grams.
+    """
+    t_wins = _window_hashes(train, text_col, id_col, n)
+    b_set = _window_hashes(bench, text_col, id_col, n).select("ng").distinct()
+    if broadcast_bench:
+        b_set = F.broadcast(b_set)
+    hits = (
+        t_wins.join(b_set, "ng", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("hit_windows"))
+    )
+    totals = t_wins.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows")
+    )
+    ids = train.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        ids.join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("hit_windows", F.lit(0)).cast("long").alias(
+                "hit_windows"
+            ),
+            (F.coalesce("hit_windows", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -338,3 +338,134 @@ def quality_quantile_cut(
         id_col, "quality",
         (F.col("quality") > F.lit(float(thr))).alias("keep"),
     )
+
+
+# --------------------------------------------------------------- PII scrub
+
+# Redaction patterns restricted to constructs with IDENTICAL semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+# non-capturing groups, \b word boundaries — no lookarounds (RE2 has none),
+# no backreferences.  Order matters: emails are redacted FIRST so an
+# address whose domain is a dotted quad ("user@10.0.0.1") never leaves a
+# half-redacted IP behind.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """→ (doc_id, clean_text, n_email, n_ipv4, n_phone): the corpus with
+    emails / IPv4 addresses / phone-shaped numbers replaced by typed
+    placeholder tokens, plus per-category match counts — the standard
+    PII scrub a web-scale training pipeline runs before anything else
+    (C4/Dolma-style rule-based redaction; ML-based NER scrubbing would
+    sit behind the same column contract).
+
+    Pure map-side JVM expressions (``regexp_count`` + chained
+    ``regexp_replace``): zero shuffle, zero Python — the op is
+    bandwidth-bound on corpus bytes, the best possible 100-TB shape.
+    Counts are computed on the ORIGINAL text per category (before any
+    replacement) so categories never shadow each other's counts, while
+    replacements chain in the declared priority order."""
+    txt = F.col(text_col)
+    counts = [
+        F.regexp_count(txt, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _tok in PII_PATTERNS
+    ]
+    clean = txt
+    for _name, pat, tok in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, tok)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        clean.alias("clean_text"),
+        *counts,
+    )
+
+
+# ------------------------------------------------- bigram LM quality score
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    lm_docs: DataFrame | None = None,
+) -> DataFrame:
+    """→ (doc_id, n_bigrams, avg_nll, ppl): per-doc perplexity under an
+    add-α-smoothed bigram language model trained on ``lm_docs`` (default:
+    the corpus itself) — the CCNet-style LM quality signal: gibberish,
+    mojibake and key-mash documents sit far above the corpus's natural
+    perplexity band and are cut or bucketed by ``ppl``.
+
+    Model: P(w|v) = (c(v,w) + α) / (c(v) + α·V) with c(v) = Σ_w c(v,w)
+    (so the conditional sums to 1 over the vocab exactly), V = |vocab| + 1
+    (one unseen-word slot; with the LM trained on the scored corpus every
+    token is in-vocab, and a held-out LM backs off through the same α
+    mass).  ``avg_nll`` = −(Σ ln P)/max(n_bigrams, 1); ``ppl`` =
+    exp(avg_nll); both rounded 6dp (the gate contract for float columns).
+
+    100-TB shape: bigram extraction is one map-side pass
+    (``arrays_zip(slice, slice)`` — no UDF); the count table is one
+    groupBy shuffle with map-side partial aggregation absorbing hot
+    bigrams; scoring is one shuffle join of doc-bigram occurrences
+    against the count table keyed by the bigram.  Nothing pair-joins and
+    nothing collects: vocab size and α enter as scalar literals after
+    two tiny aggregates."""
+    toks = _tokens_col(text_col)
+    src = (lm_docs if lm_docs is not None else docs).select(toks.alias("_t"))
+
+    def _bigrams(df: DataFrame, *keep: str) -> DataFrame:
+        pairs = F.arrays_zip(
+            F.slice("_t", 1, F.greatest(F.size("_t") - 1, F.lit(0))).alias("v"),
+            F.slice("_t", 2, F.greatest(F.size("_t") - 1, F.lit(0))).alias("w"),
+        )
+        return df.select(*keep, F.explode(pairs).alias("bg")).select(
+            *keep, F.col("bg.v").alias("v"), F.col("bg.w").alias("w")
+        )
+
+    counts = _bigrams(src).groupBy("v", "w").agg(
+        F.count("*").cast("long").alias("c_vw")
+    )
+    ctx = counts.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    vocab = int(
+        src.select(F.explode("_t").alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .collect()[0][0]
+    ) + 1
+    scored_src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t")
+    )
+    occ = _bigrams(scored_src, "doc_id")
+    a = float(alpha)
+    lp = F.log(
+        (F.coalesce("c_vw", F.lit(0)) + F.lit(a))
+        / (F.coalesce("c_v", F.lit(0)) + F.lit(a * vocab))
+    )
+    per_doc = (
+        occ.join(counts, ["v", "w"], "left")
+        .join(ctx, "v", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(lp).alias("_sum_lp"),
+        )
+    )
+    # explicit zero for bigram-less docs: -coalesce(NULL)/1 would produce
+    # IEEE -0.0, which hash-compares unequal to the oracle's 0.0
+    avg_nll = F.when(
+        F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(-F.col("_sum_lp") / F.col("n_bigrams").cast("double"))
+    return (
+        scored_src.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(avg_nll, 6).alias("avg_nll"),
+            F.round(F.exp(avg_nll), 6).alias("ppl"),
+        )
+    )

@@ -340,3 +340,35 @@ def test_deterministic_split(spark):
     c = {r["doc_id"]: r["split"]
          for r in deterministic_split(docs, "doc_id", salt="v2").collect()}
     assert c != a
+
+
+def test_decontaminate_semantics(spark):
+    from stractt_spark.operators.dedup import decontaminate
+
+    phrase = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [
+            (0, f"prefix {phrase} suffix words here"),      # leaks phrase
+            (1, "totally clean document with other words"), # clean, 8 toks? no: 6
+            (2, "short"),                                   # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"eval question about {phrase} indeed")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontaminate(train, bench, "text", "doc_id", n=8).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    # doc 0: 12 tokens -> 5 windows; exactly one (the phrase itself) leaks
+    assert got[0]["n_windows"] == 5
+    assert got[0]["hit_windows"] == 1
+    assert got[0]["contaminated"] is True
+    # doc 1: 6 tokens -> no 8-windows at all
+    assert got[1]["n_windows"] == 0 and got[1]["contaminated"] is False
+    assert got[2]["n_windows"] == 0 and got[2]["contaminated"] is False
+    # a bench window straddling the phrase boundary must not fire on train
+    assert got[0]["hit_windows"] < got[0]["n_windows"]

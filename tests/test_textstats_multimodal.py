@@ -209,3 +209,75 @@ def test_quality_quantile_cut_exact_threshold(spark):
     for d, (q_, keep) in out.items():
         assert keep == (q_ > thr), (d, q_, thr)
     assert 0 < sum(k for _, k in out.values()) < len(out)
+
+
+def test_redact_pii_semantics(spark):
+    from stractt_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail alice@example.com and bob.smith+x@sub.domain.org now"),
+            (1, "host 10.1.2.3 and 255.255.255.255 up"),
+            (2, "call 555-123-4567 or 800.555.1212"),
+            (3, "user@10.0.0.1 logs in"),  # digit TLD: not an email match
+            (4, "no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs, "text", "doc_id").collect()}
+    assert got[0]["n_email"] == 2 and got[0]["clean_text"] == \
+        "mail <EMAIL> and <EMAIL> now"
+    assert got[1]["n_ipv4"] == 2 and got[1]["clean_text"] == \
+        "host <IP> and <IP> up"
+    assert got[2]["n_phone"] == 2 and got[2]["clean_text"] == \
+        "call <PHONE> or <PHONE>"
+    # the email pattern requires a letter TLD, so the dotted quad stays an IP
+    assert got[3]["n_email"] == 0 and got[3]["n_ipv4"] == 1
+    assert got[3]["clean_text"] == "user@<IP> logs in"
+    assert got[4]["clean_text"] == "no pii at all"
+    assert all(got[4][c] == 0 for c in ("n_email", "n_ipv4", "n_phone"))
+
+
+def test_bigram_lm_hand_computed(spark):
+    import math
+
+    from stractt_spark.operators.textstats import bigram_lm_score
+
+    # corpus: doc0 = "a b a b", doc1 = "b a"  ->  bigram counts:
+    #   (a,b): 2   (b,a): 2   ;  c(a)=2, c(b)=2 ; vocab = {a, b}, V = 3
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a"), (2, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(docs, "text", "doc_id", alpha=0.5).collect()
+    }
+    p = (2 + 0.5) / (2 + 0.5 * 4)  # V = |{a,b,x}| + 1 = 4
+    nll = -math.log(p)
+    assert got[0]["n_bigrams"] == 3
+    assert abs(got[0]["avg_nll"] - round(nll, 6)) < 1e-9
+    assert abs(got[0]["ppl"] - round(math.exp(nll), 6)) < 1e-9
+    assert got[1]["n_bigrams"] == 1
+    # single-token doc: defined as (0 bigrams, nll 0, ppl 1)
+    assert got[2]["n_bigrams"] == 0
+    assert got[2]["avg_nll"] == 0.0 and got[2]["ppl"] == 1.0
+
+
+def test_bigram_lm_heldout_model(spark):
+    from stractt_spark.operators.textstats import bigram_lm_score
+
+    lm = spark.createDataFrame(
+        [(0, "the cat sat on the mat " * 5)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zq qz zq qz")],  # fluent vs OOV gibberish
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(
+            docs, "text", "doc_id", lm_docs=lm
+        ).collect()
+    }
+    assert got[2]["ppl"] > got[1]["ppl"] * 3  # gibberish far above fluent
