@@ -2212,6 +2212,38 @@ def _q_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs, "text", "doc_id", alpha=0.5)
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic stratified sampling for training-mix
+    weighting: per-language hash-rank cut at en=0.5 / zh=0.25 /
+    default=0.35 — exact per-stratum counts (not Bernoulli), stable
+    across runs/engines/cluster sizes, prefix-stable in the fraction.
+    One shuffle keyed by the stratum."""
+    from stractt_spark.operators.sampling import stratified_sample_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample_exact(
+        docs, "lang", "doc_id",
+        fractions={"en": 0.5, "zh": 0.25}, default_frac=0.35,
+    )
+
+
+# frac literals CAST AS DOUBLE: DuckDB would otherwise parse 0.35 as a
+# DECIMAL and do exact decimal ceil(frac*n) while Spark does IEEE double
+# math — the two disagree one doc off exactly at representation edges
+_STRAT_SAMPLE_SQL = (
+    "WITH r AS (SELECT doc_id, CAST(lang AS VARCHAR) AS stratum, "
+    "row_number() OVER (PARTITION BY lang ORDER BY "
+    "md5('mix-v1' || CAST(doc_id AS VARCHAR)), doc_id) AS rk, "
+    "count(*) OVER (PARTITION BY lang) AS n, "
+    "CASE WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE) "
+    "WHEN lang = 'zh' THEN CAST(0.25 AS DOUBLE) "
+    "ELSE CAST(0.35 AS DOUBLE) END AS f FROM documents) "
+    "SELECT doc_id, stratum, CAST(rk AS BIGINT) AS rk, "
+    "CAST(n AS BIGINT) AS n_stratum, "
+    "rk <= CAST(ceil(f * n) AS BIGINT) AS keep FROM r"
+)
+
+
 _LM_PPL_SQL = (
     "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
     f"'{TOKEN_RE}') AS l FROM documents), "
@@ -3025,6 +3057,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
         "lm_ppl": _q_lm_ppl,
+        "stratified_sample": _q_stratified_sample,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3415,6 +3448,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAM_SQL,
         "pii_redact": _pii_oracle_sql(),
         "lm_ppl": _LM_PPL_SQL,
+        "stratified_sample": _STRAT_SAMPLE_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "quality_cut": (

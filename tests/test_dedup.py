@@ -372,3 +372,40 @@ def test_decontaminate_semantics(spark):
     assert got[2]["n_windows"] == 0 and got[2]["contaminated"] is False
     # a bench window straddling the phrase boundary must not fire on train
     assert got[0]["hit_windows"] < got[0]["n_windows"]
+
+
+def test_stratified_sample_exact(spark):
+    from stractt_spark.operators.sampling import stratified_sample_exact
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b") for i in range(130)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample_exact(
+        docs, "lang", "doc_id", fractions={"a": 0.3}, default_frac=0.5
+    ).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["stratum"], set())
+        assert 1 <= r["rk"] <= r["n_stratum"]
+        if r["keep"]:
+            kept[r["stratum"]].add(r["doc_id"])
+    # exact counts: ceil(0.3*100)=30, ceil(0.5*30)=15
+    assert len(kept["a"]) == 30 and len(kept["b"]) == 15
+    # deterministic across invocations
+    again = {
+        (r["doc_id"], r["keep"])
+        for r in stratified_sample_exact(
+            docs, "lang", "doc_id", fractions={"a": 0.3}, default_frac=0.5
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["keep"]) for r in out}
+    # prefix-stability: raising a fraction only ADDS docs
+    bigger = {
+        r["doc_id"]
+        for r in stratified_sample_exact(
+            docs, "lang", "doc_id", fractions={"a": 0.6}, default_frac=0.5
+        ).collect()
+        if r["keep"] and r["stratum"] == "a"
+    }
+    assert kept["a"] <= bigger and len(bigger) == 60
