@@ -2227,6 +2227,31 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per-doc token-offset span in the concatenated
+    training stream and the ctx-512 windows it lands in — a distributed
+    two-level prefix sum (per-chunk windows + a tiny chunk-offset
+    broadcast), never a global-order window over the corpus."""
+    from stractt_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, "text", "doc_id", ctx_len=512,
+                          chunk_docs=64)
+
+
+_PACK_SEQ_SQL = (
+    "WITH toks AS (SELECT doc_id, "
+    f"CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) "
+    "AS n_tokens FROM documents), "
+    "o AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER ("
+    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "0) AS BIGINT) AS off FROM toks) "
+    "SELECT doc_id, n_tokens, off AS \"offset\", "
+    "off // 512 AS bin_first, "
+    "(off + greatest(n_tokens, 1) - 1) // 512 AS bin_last FROM o"
+)
+
+
 # frac literals CAST AS DOUBLE: DuckDB would otherwise parse 0.35 as a
 # DECIMAL and do exact decimal ceil(frac*n) while Spark does IEEE double
 # math — the two disagree one doc off exactly at representation edges
@@ -3058,6 +3083,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "lm_ppl": _q_lm_ppl,
         "stratified_sample": _q_stratified_sample,
+        "pack_sequences": _q_pack_sequences,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3449,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii_oracle_sql(),
         "lm_ppl": _LM_PPL_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
+        "pack_sequences": _PACK_SEQ_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "quality_cut": (

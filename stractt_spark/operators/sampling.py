@@ -66,3 +66,89 @@ def stratified_sample_exact(
             <= F.ceil(frac * F.count("*").over(wn))
         ).alias("keep"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    ctx_len: int = 2048,
+    chunk_docs: int = 65536,
+) -> DataFrame:
+    """→ (doc_id, n_tokens, offset, bin_first, bin_last): sequence
+    packing for pretraining — docs are concatenated in ``id`` order into
+    one token stream and sliced into fixed ``ctx_len`` context windows;
+    each doc reports its token span start (``offset``, the exclusive
+    prefix sum of token counts) and the first/last window it lands in.
+    A doc with ``bin_first != bin_last`` straddles a window boundary
+    (the standard concat-and-slice packing admits such splits; a loader
+    groups rows by bin to emit training sequences).
+
+    Empty docs get ``bin_first == bin_last == offset // ctx_len``.
+
+    Scale shape — the distributed PREFIX SUM, with no global-order
+    window (a ``Window.orderBy`` without partitioning funnels the whole
+    corpus through ONE partition — the classic scale trap this operator
+    exists to avoid):
+
+      1. per-doc token counts: one map-side pass;
+      2. docs bucket into coarse chunks (``id // chunk_docs``) and the
+         running count WITHIN each chunk is a window partitioned by
+         chunk — parallel across chunks;
+      3. chunk totals aggregate to a TINY per-chunk table (corpus_size /
+         chunk_docs rows); its exclusive prefix sum runs on that summary
+         only, and broadcast-joins back.
+
+    Determinism: ordering is (id) throughout — engine- and
+    partitioning-independent.
+    """
+    from ..functions.tokenizer import SQL_TOKEN_PATTERN as _P
+
+    n_toks = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '{_P}', 0)")
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_toks.alias("n_tokens"),
+        # integer `div`, not `/`+cast: double division of huge offsets
+        # can round across an integer boundary before truncation
+        F.expr(
+            f"CAST({id_col} AS BIGINT) div {int(chunk_docs)}"
+        ).alias("_chunk"),
+    )
+    w_local = (
+        Window.partitionBy("_chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "_local_before",
+        F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)).cast("long"),
+    )
+    totals = base.groupBy("_chunk").agg(
+        F.sum("n_tokens").cast("long").alias("_chunk_total")
+    )
+    w_chunks = (
+        Window.orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_chunk_before",
+        F.coalesce(F.sum("_chunk_total").over(w_chunks), F.lit(0))
+        .cast("long"),
+    ).select("_chunk", "_chunk_before")
+    off = (F.col("_chunk_before") + F.col("_local_before")).cast("long")
+    c = int(ctx_len)
+    return (
+        local.join(F.broadcast(offsets), "_chunk")
+        .select("doc_id", "n_tokens", off.alias("offset"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "offset",
+            F.expr(f"offset div {c}").alias("bin_first"),
+            F.expr(
+                f"(offset + greatest(n_tokens, 1) - 1) div {c}"
+            ).alias("bin_last"),
+        )
+    )

@@ -409,3 +409,37 @@ def test_stratified_sample_exact(spark):
         if r["keep"] and r["stratum"] == "a"
     }
     assert kept["a"] <= bigger and len(bigger) == 60
+
+
+def test_pack_sequences_prefix_sum(spark):
+    from stractt_spark.operators.sampling import pack_sequences
+
+    # token counts: doc0=3, doc1=5, doc2=0, doc3=4  (ids deliberately
+    # spanning several chunks with chunk_docs=2)
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g h"), (2, ""), (3, "i j k l")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            docs, "text", "doc_id", ctx_len=4, chunk_docs=2
+        ).collect()
+    }
+    # offsets: 0, 3, 8, 8 ; ctx 4 -> bins: 0/0..1, 3..7 -> 0..1, 8->2, 8..11 -> 2
+    assert (got[0]["offset"], got[0]["bin_first"], got[0]["bin_last"]) == (0, 0, 0)
+    assert (got[1]["offset"], got[1]["bin_first"], got[1]["bin_last"]) == (3, 0, 1)
+    assert got[2]["n_tokens"] == 0
+    assert (got[2]["offset"], got[2]["bin_first"], got[2]["bin_last"]) == (8, 2, 2)
+    assert (got[3]["offset"], got[3]["bin_first"], got[3]["bin_last"]) == (8, 2, 2)
+    # chunking must not change results
+    alt = {
+        r["doc_id"]: (r["offset"], r["bin_first"], r["bin_last"])
+        for r in pack_sequences(
+            docs, "text", "doc_id", ctx_len=4, chunk_docs=100
+        ).collect()
+    }
+    assert alt == {
+        d: (r["offset"], r["bin_first"], r["bin_last"])
+        for d, r in got.items()
+    }
