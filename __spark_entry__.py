@@ -2294,6 +2294,76 @@ _LM_PPL_SQL = (
 )
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher within-doc repetition filter (Rae et al. 2021): per doc,
+    the char fraction of the most frequent {2,3,4}-gram and of
+    duplicated {5..8}-grams, with the paper's keep thresholds.  ZERO
+    shuffle — per-row array fold (gram build → sort → run-length), the
+    signal family the cross-doc dedup ops can't see."""
+    from stractt_spark.operators.textstats import gopher_repetition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_repetition(docs, "text", "doc_id")
+
+
+def _gopher_sql() -> str:
+    """DuckDB twin of gopher_repetition: per-n gram count tables (the
+    oracle MAY explode — it runs at sf0.01) + struct-max top gram (same
+    (cnt, chars, gram) lexicographic tie rule as the engine's
+    array_max) and the CASE-summed duplicated-gram chars."""
+    from stractt_spark.operators.textstats import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+    )
+
+    ctes = [
+        "toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE}') AS l FROM documents)",
+        "base AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens, "
+        "CAST(length(array_to_string(l, '')) AS BIGINT) AS tot_chars "
+        "FROM toks)",
+    ]
+    joins, cols, keeps = [], [], []
+    for n in sorted(GOPHER_TOP_NGRAM_MAX | GOPHER_DUP_NGRAM_MAX):
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, ng, CAST(count(*) AS BIGINT) AS cnt, "
+            f"CAST(length(ng) - {n - 1} AS BIGINT) AS chars FROM ("
+            f"SELECT doc_id, array_to_string(list_slice(l, s, s + {n - 1}), "
+            "chr(1)) AS ng FROM (SELECT doc_id, l, "
+            f"unnest(range(1, greatest(len(l) - {n} + 1, 0) + 1)) AS s "
+            f"FROM toks)) GROUP BY doc_id, ng)"
+        )
+        if n in GOPHER_TOP_NGRAM_MAX:
+            ctes.append(
+                f"a{n} AS (SELECT doc_id, "
+                "max(struct_pack(cnt := cnt, chars := chars, ng := ng)) AS t "
+                f"FROM c{n} GROUP BY doc_id)"
+            )
+            cols.append(
+                f"round(coalesce(a{n}.t.cnt * a{n}.t.chars, 0) / "
+                f"greatest(base.tot_chars, 1), 6) AS top{n}_frac"
+            )
+            keeps.append(f"top{n}_frac <= {GOPHER_TOP_NGRAM_MAX[n]}")
+        else:
+            ctes.append(
+                f"a{n} AS (SELECT doc_id, "
+                "sum(CASE WHEN cnt >= 2 THEN cnt * chars ELSE 0 END) AS dupch "
+                f"FROM c{n} GROUP BY doc_id)"
+            )
+            cols.append(
+                f"round(coalesce(a{n}.dupch, 0) / "
+                f"greatest(base.tot_chars, 1), 6) AS dup{n}_frac"
+            )
+            keeps.append(f"dup{n}_frac <= {GOPHER_DUP_NGRAM_MAX[n]}")
+        joins.append(f"LEFT JOIN a{n} ON base.doc_id = a{n}.doc_id")
+    return (
+        "WITH " + ", ".join(ctes)
+        + ", wide AS (SELECT base.doc_id, base.n_tokens, base.tot_chars, "
+        + ", ".join(cols) + " FROM base " + " ".join(joins) + ") "
+        + "SELECT *, (" + " AND ".join(keeps) + ") AS keep FROM wide"
+    )
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup across microbatches: the documents table
     arrives as file 1; file 2 re-ingests every 10th doc under a new
@@ -3084,6 +3154,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ppl": _q_lm_ppl,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
+        "gopher_repetition": _q_gopher_repetition,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3476,6 +3547,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_ppl": _LM_PPL_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "pack_sequences": _PACK_SEQ_SQL,
+        "gopher_repetition": _gopher_sql(),
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "quality_cut": (

@@ -469,3 +469,115 @@ def bigram_lm_score(
             F.round(F.exp(avg_nll), 6).alias("ppl"),
         )
     )
+
+# ---------------------------------------- Gopher within-doc repetition
+
+
+# (n-gram size → max allowed fraction) — the Gopher repetition-removal
+# thresholds (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+# table A1): docs above ANY threshold are cut.
+GOPHER_TOP_NGRAM_MAX: dict[int, float] = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX: dict[int, float] = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12}
+
+
+def _ngram_run_expr(n: int) -> str:
+    """SQL for struct(top_cnt, top_chars, dup_chars) of the doc's
+    ``n``-grams, computed WITHOUT exploding: grams are materialized per
+    row, sorted, and counted as runs of equal neighbors — a pure
+    projection (`_t` is the token array; grams join tokens on chr(1), so
+    a gram's character length is length(gram) − (n−1) separators).
+    Intermediate values are let-bound with the ``transform(array(X),
+    x -> body)[1]`` idiom (Spark projections admit no correlated
+    subqueries; lambda binders are the expression-level `let`).
+    Tie rule for the top gram: max (count, chars, gram) lexicographic —
+    the same rule the DuckDB oracle's struct max applies."""
+    grams = (
+        f"CASE WHEN size(_t) >= {n} THEN "
+        f"array_sort(transform(sequence(1, size(_t) - {n} + 1), "
+        f"i -> array_join(slice(_t, i, {n}), chr(1)))) "
+        "ELSE array(CAST(NULL AS STRING)) END"
+    )
+    # boundary positions of equal-neighbor runs in the sorted gram array;
+    # size(_t) < n leaves _g = [NULL] and the n_grams guard below returns
+    # the zero struct (sequence(1, 0) would be DESCENDING in Spark — the
+    # guard must fire before any sequence over an empty gram list)
+    bounds = (
+        "filter(sequence(1, size(_g)), "
+        "i -> i = 1 OR element_at(_g, i) != element_at(_g, i - 1))"
+    )
+    run_structs = (
+        "transform(_b, (b, j) -> named_struct("
+        "'cnt', CAST((IF(j + 2 <= size(_b), element_at(_b, j + 2), "
+        "size(_g) + 1) - b) AS BIGINT), "
+        f"'chars', CAST(length(element_at(_g, b)) - {n - 1} AS BIGINT), "
+        "'gram', element_at(_g, b)))"
+    )
+    fold = (
+        "named_struct("
+        "'top_cnt', array_max(_r).cnt, "
+        "'top_chars', array_max(_r).chars, "
+        "'dup_chars', aggregate(_r, 0L, "
+        "(a, r) -> a + IF(r.cnt >= 2, r.cnt * r.chars, 0L)))"
+    )
+    zero = (
+        "named_struct('top_cnt', 0L, 'top_chars', 0L, 'dup_chars', 0L)"
+    )
+    return (
+        f"element_at(transform(array({grams}), _g -> "
+        f"IF(element_at(_g, 1) IS NULL, {zero}, "
+        f"element_at(transform(array({bounds}), _b -> "
+        f"element_at(transform(array({run_structs}), _r -> {fold}), 1)"
+        "), 1))), 1)"
+    )
+
+
+def gopher_repetition(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """→ (doc_id, n_tokens, tot_chars, top2_frac..top4_frac,
+    dup5_frac..dup8_frac, keep): the Gopher within-doc repetition
+    signals (Rae et al. 2021) — for n in {2,3,4} the fraction of token
+    characters inside the MOST FREQUENT n-gram (count × gram chars /
+    total token chars), for n in {5..8} the fraction inside ANY n-gram
+    occurring ≥ 2 times in the doc (occurrence-counted, as the paper
+    does for dup n-grams); ``keep`` = every fraction within its Gopher
+    threshold.  Catches the within-doc degeneracy (looped generations,
+    keyboard mash, templated filler) that the CROSS-doc operators
+    (`duplicated_ngram_stats`, MinHash) structurally cannot see.
+
+    100-TB shape: ZERO shuffle — every signal is a per-row projection
+    over the token array (gram build → sort → run-length fold via
+    higher-order functions), so the op streams at parquet-scan
+    bandwidth with no explode and no groupBy; 7 n-gram sizes cost 7
+    array passes over each row, not 7 shuffles of the corpus.  Fraction
+    comparisons use the 6dp-rounded values (the gate contract), so the
+    keep bit is engine-stable."""
+    toks = _tokens_col(text_col)
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t")
+    ).withColumn("_tot", F.length(F.concat_ws("", F.col("_t"))).cast("long"))
+    fracs: list[F.Column] = []
+    keep = F.lit(True)
+    for n, thr in sorted(GOPHER_TOP_NGRAM_MAX.items()):
+        c = F.round(
+            F.expr(_ngram_run_expr(n)).getField("top_cnt")
+            * F.expr(_ngram_run_expr(n)).getField("top_chars")
+            / F.greatest(F.col("_tot"), F.lit(1)).cast("double"),
+            6,
+        ).alias(f"top{n}_frac")
+        fracs.append(c)
+        keep = keep & (F.col(f"top{n}_frac") <= F.lit(thr))
+    for n, thr in sorted(GOPHER_DUP_NGRAM_MAX.items()):
+        c = F.round(
+            F.expr(_ngram_run_expr(n)).getField("dup_chars")
+            / F.greatest(F.col("_tot"), F.lit(1)).cast("double"),
+            6,
+        ).alias(f"dup{n}_frac")
+        fracs.append(c)
+        keep = keep & (F.col(f"dup{n}_frac") <= F.lit(thr))
+    return base.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.col("_tot").alias("tot_chars"),
+        *fracs,
+    ).withColumn("keep", keep)

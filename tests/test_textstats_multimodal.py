@@ -281,3 +281,100 @@ def test_bigram_lm_heldout_model(spark):
         ).collect()
     }
     assert got[2]["ppl"] > got[1]["ppl"] * 3  # gibberish far above fluent
+
+
+# ------------------------------------------------ Gopher repetition filter
+
+
+def _py_gopher(text: str) -> dict:
+    """Independent pure-Python twin of gopher_repetition for one doc."""
+    from collections import Counter
+
+    from stractt_spark.operators.textstats import (
+        GOPHER_DUP_NGRAM_MAX,
+        GOPHER_TOP_NGRAM_MAX,
+    )
+
+    toks = tokenize_ascii(text)
+    tot = sum(len(t) for t in toks)
+    out = {"n_tokens": len(toks), "tot_chars": tot}
+    keep = True
+    for n in sorted(GOPHER_TOP_NGRAM_MAX | GOPHER_DUP_NGRAM_MAX):
+        grams = [
+            "\x01".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        ]
+        cnt = Counter(grams)
+        if n in GOPHER_TOP_NGRAM_MAX:
+            if cnt:
+                # tie rule: max (count, chars, gram) lexicographic
+                top = max(
+                    cnt.items(),
+                    key=lambda kv: (kv[1], len(kv[0]) - (n - 1), kv[0]),
+                )
+                v = top[1] * (len(top[0]) - (n - 1)) / max(tot, 1)
+            else:
+                v = 0.0
+            out[f"top{n}_frac"] = round(v, 6)
+            keep = keep and out[f"top{n}_frac"] <= GOPHER_TOP_NGRAM_MAX[n]
+        else:
+            dup = sum(
+                c * (len(g) - (n - 1)) for g, c in cnt.items() if c >= 2
+            )
+            out[f"dup{n}_frac"] = round(dup / max(tot, 1), 6)
+            keep = keep and out[f"dup{n}_frac"] <= GOPHER_DUP_NGRAM_MAX[n]
+    out["keep"] = keep
+    return out
+
+
+def test_gopher_repetition_vs_python_twin(spark):
+    from stractt_spark.operators.textstats import gopher_repetition
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the bank"),
+        # looped generation: one 6-token phrase repeated — dup5..8 fire
+        (1, "alpha beta gamma delta epsilon zeta " * 8),
+        # keyboard mash: single token repeated — top2..4 fire hard
+        (2, "spam " * 40),
+        # long diverse doc (a 1-gram stream of distinct words): the only
+        # shape the thresholds are calibrated FOR — every n-gram occurs
+        # once and is a tiny char fraction of the doc
+        (3, " ".join(f"w{i}distinct" for i in range(120))),
+        (4, ""),
+        (5, "solo"),
+        # exactly two occurrences of a 5-gram, nothing longer repeated
+        (6, "a b c d e XX a b c d e YY unique tail words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(df, "text", "doc_id").collect()
+    }
+    for i, text in rows:
+        exp = _py_gopher(text)
+        g = got[i]
+        for k, v in exp.items():
+            if isinstance(v, float):
+                assert abs(g[k] - v) < 1e-9, (i, k, g[k], v)
+            else:
+                assert g[k] == v, (i, k, g[k], v)
+    # the signals actually FIRE on the degenerate docs
+    assert not got[1]["keep"] and got[1]["dup6_frac"] > 0.5
+    assert not got[2]["keep"] and got[2]["top2_frac"] > 0.9
+    # a long diverse doc passes; SHORT docs legitimately fail the top-n
+    # char-fraction thresholds (one 3-gram is >18% of a 12-token doc) —
+    # Gopher pairs these with a min-length cut for exactly that reason
+    assert got[3]["keep"]
+    assert got[6]["dup5_frac"] > 0 and got[6]["dup8_frac"] == 0.0
+
+
+def test_gopher_repetition_zero_shuffle_plan(spark):
+    """The op must stay a pure projection: no Exchange in the plan."""
+    from stractt_spark.operators.textstats import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(0, "a b c")], "doc_id long, text string"
+    )
+    plan = gopher_repetition(
+        df, "text", "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
