@@ -2364,6 +2364,51 @@ def _gopher_sql() -> str:
     )
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-doc log-ratio of
+    add-0.5-smoothed unigram LMs, target domain = the English subset —
+    the standard domain-matching data-selection signal.  One tokenize
+    pass, two count aggregates, one token-keyed join; three scalars on
+    the driver."""
+    from stractt_spark.operators.sampling import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(
+        docs, docs.where("lang = 'en'"), "text", "doc_id", alpha=0.5
+    )
+
+
+_DSIR_SQL = (
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE}') AS l FROM documents), "
+    "occ AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c_doc "
+    "FROM (SELECT doc_id, unnest(l) AS tok FROM toks) GROUP BY doc_id, tok), "
+    "raw AS (SELECT tok, CAST(sum(c_doc) AS BIGINT) AS c_raw "
+    "FROM occ GROUP BY tok), "
+    "tgt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_tgt FROM ("
+    f"SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok "
+    "FROM documents WHERE lang = 'en') GROUP BY tok), "
+    "nr AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS n FROM raw), "
+    "nt AS (SELECT CAST(coalesce(sum(c_tgt), 0) AS DOUBLE) AS n FROM tgt), "
+    "voc AS (SELECT (SELECT count(*) FROM raw) + (SELECT count(*) FROM tgt "
+    "WHERE tok NOT IN (SELECT tok FROM raw)) + 1 AS v), "
+    "lr AS (SELECT r.tok, "
+    "ln((coalesce(t.c_tgt, 0) + 0.5) / "
+    "((SELECT n FROM nt) + 0.5 * (SELECT v FROM voc))) - "
+    "ln((r.c_raw + 0.5) / "
+    "((SELECT n FROM nr) + 0.5 * (SELECT v FROM voc))) AS lr "
+    "FROM raw r LEFT JOIN tgt t USING (tok)), "
+    "per AS (SELECT occ.doc_id, CAST(sum(c_doc) AS BIGINT) AS n_tokens, "
+    "sum(c_doc * lr) AS s FROM occ JOIN lr USING (tok) "
+    "GROUP BY occ.doc_id) "
+    "SELECT t.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, "
+    "round(coalesce(p.s, 0.0), 6) AS logratio, "
+    "round(CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0 "
+    "ELSE p.s / p.n_tokens END, 6) AS avg_logratio "
+    "FROM toks t LEFT JOIN per p USING (doc_id)"
+)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup across microbatches: the documents table
     arrives as file 1; file 2 re-ingests every 10th doc under a new
@@ -3155,6 +3200,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "gopher_repetition": _q_gopher_repetition,
+        "dsir_weights": _q_dsir_weights,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3548,6 +3594,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRAT_SAMPLE_SQL,
         "pack_sequences": _PACK_SEQ_SQL,
         "gopher_repetition": _gopher_sql(),
+        "dsir_weights": _DSIR_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "quality_cut": (

@@ -152,3 +152,92 @@ def pack_sequences(
             ).alias("bin_last"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """→ (doc_id, n_tokens, logratio, avg_logratio): Data Selection via
+    Importance Resampling (Xie et al. 2023) — per-doc importance weight
+    ``Σ_tok [ln p̂_target(tok) − ln p̂_raw(tok)]`` under add-α-smoothed
+    unigram models of the target domain (``target_docs``) and the raw
+    corpus (``docs``), with a shared vocab size V = |vocab(raw ∪
+    target)| + 1 (one unseen slot).  Docs whose token distribution looks
+    like the target domain score high; resampling keeps the top mass
+    (compose with :func:`stratified_sample_exact` or
+    ``quality_quantile_cut`` for the cut).  The paper hashes n-gram
+    features into buckets; this is the exact-unigram instance — bucketed
+    features compose by replacing the token key with
+    ``pmod(xxhash64(tok), n_buckets)``, the same pipeline shape (kept
+    exact here so the cross-engine oracle is bit-checkable).
+
+    ``avg_logratio`` is the per-token mean (length-normalized variant);
+    empty docs get an explicit 0.0 for both.
+
+    100-TB shape: doc-term counts are one groupBy with map-side partial
+    agg; both unigram LMs aggregate FROM that table (the corpus is
+    tokenized once); scoring is one join keyed by the token against the
+    (vocab-sized, usually broadcastable) log-ratio table plus a per-doc
+    sum.  Only three scalar aggregates ever reach the driver."""
+    from ..functions.tokenizer import SQL_TOKEN_PATTERN as _P
+
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{_P}', 0)"
+    )
+    occ = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("c_doc"))
+    )
+    raw_counts = occ.groupBy("tok").agg(F.sum("c_doc").alias("c_raw"))
+    tgt_counts = (
+        target_docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c_tgt"))
+    )
+    n_raw, v_raw = raw_counts.agg(
+        F.sum("c_raw"), F.count("*")
+    ).collect()[0]
+    n_tgt = tgt_counts.agg(F.coalesce(F.sum("c_tgt"), F.lit(0))).collect()[0][0]
+    v_extra = (
+        tgt_counts.join(raw_counts, "tok", "left_anti").count()
+    )
+    vocab = int(v_raw) + int(v_extra) + 1
+    a = float(alpha)
+    lr = raw_counts.join(tgt_counts, "tok", "left").select(
+        "tok",
+        (
+            F.log(
+                (F.coalesce("c_tgt", F.lit(0)) + F.lit(a))
+                / F.lit(float(n_tgt) + a * vocab)
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(a))
+                / F.lit(float(n_raw) + a * vocab)
+            )
+        ).alias("lr"),
+    )
+    per_doc = (
+        occ.join(lr, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").cast("long").alias("n_tokens"),
+            F.sum(F.col("c_doc") * F.col("lr")).alias("_s"),
+        )
+    )
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("logratio"),
+        F.round(
+            F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("_s") / F.col("n_tokens").cast("double")),
+            6,
+        ).alias("avg_logratio"),
+    )

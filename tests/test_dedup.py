@@ -443,3 +443,50 @@ def test_pack_sequences_prefix_sum(spark):
         d: (r["offset"], r["bin_first"], r["bin_last"])
         for d, r in got.items()
     }
+
+
+def test_dsir_weights_python_twin(spark):
+    """dsir_weights vs an independent pure-Python model, plus the
+    direction property: docs drawn from the target domain's vocabulary
+    outscore off-domain docs."""
+    import math
+    from collections import Counter
+
+    from stractt_spark.operators.sampling import dsir_weights
+
+    rows = [
+        (0, "alpha beta alpha gamma", "t"),    # target-domain doc
+        (1, "alpha beta beta beta", "t"),      # target-domain doc
+        (2, "zeta eta theta zeta", "r"),       # off-domain
+        (3, "alpha zeta", "r"),                # mixed
+        (4, "", "r"),                          # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, d string")
+    got = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            docs, docs.where("d = 't'"), "text", "doc_id", alpha=0.5
+        ).collect()
+    }
+
+    raw = Counter(t for _, txt, _ in rows for t in txt.split())
+    tgt = Counter(t for _, txt, d in rows if d == "t" for t in txt.split())
+    v = len(set(raw) | set(tgt)) + 1
+    nr, nt = sum(raw.values()), sum(tgt.values())
+
+    def lr(tok):
+        return math.log((tgt.get(tok, 0) + 0.5) / (nt + 0.5 * v)) - math.log(
+            (raw[tok] + 0.5) / (nr + 0.5 * v)
+        )
+
+    for i, txt, _ in rows:
+        toks = txt.split()
+        exp = sum(lr(t) for t in toks)
+        assert abs(got[i]["logratio"] - round(exp, 6)) < 1e-6, i
+        assert got[i]["n_tokens"] == len(toks)
+        if toks:
+            assert abs(got[i]["avg_logratio"] - round(exp / len(toks), 6)) < 1e-6
+        else:
+            assert got[i]["avg_logratio"] == 0.0
+    # direction: in-domain docs outscore off-domain
+    assert got[0]["avg_logratio"] > got[3]["avg_logratio"] > got[2]["avg_logratio"]
