@@ -3136,6 +3136,64 @@ def _q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the SAME augmented corpus as
+    emb_near_dup_pairs (10 planted first-coordinate-negated duplicates):
+    LSH-verified pairs → star-contraction clusters → canonical keep.
+    The oracle closes the ALL-PAIRS cosine graph with a recursive CTE,
+    so a hash match proves pair recall AND the cluster/keep contract."""
+    from stractt_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    seeds = {
+        r["vec_id"]: [float(x) for x in r["e"]]
+        for r in base.filter(F.col("vec_id").isin(list(range(1, 11)))).collect()
+    }
+    planted_rows = []
+    for j in range(1, 11):
+        v = list(seeds[j])
+        v[0] = -v[0]
+        planted_rows.append((2000000 + j, v))
+    planted = spark.createDataFrame(planted_rows, "vec_id long, e array<double>")
+    aug = base.unionByName(planted)
+    return semantic_dedup(
+        aug, threshold=0.8, n_tables=12, n_planes=8, vec_col="e"
+    )
+
+
+_SEMANTIC_DEDUP_SQL = (
+    "WITH RECURSIVE "
+    "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+    "planted AS (SELECT CAST(2000000 + b.vec_id AS BIGINT) AS vec_id, "
+    "list_concat([-list_extract(b.e, 1)], list_slice(b.e, 2, len(b.e))) AS e "
+    "FROM base b WHERE b.vec_id BETWEEN 1 AND 10), "
+    "aug AS (SELECT * FROM base UNION ALL SELECT * FROM planted), "
+    "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    "FROM aug a JOIN aug b ON a.vec_id < b.vec_id "
+    "WHERE round(list_dot_product(a.e, b.e) / "
+    "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), "
+    "6) >= 0.8), "
+    "sym AS (SELECT a, b FROM (SELECT id_a AS a, id_b AS b FROM pairs "
+    "UNION SELECT id_b AS a, id_a AS b FROM pairs)), "
+    # union wrapped in a subquery — a bare UNION CTE under WITH
+    # RECURSIVE silently iterates in DuckDB
+    "reach(node, label) AS ("
+    "SELECT a AS node, a AS label FROM sym "
+    "UNION "
+    "SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b), "
+    "comp AS (SELECT node, min(label) AS component_id FROM reach "
+    "GROUP BY node) "
+    "SELECT g.vec_id, "
+    "coalesce(c.component_id, g.vec_id) AS component_id, "
+    "g.vec_id = coalesce(c.component_id, g.vec_id) AS keep "
+    "FROM aug g LEFT JOIN comp c ON c.node = g.vec_id"
+)
+
+
 _EMB_DUP_SQL = (
     "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
     "planted AS (SELECT CAST(2000000 + b.vec_id AS BIGINT) AS vec_id, "
@@ -3201,6 +3259,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "gopher_repetition": _q_gopher_repetition,
         "dsir_weights": _q_dsir_weights,
+        "semantic_dedup": _q_semantic_dedup,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3595,6 +3654,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_SEQ_SQL,
         "gopher_repetition": _gopher_sql(),
         "dsir_weights": _DSIR_SQL,
+        "semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "quality_cut": (

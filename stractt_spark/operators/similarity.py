@@ -310,6 +310,52 @@ def pairwise_near_dups(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """→ (vec_id, component_id, keep): SemDeDup-shaped semantic
+    deduplication (Abbas et al. 2023) — embedding near-duplicate PAIRS
+    (cos ≥ threshold, banded sign-LSH + exact verify, never all-pairs)
+    are closed into duplicate CLUSTERS by large-star/small-star
+    contraction, and one canonical vector per cluster is kept (smallest
+    id — deterministic).  Vectors in no near-dup pair keep themselves.
+    The paper routes the pair search through k-means cells; the sign-LSH
+    bucketing here plays the identical candidate-limiting role with the
+    same verified-exact output contract (and composes with the persisted
+    IVF cells via :func:`build_ivf_index` when a trained quantizer
+    exists).
+
+    100-TB shape: inherits :func:`pairwise_near_dups`'s bucketed
+    self-join + skew guard and the O(log n)-round component closure —
+    no stage is all-pairs and no state leaves the cluster."""
+    from .dedup import connected_components_star
+
+    pairs = pairwise_near_dups(
+        embeddings, threshold=threshold, n_tables=n_tables,
+        n_planes=n_planes, id_col=id_col, vec_col=vec_col, seed=seed,
+        max_bucket_size=max_bucket_size,
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    comp = connected_components_star(pairs)
+    all_ids = embeddings.select(F.col(id_col).cast("long").alias("vec_id"))
+    return (
+        all_ids.join(
+            comp.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            F.coalesce("component_id", F.col("vec_id")).alias("component_id"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("component_id"))
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -297,3 +297,41 @@ def test_ivf_index_recall_and_partition_pruning(spark):
     assert len(sizes) == 8
     scanned = got._jdf.queryExecution()  # noqa: F841  (plan asserted above)
     assert sum(sizes.values()) == len(rows)
+
+
+def test_semantic_dedup_transitive_cluster(spark):
+    """A ≈ B ≈ C chain must collapse into ONE component with a single
+    keep even when A·C is below the threshold (transitive closure), and
+    isolated vectors keep themselves."""
+    import numpy as np
+
+    from stractt_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=16)
+    a /= np.linalg.norm(a)
+    # orthonormal partner for controlled-cosine rotations
+    p = rng.normal(size=16)
+    p -= (p @ a) * a
+    p /= np.linalg.norm(p)
+
+    def rot(theta):
+        return np.cos(theta) * a + np.sin(theta) * p
+
+    # cos(A,B)=cos(25°)≈.906, cos(B,C)≈.906, cos(A,C)=cos(50°)≈.64
+    rows = [
+        (1, rot(0.0).tolist()),
+        (2, rot(np.deg2rad(25)).tolist()),
+        (3, rot(np.deg2rad(50)).tolist()),
+        (4, rng.normal(size=16).tolist()),  # isolated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, e array<double>")
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, threshold=0.9, n_tables=16, n_planes=4, vec_col="e"
+        ).collect()
+    }
+    assert [got[i]["component_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [got[i]["keep"] for i in (1, 2, 3)] == [True, False, False]
+    assert got[4]["component_id"] == 4 and got[4]["keep"]
