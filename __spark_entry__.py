@@ -2409,6 +2409,85 @@ _DSIR_SQL = (
 )
 
 
+_BPE_N_MERGES = 40
+
+
+def _materialize_expected_bpe(sf_dir: str) -> None:
+    """Expected tables for the BPE gates: the pure-Python trainer/encoder
+    (pyoracle.bpe_train_py / bpe_count_py — scalar dict/Counter
+    re-derivations, no shared code) replayed over the raw parquet."""
+    from collections import Counter
+
+    from stractt_spark.functions.tokenizer import get_analyzer
+    from stractt_spark.pyoracle import bpe_count_py, bpe_train_py
+
+    tok = get_analyzer("ascii")
+
+    def merges_build(cols):
+        wc = Counter()
+        for t in cols["text"]:
+            wc.update(tok(t or ""))
+        ms = bpe_train_py(dict(wc), _BPE_N_MERGES)
+        return {
+            "rank": [m[0] for m in ms],
+            "left": [m[1] for m in ms],
+            "right": [m[2] for m in ms],
+            "merged": [m[3] for m in ms],
+        }
+
+    def encode_build(cols):
+        wc = Counter()
+        for t in cols["text"]:
+            wc.update(tok(t or ""))
+        ms = [(m[1], m[2]) for m in bpe_train_py(dict(wc), _BPE_N_MERGES)]
+        memo = {w: bpe_count_py(w, ms) for w in wc}
+        ids, nw, nb = [], [], []
+        for d, t in zip(cols["doc_id"], cols["text"]):
+            words = tok(t or "")
+            ids.append(d)
+            nw.append(len(words))
+            nb.append(sum(memo[w] for w in words))
+        return {"doc_id": ids, "n_words": nw, "n_bpe_tokens": nb}
+
+    _expected_parquet(sf_dir, "bpe_merges", merges_build)
+    _expected_parquet(sf_dir, "bpe_encode", encode_build)
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: after one corpus pass for
+    word counts, every merge round runs on the vocab-bounded word table
+    (pair explode + groupBy + a one-row argmax collect; zero-shuffle
+    fold applies the merge) — the corpus is never re-read.  Gated
+    against an independent scalar Python trainer replayed into an
+    expected table."""
+    from stractt_spark.operators.bpe import learn_bpe, word_counts
+
+    _materialize_expected_bpe(sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return learn_bpe(spark, word_counts(docs, "text", "doc_id"),
+                     _BPE_N_MERGES)
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding under the LEARNED merges (the real training-cost
+    token count): one map-side Arrow pass with the broadcast rank dict,
+    per-batch word memoization.  End-to-end gate: Spark-trained merges
+    feed the Spark encoder; the oracle is the Python-trained +
+    Python-encoded expected table, so a hash match proves BOTH stages
+    agree with the independent implementation."""
+    from stractt_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe,
+        word_counts,
+    )
+
+    _materialize_expected_bpe(sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = learn_bpe(spark, word_counts(docs, "text", "doc_id"),
+                       _BPE_N_MERGES)
+    return bpe_token_counts(docs, "text", "doc_id", merges)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup across microbatches: the documents table
     arrives as file 1; file 2 re-ingests every 10th doc under a new
@@ -3260,6 +3339,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "dsir_weights": _q_dsir_weights,
         "semantic_dedup": _q_semantic_dedup,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3655,6 +3736,14 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _gopher_sql(),
         "dsir_weights": _DSIR_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "bpe_merges": (
+            "SELECT rank, \"left\", \"right\", merged "
+            "FROM '/tmp/stractt_expected_bpe_merges.parquet'"
+        ),
+        "bpe_encode": (
+            "SELECT doc_id, n_words, n_bpe_tokens "
+            "FROM '/tmp/stractt_expected_bpe_encode.parquet'"
+        ),
         "retention_cohorts": _RETENTION_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "quality_cut": (

@@ -146,6 +146,41 @@ def main() -> None:
     }
     spark.sparkContext._jvm.System.gc()
 
+    # -------------------------------------------------------- filters
+    # within-doc + domain-matching filter family at the same 1.2M docs:
+    # gopher_repetition is ZERO-shuffle (pure projection — the number
+    # here is corpus-bandwidth processing incl. 7 per-row gram sorts),
+    # dsir_weights is two count aggs + one token-keyed join
+    from stractt_spark.operators.sampling import dsir_weights
+    from stractt_spark.operators.textstats import gopher_repetition
+
+    t0 = time.time()
+    gop = gopher_repetition(corpus, "content", "doc_id").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum("tot_chars").alias("chars"),
+    ).collect()[0]
+    dt = time.time() - t0
+    out["gopher"] = {
+        "wall_sec": round(dt, 2),
+        "docs_per_sec": round(args.docs / dt, 1),
+        "mb_per_sec": round(float(gop["chars"]) / dt / 1e6, 1),
+        "kept_frac": round(float(gop["kept"]) / float(gop["docs"]), 4),
+    }
+    t0 = time.time()
+    target = corpus.filter(F.col("doc_id") % 10 == 0)
+    ds = dsir_weights(corpus, target, "content", "doc_id").agg(
+        F.count("*").alias("docs"),
+        F.avg("avg_logratio").alias("mean_alr"),
+    ).collect()[0]
+    dt = time.time() - t0
+    out["dsir"] = {
+        "wall_sec": round(dt, 2),
+        "docs_per_sec": round(args.docs / dt, 1),
+        "mean_avg_logratio": round(float(ds["mean_alr"]), 6),
+    }
+    spark.sparkContext._jvm.System.gc()
+
     # ------------------------------------------------------------- cc
     from stractt_spark.operators.dedup import (
         connected_components,
@@ -247,6 +282,62 @@ def main() -> None:
         "recall_at_10_nprobe16": round(
             sum(recalls[16]) / len(recalls[16]), 4),
         "recall_queries": len(recalls[8]),
+    }
+
+    # ------------------------------------------------------- semdedup
+    # semantic dedup at the same vector count + 2% planted near-dups
+    # (first coordinate negated — cos ≥ 1 − 2/‖v‖² ≈ 0.906): LSH
+    # pair-join → star clusters → canonical keep, end to end.  NOT the
+    # sin-family vectors of the ANN section: those lie on a 1-D phase
+    # curve and are one giant genuine near-dup component at cos ≥ 0.9 —
+    # here each component is an independent xxhash64 uniform, so the
+    # expected output is exactly the planted clusters
+    from stractt_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.range(args.vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: (
+                F.pmod(
+                    F.xxhash64(F.col("id"), j), F.lit(2_000_001)
+                ).cast("double")
+                / F.lit(1_000_000.0)
+                - F.lit(1.0)
+            ),
+        ).alias("embedding"),
+    ).cache()
+    vecs.count()
+    planted = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(args.vecs)).alias("vec_id"),
+        F.concat(
+            F.array(-F.col("embedding")[0]),
+            F.slice("embedding", 2, dim - 1),
+        ).alias("embedding"),
+    )
+    aug = vecs.unionByName(planted)
+    n_aug = aug.count()
+    n_planted = int(planted.count())
+    t0 = time.time()
+    sd = semantic_dedup(
+        aug, threshold=0.9, n_tables=12, n_planes=8, max_bucket_size=1000
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+    ).collect()[0]
+    t_sd = time.time() - t0
+    dropped = int(sd["n"] - sd["kept"])
+    out["semdedup"] = {
+        "vectors": int(n_aug),
+        "wall_sec": round(t_sd, 2),
+        "vecs_per_sec": round(n_aug / t_sd, 1),
+        "kept": int(sd["kept"]),
+        "dropped": dropped,
+        "planted": n_planted,
+        # LSH pair recall on the planted dups (cos ≈ 0.906, just above
+        # the 0.9 threshold — the hardest case; the gate's all-pairs
+        # oracle proves exactness at sf, this measures the knob at scale)
+        "planted_pair_recall": round(dropped / n_planted, 4),
     }
 
     try:

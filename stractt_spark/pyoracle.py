@@ -69,3 +69,63 @@ def fingerprint_py(text: str, analyzer: str = "ascii") -> int:
     for t in toks:
         acc = ((acc * _FNV_PRIME) & _U64) ^ hash64_py(t)
     return _signed64(acc)
+
+
+# ------------------------------------------------------------ BPE twin
+
+
+def _apply_merge_py(syms: list[str], left: str, right: str) -> list[str]:
+    """Left-to-right greedy single-merge application (the documented
+    fold contract of operators/bpe.py)."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def bpe_train_py(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, str]]:
+    """Independent scalar BPE trainer (Sennrich et al. 2016): per round,
+    the max-(count, left, right) adjacent pair is merged everywhere;
+    stops when the best pair count < 2.  Same DOCUMENTED rule as
+    operators/bpe.learn_bpe, dict/Counter re-derivation — no shared
+    code."""
+    seqs = {w: list(w) for w in word_counts if w}
+    merges: list[tuple[int, str, str, str]] = []
+    for rank in range(int(n_merges)):
+        pc: Counter = Counter()
+        for w, c in word_counts.items():
+            s = seqs.get(w)
+            if not s:
+                continue
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (left, right), total = max(
+            pc.items(), key=lambda kv: (kv[1], kv[0])
+        )
+        if total < 2:
+            break
+        merges.append((rank, left, right, left + right))
+        for w in seqs:
+            seqs[w] = _apply_merge_py(seqs[w], left, right)
+    return merges
+
+
+def bpe_count_py(word: str, merges: list[tuple[str, str]]) -> int:
+    """Token count of one word under learned merges, applied
+    EXHAUSTIVELY IN RANK ORDER — provably equivalent to the engine's
+    lowest-rank-first greedy scan (a rank-k pair can never be created
+    by a rank->k merge, since rank-k's parts predate every later
+    symbol), but a genuinely different algorithm."""
+    syms = list(word)
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        syms = _apply_merge_py(syms, left, right)
+    return len(syms)
