@@ -181,6 +181,32 @@ def main() -> None:
     }
     spark.sparkContext._jvm.System.gc()
 
+    # ------------------------------------------------------------ bpe
+    # BPE training at the same 1.2M docs: ONE corpus pass for word
+    # counts, then every merge round runs on the vocab-bounded word
+    # table — corpus_pass_sec vs per_merge_sec is the evidence that
+    # training cost decouples from corpus size
+    from stractt_spark.operators.bpe import learn_bpe, word_counts
+
+    t0 = time.time()
+    wc = word_counts(corpus, "content", "doc_id").cache()
+    vocab_size = wc.count()
+    t_wc = time.time() - t0
+    n_merges = 16
+    t0 = time.time()
+    n_learned = learn_bpe(spark, wc, n_merges).count()
+    t_train = time.time() - t0
+    wc.unpersist()
+    out["bpe"] = {
+        "corpus_pass_sec": round(t_wc, 2),
+        "corpus_docs_per_sec": round(args.docs / t_wc, 1),
+        "vocab_size": int(vocab_size),
+        "merges_learned": int(n_learned),
+        "train_sec": round(t_train, 2),
+        "per_merge_sec": round(t_train / max(n_learned, 1), 3),
+    }
+    spark.sparkContext._jvm.System.gc()
+
     # ------------------------------------------------------------- cc
     from stractt_spark.operators.dedup import (
         connected_components,
