@@ -2488,6 +2488,100 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs, "text", "doc_id", merges)
 
 
+_NB_ALPHA = 1.0
+
+
+def _q_nb_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multinomial Naive Bayes classifier (the quality/domain
+    filter slot of a training pipeline): train text→lang on the corpus,
+    score every doc, output the argmax class next to the true label.
+    Training = one tokenize pass + one (label, tok) groupBy; scoring =
+    one broadcast token join.  Argmax is over 6-decimal-rounded scores
+    (ties → greatest label), so it is engine-deterministic; the oracle
+    re-derives the whole train+score+argmax in SQL."""
+    from stractt_spark.operators.classifier import nb_predict, nb_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = nb_train(docs, "text", "lang", alpha=_NB_ALPHA)
+    preds = nb_predict(docs, "text", "doc_id", model)
+    actual = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("actual"),
+    )
+    return actual.join(preds, "doc_id").select(
+        "doc_id", "actual", "pred", "score"
+    )
+
+
+_NB_SQL = (
+    "WITH toks AS (SELECT doc_id, lang, unnest(regexp_extract_all("
+    f"lower(text), '{TOKEN_RE}')) AS tok FROM documents), "
+    "occ AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c_doc "
+    "FROM toks GROUP BY doc_id, tok), "
+    "doclen AS (SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_tok "
+    "FROM occ GROUP BY doc_id), "
+    "cls AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY lang), "
+    "tokc AS (SELECT lang AS label, tok, CAST(count(*) AS BIGINT) AS n "
+    "FROM toks GROUP BY lang, tok), "
+    "voc AS (SELECT count(DISTINCT tok) + 1 AS v FROM tokc), "
+    "ntot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM cls), "
+    "ctoks AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_class_toks "
+    "FROM tokc GROUP BY label), "
+    "classes AS (SELECT c.label, "
+    "ln(c.n_docs / (SELECT n FROM ntot)) AS log_prior, "
+    f"ln({_NB_ALPHA} / (coalesce(ct.n_class_toks, 0) "
+    f"+ {_NB_ALPHA} * (SELECT v FROM voc))) AS log_unseen "
+    "FROM cls c LEFT JOIN ctoks ct USING (label)), "
+    f"dl AS (SELECT label, tok, ln(n + {_NB_ALPHA}) - ln({_NB_ALPHA}) "
+    "AS dlog FROM tokc), "
+    "seen AS (SELECT occ.doc_id, dl.label, "
+    "sum(occ.c_doc * dl.dlog) AS s_seen "
+    "FROM occ JOIN dl USING (tok) GROUP BY occ.doc_id, dl.label), "
+    "scored AS (SELECT d.doc_id, cl.label, "
+    "round(cl.log_prior + coalesce(l.n_tok, 0) * cl.log_unseen "
+    "+ coalesce(se.s_seen, 0.0), 6) AS score "
+    "FROM documents d CROSS JOIN classes cl "
+    "LEFT JOIN doclen l ON l.doc_id = d.doc_id "
+    "LEFT JOIN seen se ON se.doc_id = d.doc_id AND se.label = cl.label), "
+    "best AS (SELECT doc_id, max(struct_pack(score := score, "
+    "label := label)) AS b FROM scored GROUP BY doc_id) "
+    "SELECT d.doc_id, d.lang AS actual, "
+    "struct_extract(b.b, 'label') AS pred, "
+    "struct_extract(b.b, 'score') AS score "
+    "FROM documents d JOIN best b USING (doc_id)"
+)
+
+
+_N_SHARDS = 8
+
+
+def _q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training: every doc gets a
+    hash-bucket shard and a pseudo-random within-shard position, bit-
+    reproducible across engines and cluster sizes (unlike repartition +
+    rand()).  No global sort — shard is md5-derived, pos is a per-shard
+    window rank."""
+    from stractt_spark.operators.sampling import shard_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_assign(docs, "doc_id", _N_SHARDS)
+
+
+_SHARD_SQL = (
+    "WITH h AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "md5(concat('shard-v1', CAST(doc_id AS VARCHAR))) AS hh "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "CAST(CAST(concat('0x', substr(hh, 1, 15)) AS UBIGINT) "
+    f"% {_N_SHARDS} AS BIGINT) AS shard, "
+    "CAST(row_number() OVER (PARTITION BY "
+    "CAST(concat('0x', substr(hh, 1, 15)) AS UBIGINT) "
+    f"% {_N_SHARDS} ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos "
+    "FROM h"
+)
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING exact dedup across microbatches: the documents table
     arrives as file 1; file 2 re-ingests every 10th doc under a new
@@ -3339,6 +3433,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "dsir_weights": _q_dsir_weights,
         "semantic_dedup": _q_semantic_dedup,
+        "nb_lang_predict": _q_nb_lang_predict,
+        "shard_assign": _q_shard_assign,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         # -- inverted index / BM25 core (r4 hash-green)
@@ -3736,6 +3832,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _gopher_sql(),
         "dsir_weights": _DSIR_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "nb_lang_predict": _NB_SQL,
+        "shard_assign": _SHARD_SQL,
         "bpe_merges": (
             "SELECT rank, \"left\", \"right\", merged "
             "FROM '/tmp/stractt_expected_bpe_merges.parquet'"

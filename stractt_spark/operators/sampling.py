@@ -241,3 +241,38 @@ def dsir_weights(
             6,
         ).alias("avg_logratio"),
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """→ (doc_id, shard, pos): deterministic global shuffle + shard
+    assignment for training — every doc lands in a pseudo-random shard
+    with a pseudo-random position inside it, reproducible across runs,
+    engines, and cluster sizes (the property ``df.repartition`` +
+    ``rand()`` shuffles lack).
+
+    ``shard = H mod n_shards`` where ``H`` is the first 60 bits of
+    ``md5(salt ‖ id)`` — a fixed uniform hash, so shards are
+    hash-buckets with NO global ordering step.  ``pos`` is the doc's
+    rank inside its shard under the same hash (ties impossible after
+    the id suffix), i.e. the within-shard read order of an epoch.
+
+    Scale shape: one shuffle keyed by ``shard`` + a per-shard sort —
+    identical to :func:`stratified_sample_exact`'s window.  At 100 TB
+    n_shards is picked ≫ executor count (e.g. 64k), so each window
+    sorts ~corpus/64k rows; no single global sort ever happens, and
+    re-running with a different salt is a fresh epoch permutation.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    big = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    shard = F.pmod(big, F.lit(int(n_shards))).cast("long")
+    w = Window.partitionBy(shard).orderBy(h, F.col(id_col).cast("long"))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        shard.alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
