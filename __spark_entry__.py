@@ -1732,6 +1732,43 @@ def _q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup under the gate: a persisted MinHash-LSH index
+    is built on the even-id half of the corpus; the odd-id half arrives
+    as a batch through ingest_dedup — banded-bucket join against the
+    PERSISTED tables only (plus lower-id intra-batch collisions), exact
+    token-set-Jaccard verify on candidates, survivors appended.  The
+    per-doc decision table (kept / dup_of / jaccard, argmax-tie-min
+    rule) is hash-gated against an all-pairs SQL oracle that recomputes
+    every batch-vs-(index ∪ lower-batch) Jaccard from raw text — so the
+    gate fails if banding loses a single ≥0.8 pair or the best-match
+    rule deviates.  Decisions are cached per sf: ingest mutates the
+    index, so a second run would re-match kept docs against themselves."""
+    import hashlib
+    import shutil as _sh
+
+    from stractt_spark.operators.dedup_index import (
+        build_dedup_index,
+        ingest_dedup,
+    )
+
+    key = "dedupidx:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        out = "/tmp/stractt_entry_dedupidx_" + hashlib.md5(
+            sf_dir.encode()
+        ).hexdigest()[:12]
+        _sh.rmtree(out, ignore_errors=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_dedup_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), out,
+            n=1, num_perm=64, bands=32,
+        )
+        _WAND_INDEX_CACHE[key] = ingest_dedup(
+            spark, out, docs.filter(F.col("doc_id") % 2 == 1), threshold=0.8
+        )
+    return _WAND_INDEX_CACHE[key]
+
+
 def _q_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stractt_spark.operators.similarity import cosine_topk
 
@@ -3437,6 +3474,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": _q_shard_assign,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "incremental_dedup": _q_incremental_dedup,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3877,6 +3915,31 @@ def oracle_sql() -> dict[str, str]:
         # exactly (32×2 banding: P(miss a ≥0.8 pair) ≤ 4e-13) — a real
         # independent oracle for the LSH pipeline, not a rows-only check
         "minhash_pairs": _ALL_PAIRS_JACCARD_SQL.format(toks=_TOKS_L_CTE),
+        # incremental index: odd-id batch vs even-id persisted corpus
+        # (plus lower-id intra-batch), all-pairs recomputed from raw
+        # text — catches any banding recall loss or best-match deviation
+        "incremental_dedup": (
+            f"WITH {_TOKS_L_CTE}, "
+            "grams AS (SELECT doc_id, unnest(list_distinct(l)) AS shingle "
+            "FROM toks), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "inter AS (SELECT b.doc_id AS b_doc, a.doc_id AS i_doc, "
+            "count(*) AS i FROM grams b JOIN grams a ON a.shingle = b.shingle "
+            "WHERE b.doc_id % 2 = 1 AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id) "
+            "GROUP BY 1, 2), "
+            "jac AS (SELECT b_doc, i_doc, "
+            "round(CAST(i AS DOUBLE) / (sb.n + sa.n - i), 6) AS j "
+            "FROM inter JOIN sizes sb ON sb.doc_id = b_doc "
+            "JOIN sizes sa ON sa.doc_id = i_doc "
+            "WHERE round(CAST(i AS DOUBLE) / (sb.n + sa.n - i), 6) >= 0.8), "
+            "best AS (SELECT b_doc, i_doc, j, row_number() OVER "
+            "(PARTITION BY b_doc ORDER BY j DESC, i_doc ASC) AS rn FROM jac) "
+            "SELECT d.doc_id AS doc_id, b.i_doc IS NULL AS kept, "
+            "CAST(coalesce(b.i_doc, -1) AS BIGINT) AS dup_of, "
+            "coalesce(b.j, 0.0) AS jaccard "
+            "FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
+            "ON b.b_doc = d.doc_id WHERE d.doc_id % 2 = 1"
+        ),
         "near_dup_components": _near_dup_components_sql(),
         "simhash64": (
             "SELECT doc_id, simhash "

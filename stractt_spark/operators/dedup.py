@@ -193,6 +193,31 @@ def minhash_signatures(
     return src.mapInPandas(emit, "doc_id long, sig array<long>")
 
 
+def banded_buckets(signatures: DataFrame, bands: int) -> DataFrame:
+    """→ (doc_id, band, bucket): the LSH banding projection — the
+    signature split into ``bands`` equal chunks, each hashed to a
+    bucket key.  Shared by the self-join candidate path below and the
+    incremental index (``operators/dedup_index.py``), whose persisted
+    bucket table must hash identically to fresh batches."""
+    sig_len = F.size("sig")
+    rows_per_band = (sig_len / F.lit(bands)).cast("int")
+    return (
+        signatures.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.slice(
+                        "sig", i * rows_per_band + 1, rows_per_band
+                    ),
+                )
+            ).alias("band", "chunk"),
+        )
+        .withColumn("bucket", F.xxhash64(F.col("band"), F.col("chunk").cast("string")))
+        .select("doc_id", "band", "bucket")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -210,24 +235,7 @@ def lsh_candidate_pairs(
     pair collides in ~bands·j^r bands, so it survives unless EVERY one
     of its buckets is oversized; None (default) keeps literal
     exactness, which the correctness gates use."""
-    num_perm = None  # derived JVM-side via slice
-    sig_len = F.size("sig")
-    rows_per_band = (sig_len / F.lit(bands)).cast("int")
-    banded = (
-        signatures.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda i: F.slice(
-                        "sig", i * rows_per_band + 1, rows_per_band
-                    ),
-                )
-            ).alias("band", "chunk"),
-        )
-        .withColumn("bucket", F.xxhash64(F.col("band"), F.col("chunk").cast("string")))
-        .select("doc_id", "band", "bucket")
-    )
+    banded = banded_buckets(signatures, bands)
     if max_bucket_size is not None:
         banded = (
             banded.withColumn(

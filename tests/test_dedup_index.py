@@ -1,0 +1,180 @@
+"""Incremental persisted MinHash-LSH dedup index lifecycle."""
+
+import itertools
+
+import pytest
+
+from stractt_spark.functions.tokenizer import tokenize_ascii
+from stractt_spark.operators.dedup_index import (
+    append_batch,
+    build_dedup_index,
+    check_batch,
+    ingest_dedup,
+    read_dedup_manifest,
+)
+
+
+def _jaccard(a: str, b: str, n: int = 1) -> float:
+    ta, tb = tokenize_ascii(a), tokenize_ascii(b)
+    sa = {" ".join(ta[i:i + n]) for i in range(len(ta) - n + 1)}
+    sb = {" ".join(tb[i:i + n]) for i in range(len(tb) - n + 1)}
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "completely different content about spark segment posting compression"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3, "one two three four five six seven eight nine ten"),
+]
+BATCH1 = [
+    # near-dup of corpus doc 0 (one token changed)
+    (10, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    # fresh content
+    (11, "functional reactive streams compose backpressure aware operators"),
+    # near-dup of 11 WITHIN the batch (lower-id batch match)
+    (12, "functional reactive streams compose backpressure aware operators cleanly"),
+    # fresh
+    (13, "petrichor rises from dry earth after the first summer rain"),
+]
+BATCH2 = [
+    # near-dup of batch-1 doc 13 — must match the APPENDED batch
+    (20, "petrichor rises from dry earth after the first summer rain again"),
+    (21, "entirely novel subject matter unrelated to anything indexed before"),
+]
+
+THRESH = 0.6
+N = 1
+
+
+def _expected_best(doc, others):
+    """(dup_of, jaccard) vs an explicit doc set, argmax/tie-min rule."""
+    best = None
+    for oid, otext in others:
+        j = round(_jaccard(doc[1], otext, N), 6)
+        if j >= THRESH and (best is None or j > best[1]
+                            or (j == best[1] and oid < best[0])):
+            best = (oid, j)
+    return best
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dedup_idx") / "idx")
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    build_dedup_index(
+        spark, docs, d, n=N, num_perm=64, bands=32, analyzer="ascii"
+    )
+    return d
+
+
+def test_build_manifest(index_dir):
+    m = read_dedup_manifest(index_dir)
+    assert m["kind"] == "minhash_lsh_dedup"
+    assert m["batches"] == ["batch_0"]
+    assert m["n_docs"] == len(CORPUS)
+    assert m["params"]["bands"] == 32 and m["params"]["analyzer_fp"]
+
+
+def test_check_batch_matches_bruteforce(spark, index_dir):
+    batch = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in check_batch(
+            spark, index_dir, batch, threshold=THRESH
+        ).collect()
+    }
+    expected = {}
+    for doc in BATCH1:
+        best = _expected_best(doc, CORPUS)
+        if best:
+            expected[doc[0]] = best
+    assert got == expected
+    assert 10 in got and got[10][0] == 0  # the planted near-dup
+
+
+def test_check_batch_include_intra(spark, index_dir):
+    batch = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in check_batch(
+            spark, index_dir, batch, threshold=THRESH, include_intra=True
+        ).collect()
+    }
+    expected = {}
+    for i, doc in enumerate(BATCH1):
+        pool = CORPUS + [d for d in BATCH1 if d[0] < doc[0]]
+        best = _expected_best(doc, pool)
+        if best:
+            expected[doc[0]] = best
+    assert got == expected
+    assert got[12][0] == 11  # intra-batch lower-id match
+
+
+def test_ingest_then_next_batch_sees_appended_docs(spark, tmp_path):
+    d = str(tmp_path / "idx2")
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    build_dedup_index(spark, docs, d, n=N, num_perm=64, bands=32)
+
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    dec1 = {r["doc_id"]: (r["kept"], r["dup_of"], r["jaccard"])
+            for r in ingest_dedup(spark, d, b1, threshold=THRESH).collect()}
+    assert set(dec1) == {10, 11, 12, 13}
+    assert dec1[10][0] is False and dec1[10][1] == 0
+    assert dec1[11] == (True, -1, 0.0)
+    assert dec1[12][0] is False and dec1[12][1] == 11
+    assert dec1[13] == (True, -1, 0.0)
+    m = read_dedup_manifest(d)
+    assert m["batches"] == ["batch_0", "batch_1"]
+    assert m["n_docs"] == len(CORPUS) + 2  # only survivors appended
+
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    dec2 = {r["doc_id"]: (r["kept"], r["dup_of"])
+            for r in ingest_dedup(spark, d, b2, threshold=THRESH).collect()}
+    # 20 dups the batch-1 SURVIVOR 13 that now lives in the index
+    assert dec2[20] == (False, 13)
+    assert dec2[21] == (True, -1)
+    assert read_dedup_manifest(d)["n_docs"] == len(CORPUS) + 3
+
+
+def test_dropped_docs_not_appended(spark, tmp_path):
+    """A dropped dup must NOT enter the index: re-ingesting fresh
+    content similar only to the dropped doc is kept."""
+    d = str(tmp_path / "idx3")
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    build_dedup_index(spark, docs, d, n=N, num_perm=64, bands=32)
+    b1 = spark.createDataFrame(
+        [BATCH1[0]], "doc_id long, text string"
+    )  # doc 10, dropped as dup of 0
+    ingest_dedup(spark, d, b1, threshold=THRESH)
+    # doc 30 = same text as 10; still matches corpus doc 0 (not 10):
+    b2 = spark.createDataFrame(
+        [(30, BATCH1[0][1])], "doc_id long, text string"
+    )
+    dec = {r["doc_id"]: (r["kept"], r["dup_of"])
+           for r in ingest_dedup(spark, d, b2, threshold=THRESH).collect()}
+    assert dec[30][0] is False and dec[30][1] == 0
+
+
+def test_append_refuses_duplicate_ids(spark, index_dir):
+    clash = spark.createDataFrame(
+        [(0, "anything at all")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        append_batch(spark, index_dir, clash)
+
+
+def test_check_empty_result_and_below_threshold(spark, index_dir):
+    batch = spark.createDataFrame(
+        [(40, "zzz qqq xxx unique gibberish tokens")],
+        "doc_id long, text string",
+    )
+    assert check_batch(spark, index_dir, batch, threshold=0.9).count() == 0
+
+
+def test_max_bucket_size_guard_runs(spark, index_dir):
+    batch = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    out = check_batch(
+        spark, index_dir, batch, threshold=THRESH, max_bucket_size=100
+    ).collect()
+    assert {r["doc_id"] for r in out} >= {10}
