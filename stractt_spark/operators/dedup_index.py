@@ -137,9 +137,20 @@ def _batch_tables(
 def _read_index_tables(
     spark: SparkSession, index_dir: str, manifest: dict
 ) -> tuple[DataFrame, DataFrame]:
-    dirs = [os.path.join(index_dir, b) for b in manifest["batches"]]
-    buckets = spark.read.parquet(*[os.path.join(d, "buckets.parquet") for d in dirs])
-    docsets = spark.read.parquet(*[os.path.join(d, "docsets.parquet") for d in dirs])
+    """(buckets, docsets) across the ledger, each row tagged with its
+    batch ordinal ``_batch`` — the granularity batch-scoped tombstones
+    mask at (see :func:`delete_docs`)."""
+    buckets = docsets = None
+    for i, b in enumerate(manifest["batches"]):
+        d = os.path.join(index_dir, b)
+        bk = spark.read.parquet(os.path.join(d, "buckets.parquet")).withColumn(
+            "_batch", F.lit(i)
+        )
+        ds = spark.read.parquet(os.path.join(d, "docsets.parquet")).withColumn(
+            "_batch", F.lit(i)
+        )
+        buckets = bk if buckets is None else buckets.unionByName(bk)
+        docsets = ds if docsets is None else docsets.unionByName(ds)
     return buckets, docsets
 
 
@@ -152,6 +163,86 @@ def _write_batch(
 
 
 # ------------------------------------------------------------- lifecycle
+
+
+def _tombstone_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones.parquet")
+
+
+def _live(df: DataFrame, spark: SparkSession, index_dir: str) -> DataFrame:
+    """Mask tombstoned rows out of an index table read (``df`` must
+    carry the ``_batch`` ordinal from :func:`_read_index_tables`).
+    Tombstones are BATCH-SCOPED — ``(doc_id, upto_batch)`` hides only
+    rows in batches ≤ the mark, so a re-appended id's NEW rows (in a
+    later batch) serve while the stale pre-delete rows stay masked
+    forever — the same contract as the ANN index's ``mask_deleted``."""
+    p = _tombstone_path(index_dir)
+    if not os.path.exists(p):
+        return df
+    dead = spark.read.parquet(p)
+    return df.join(
+        dead,
+        (df["doc_id"] == dead["doc_id"]) & (df["_batch"] <= dead["upto_batch"]),
+        "left_anti",
+    )
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
+    """Tombstone docs out of the index (mask-now / compact-later, the
+    same discipline as the text index's deletes and the ANN
+    ``delete_vectors``): tombstoned docs stop matching future batches
+    immediately and their ids become re-appendable (an UPDATE is
+    delete + re-ingest — the re-appended content lands in a LATER batch
+    than the tombstone's ``upto_batch`` mark, so it serves while the
+    old rows stay masked).  Returns the number of NEW tombstones
+    written; ids not live in the index are ignored (deleting them is a
+    no-op, not an error — idempotent re-deletes)."""
+    manifest = read_dedup_manifest(index_dir)
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in doc_ids], "doc_id long"
+    ).distinct()
+    _, docsets = _read_index_tables(spark, index_dir, manifest)
+    upto = len(manifest["batches"]) - 1
+    live_hits = ids_df.join(
+        _live(docsets, spark, index_dir).select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", F.lit(upto).alias("upto_batch"))
+    n_new = live_hits.count()
+    if n_new == 0:
+        return 0
+    live_hits.write.mode("append").parquet(_tombstone_path(index_dir))
+    manifest["n_docs"] = manifest["n_docs"] - n_new
+    _write_manifest(index_dir, manifest)
+    return n_new
+
+
+def compact_dedup_index(spark: SparkSession, index_dir: str) -> dict:
+    """Reclaim tombstoned rows: rewrite the ledger as a single
+    ``batch_0`` holding only live docs, drop the tombstone table and
+    the old batch dirs.  After compaction the index is row-equivalent
+    to a fresh build over the surviving docs' tables (same buckets,
+    same docsets — both are content-pure projections, so no re-shingle
+    is needed).  Returns the updated manifest."""
+    import shutil as _sh
+
+    manifest = read_dedup_manifest(index_dir)
+    _check_params(manifest, index_dir)
+    buckets, docsets = _read_index_tables(spark, index_dir, manifest)
+    live_b = _live(buckets, spark, index_dir).drop("_batch").localCheckpoint(
+        eager=True
+    )
+    live_d = _live(docsets, spark, index_dir).drop("_batch").localCheckpoint(
+        eager=True
+    )
+    n_docs = live_d.count()
+    for b in manifest["batches"]:
+        _sh.rmtree(os.path.join(index_dir, b), ignore_errors=True)
+    tomb = _tombstone_path(index_dir)
+    _sh.rmtree(tomb, ignore_errors=True)
+    _write_batch(index_dir, "batch_0", live_b, live_d)
+    manifest["batches"] = ["batch_0"]
+    manifest["n_docs"] = n_docs
+    _write_manifest(index_dir, manifest)
+    return manifest
 
 
 def build_dedup_index(
@@ -219,6 +310,8 @@ def check_batch(
     manifest = read_dedup_manifest(index_dir)
     p = _check_params(manifest, index_dir)
     idx_buckets, idx_docsets = _read_index_tables(spark, index_dir, manifest)
+    idx_buckets = _live(idx_buckets, spark, index_dir).drop("_batch")
+    idx_docsets = _live(idx_docsets, spark, index_dir).drop("_batch")
     b_buckets, b_docsets = _batch_tables(spark, batch_docs, p, text_col, id_col)
     if max_bucket_size is not None:
         # cap on the INDEX side (the side that grows with the corpus)
@@ -330,8 +423,16 @@ def append_batch(
     p = _check_params(manifest, index_dir)
     _, idx_docsets = _read_index_tables(spark, index_dir, manifest)
     buckets, docsets = _batch_tables(spark, batch_docs, p, text_col, id_col)
+    # the dup check is against LIVE ids only: a tombstoned id is
+    # legitimately re-appendable (the update flow), and because its
+    # tombstone is scoped to batches ≤ its mark, the new rows — landing
+    # in a strictly later batch — serve without touching the tombstone
     dup_ids = (
-        docsets.select("doc_id").join(idx_docsets.select("doc_id"), "doc_id").count()
+        docsets.select("doc_id")
+        .join(
+            _live(idx_docsets, spark, index_dir).select("doc_id"), "doc_id"
+        )
+        .count()
     )
     if dup_ids:
         raise ValueError(

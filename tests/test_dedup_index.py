@@ -9,6 +9,8 @@ from stractt_spark.operators.dedup_index import (
     append_batch,
     build_dedup_index,
     check_batch,
+    compact_dedup_index,
+    delete_docs,
     ingest_dedup,
     read_dedup_manifest,
 )
@@ -170,6 +172,80 @@ def test_check_empty_result_and_below_threshold(spark, index_dir):
         "doc_id long, text string",
     )
     assert check_batch(spark, index_dir, batch, threshold=0.9).count() == 0
+
+
+def test_delete_masks_matches_and_update_flow(spark, tmp_path):
+    """delete + re-append is the documented UPDATE flow: tombstoned
+    docs stop matching immediately, their ids become re-appendable,
+    and the re-appended content serves with its NEW shingles."""
+    d = str(tmp_path / "idx4")
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    build_dedup_index(spark, docs, d, n=N, num_perm=64, bands=32)
+
+    probe = spark.createDataFrame(
+        [(50, CORPUS[0][1] + " extra")], "doc_id long, text string"
+    )
+    assert check_batch(spark, d, probe, threshold=THRESH).count() == 1
+
+    assert delete_docs(spark, d, [0]) == 1
+    assert read_dedup_manifest(d)["n_docs"] == len(CORPUS) - 1
+    # tombstoned doc no longer matches
+    assert check_batch(spark, d, probe, threshold=THRESH).count() == 0
+    # idempotent re-delete is a no-op
+    assert delete_docs(spark, d, [0]) == 0
+
+    # re-append id 0 with CHANGED content (the update): tombstone must
+    # clear and the new content must serve
+    upd = spark.createDataFrame(
+        [(0, "brand new replacement text for the updated document zero")],
+        "doc_id long, text string",
+    )
+    append_batch(spark, d, upd)
+    m = read_dedup_manifest(d)
+    assert m["n_docs"] == len(CORPUS)
+    probe2 = spark.createDataFrame(
+        [(51, "brand new replacement text for the updated document zero ok")],
+        "doc_id long, text string",
+    )
+    got = check_batch(spark, d, probe2, threshold=THRESH).collect()
+    assert len(got) == 1 and got[0]["dup_of"] == 0
+    # the OLD content of 0 stays dead
+    assert check_batch(spark, d, probe, threshold=THRESH).count() == 0
+
+
+def test_compact_reclaims_tombstones(spark, tmp_path):
+    d = str(tmp_path / "idx5")
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    build_dedup_index(spark, docs, d, n=N, num_perm=64, bands=32)
+    b1 = spark.createDataFrame(
+        [BATCH1[1], BATCH1[3]], "doc_id long, text string"
+    )
+    append_batch(spark, d, b1)
+    delete_docs(spark, d, [2, 11])
+    before = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in check_batch(
+            spark,
+            d,
+            spark.createDataFrame(BATCH2, "doc_id long, text string"),
+            threshold=0.3,
+        ).collect()
+    }
+    m = compact_dedup_index(spark, d)
+    assert m["batches"] == ["batch_0"] and m["n_docs"] == len(CORPUS)
+    import os
+
+    assert not os.path.exists(os.path.join(d, "tombstones.parquet"))
+    after = {
+        r["doc_id"]: (r["dup_of"], r["jaccard"])
+        for r in check_batch(
+            spark,
+            d,
+            spark.createDataFrame(BATCH2, "doc_id long, text string"),
+            threshold=0.3,
+        ).collect()
+    }
+    assert before == after  # compaction is behavior-invariant
 
 
 def test_max_bucket_size_guard_runs(spark, index_dir):
