@@ -399,9 +399,20 @@ def main() -> None:
     aug = vecs.unionByName(planted)
     n_aug = aug.count()
     n_planted = int(planted.count())
+    # n_planes must scale with the VECTOR COUNT, not just the target
+    # angle: C(510k,2) ≈ 1.3e11 random pairs collide per table w.p.
+    # 0.5^planes, so planes must push random candidates below what the
+    # verify join can ship.  Measured failure modes at 510k: 8 planes →
+    # 256 buckets/table, all ~2k vecs, every one killed by the 1000-cap
+    # (recall 0.20); 14 planes → 1.3e11·0.5^14·16 ≈ 1e8 random
+    # candidate pairs, verify spilled >70 GB and died.  19 planes / 32
+    # tables: random candidates ≈ 1.3e11·0.5^19·32 ≈ 8M (verify ships
+    # ~8 GB), planted-dup recall 1−(1−0.861^19)^32 ≈ 0.85 at the
+    # hardest-case cos 0.906 (recall→1 for the ≥0.99-cos near-dups
+    # SemDeDup actually targets)
     t0 = time.time()
     sd = semantic_dedup(
-        aug, threshold=0.9, n_tables=12, n_planes=8, max_bucket_size=1000
+        aug, threshold=0.9, n_tables=32, n_planes=19, max_bucket_size=1000
     ).agg(
         F.count("*").alias("n"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
