@@ -1769,6 +1769,55 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _WAND_INDEX_CACHE[key]
 
 
+def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup ingest under the gate: the dedup index is
+    built on the even-id half; the odd-id half arrives as TWO files
+    (doc_id%4==1 then %4==3) forced into separate microbatches via
+    maxFilesPerTrigger=1.  Microbatch 2 must dedup against microbatch
+    1's SURVIVORS (now persisted in the index) — the two-phase
+    semantics differ from one-shot ingest (a doc dupping a DROPPED
+    batch-1 doc is NOT dropped for that reason), and the oracle
+    reproduces exactly that: kept1 computed in a CTE, phase-2 matches
+    drawn from even ∪ kept1 ∪ lower-id phase-2."""
+    import hashlib
+    import shutil as _sh
+
+    import pandas as _pd
+
+    from stractt_spark.operators.dedup_index import build_dedup_index
+    from stractt_spark.streaming.dedup import (
+        read_stream_decisions,
+        stream_ingest_dedup,
+    )
+
+    key = "sneardedup:" + sf_dir
+    if key not in _WAND_INDEX_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        base = f"/tmp/stractt_entry_sneardedup_{tag}"
+        _sh.rmtree(base, ignore_errors=True)
+        os.makedirs(f"{base}/in", exist_ok=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        build_dedup_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), f"{base}/idx",
+            n=1, num_perm=64, bands=32,
+        )
+        pdf = _pd.read_parquet(f"{sf_dir}/documents.parquet")
+        pdf[pdf["doc_id"] % 4 == 1].to_parquet(
+            f"{base}/in/part1.parquet", index=False
+        )
+        pdf[pdf["doc_id"] % 4 == 3].to_parquet(
+            f"{base}/in/part2.parquet", index=False
+        )
+        stream_ingest_dedup(
+            spark, f"{base}/in", f"{base}/idx", f"{base}/ckpt",
+            threshold=0.8, max_files_per_trigger=1,
+        )
+        _WAND_INDEX_CACHE[key] = read_stream_decisions(
+            spark, f"{base}/idx"
+        ).localCheckpoint(eager=True)
+    return _WAND_INDEX_CACHE[key]
+
+
 def _q_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stractt_spark.operators.similarity import cosine_topk
 
@@ -3475,6 +3524,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "incremental_dedup": _q_incremental_dedup,
+        "stream_near_dedup": _q_stream_near_dedup,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3934,6 +3984,46 @@ def oracle_sql() -> dict[str, str]:
             "WHERE round(CAST(i AS DOUBLE) / (sb.n + sa.n - i), 6) >= 0.8), "
             "best AS (SELECT b_doc, i_doc, j, row_number() OVER "
             "(PARTITION BY b_doc ORDER BY j DESC, i_doc ASC) AS rn FROM jac) "
+            "SELECT d.doc_id AS doc_id, b.i_doc IS NULL AS kept, "
+            "CAST(coalesce(b.i_doc, -1) AS BIGINT) AS dup_of, "
+            "coalesce(b.j, 0.0) AS jaccard "
+            "FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
+            "ON b.b_doc = d.doc_id WHERE d.doc_id % 2 = 1"
+        ),
+        # streamed two-phase near-dup ingest: phase 1 (doc_id%4==1)
+        # matches even ∪ lower-id phase-1; phase 2 (%4==3) matches
+        # even ∪ KEPT phase-1 (any id — they're in the index by then)
+        # ∪ lower-id phase-2.  kept1 is a plain (non-recursive) CTE.
+        "stream_near_dedup": (
+            f"WITH {_TOKS_L_CTE}, "
+            "grams AS (SELECT doc_id, unnest(list_distinct(l)) AS shingle "
+            "FROM toks), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+            "jac AS (SELECT b.doc_id AS b_doc, a.doc_id AS i_doc, "
+            "round(CAST(count(*) AS DOUBLE) / "
+            "(sb.n + sa.n - count(*)), 6) AS j "
+            "FROM grams b JOIN grams a ON a.shingle = b.shingle "
+            "JOIN sizes sb ON sb.doc_id = b.doc_id "
+            "JOIN sizes sa ON sa.doc_id = a.doc_id "
+            "WHERE b.doc_id % 2 = 1 AND a.doc_id <> b.doc_id "
+            "AND (a.doc_id % 2 = 0 OR a.doc_id % 4 = 1 "
+            "OR (a.doc_id % 4 = 3 AND a.doc_id < b.doc_id)) "
+            "GROUP BY b.doc_id, a.doc_id, sb.n, sa.n "
+            "HAVING round(CAST(count(*) AS DOUBLE) / "
+            "(sb.n + sa.n - count(*)), 6) >= 0.8), "
+            "m1 AS (SELECT b_doc, i_doc, j FROM jac WHERE b_doc % 4 = 1 "
+            "AND (i_doc % 2 = 0 OR (i_doc % 4 = 1 AND i_doc < b_doc))), "
+            "kept1 AS (SELECT d.doc_id FROM documents d "
+            "WHERE d.doc_id % 4 = 1 AND NOT EXISTS "
+            "(SELECT 1 FROM m1 WHERE m1.b_doc = d.doc_id)), "
+            "m2 AS (SELECT b_doc, i_doc, j FROM jac WHERE b_doc % 4 = 3 "
+            "AND (i_doc % 2 = 0 "
+            "OR i_doc IN (SELECT doc_id FROM kept1) "
+            "OR (i_doc % 4 = 3 AND i_doc < b_doc))), "
+            "allm AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2), "
+            "best AS (SELECT b_doc, i_doc, j, row_number() OVER "
+            "(PARTITION BY b_doc ORDER BY j DESC, i_doc ASC) AS rn "
+            "FROM allm) "
             "SELECT d.doc_id AS doc_id, b.i_doc IS NULL AS kept, "
             "CAST(coalesce(b.i_doc, -1) AS BIGINT) AS dup_of, "
             "coalesce(b.j, 0.0) AS jaccard "

@@ -439,6 +439,14 @@ def append_batch(
             f"append_batch: {dup_ids} doc ids already exist in {index_dir}"
         )
     name = f"batch_{len(manifest['batches'])}"
+    target = os.path.join(index_dir, name)
+    if os.path.exists(target) and name not in manifest["batches"]:
+        # crash orphan: a previous append wrote (some of) this dir but
+        # died before its manifest commit — the manifest never
+        # referenced it, so it is provably dead weight; clear and rewrite
+        import shutil as _sh
+
+        _sh.rmtree(target, ignore_errors=True)
     _write_batch(index_dir, name, buckets, docsets)
     added = spark.read.parquet(
         os.path.join(index_dir, name, "docsets.parquet")

@@ -72,3 +72,157 @@ def stream_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema: str = DOCUMENTS_SCHEMA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming NEAR-dup ingest into a persisted incremental dedup
+    index (:mod:`stractt_spark.operators.dedup_index`) — the near-dup
+    twin of :func:`stream_dedup` (whose state-store key is the exact
+    sha256) and of :func:`~stractt_spark.streaming.ann.stream_ingest_ann`
+    (whose exactly-once discipline this mirrors).
+
+    Each microbatch runs the batch ingest decision (check against the
+    persisted corpus ∪ lower-id intra-batch, matched-any-lower rule),
+    persists the per-doc decision table under
+    ``{index_dir}/stream_decisions/``, and appends the survivors as a
+    ledgered batch dir.  Re-invoking after new files arrive continues
+    from the checkpoint; later batches dedup against everything any
+    earlier batch kept.
+
+    Exactly-once under microbatch re-delivery, mirroring
+    ``stream_ingest_ann``'s crash-window analysis:
+
+    (a) crash before the append's manifest commit — the half-written
+        batch dir is unreferenced; ``append_batch`` detects the orphan
+        and rewrites it on retry.  The decision table recomputes
+        identically (the index state is unchanged, and the decision is a
+        pure function of index ∪ batch content).
+    (b) crash between the append's manifest commit and the stream
+        ledger write — the retry must NOT re-run the decision (the
+        survivors are now IN the index and would self-match as dups).
+        The pre-append decisions parquet is the source of truth: the
+        retry adopts the newest manifest batch iff it is unclaimed by
+        any stream-ledger entry and its doc_id set equals the stored
+        kept set; anything else stays a loud error.
+    """
+    import hashlib
+    import os
+
+    from ..operators import dedup_index as dix
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    # ledger keys are namespaced by the stream identity (checkpoint
+    # dir): microbatch ids restart at 0 per checkpoint
+    ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+
+    def _dec_path(key: str) -> str:
+        return os.path.join(
+            index_dir, "stream_decisions", key.replace(":", "_") + ".parquet"
+        )
+
+    def process(batch_df, batch_id: int) -> None:
+        key = f"{ns}:{batch_id}"
+        m = dix.read_dedup_manifest(index_dir)
+        ledger = m.get("stream_batches", {})
+        if key in ledger:
+            return  # re-delivered batch: already fully committed
+        if batch_df.isEmpty():
+            return
+        dec_path = _dec_path(key)
+        if os.path.exists(dec_path):
+            # a previous attempt got past the decision write.  Window
+            # (b): adopt the newest batch if it is exactly our kept set
+            # and no ledger entry claims it; otherwise the crash was in
+            # window (a) / pre-append and the decision recomputes below.
+            kept = (
+                spark.read.parquet(dec_path)
+                .filter("kept")
+                .select("doc_id")
+            )
+            batches = m.get("batches", [])
+            newest = batches[-1] if batches else None
+            claimed = set(m.get("stream_batches", {}).values())
+            if newest is not None and newest not in claimed:
+                newest_ids = spark.read.parquet(
+                    os.path.join(index_dir, newest, "docsets.parquet")
+                ).select("doc_id")
+                if (
+                    not newest_ids.join(kept, "doc_id", "left_anti").count()
+                    and not kept.join(
+                        newest_ids, "doc_id", "left_anti"
+                    ).count()
+                    and kept.count() > 0
+                ):
+                    m.setdefault("stream_batches", {})[key] = newest
+                    dix._write_manifest(index_dir, m)
+                    return
+        matches = dix.check_batch(
+            spark,
+            index_dir,
+            batch_df,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            include_intra=True,
+            max_bucket_size=max_bucket_size,
+        )
+        ids = batch_df.select(F.col(id_col).cast("long").alias("doc_id"))
+        decisions = (
+            ids.join(matches, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("dup_of").isNull().alias("kept"),
+                F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+                F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        decisions.write.mode("overwrite").parquet(dec_path)
+        kept = decisions.filter("kept").select("doc_id")
+        name = None
+        if kept.limit(1).count():
+            survivors = batch_df.join(
+                kept,
+                batch_df[id_col].cast("long") == kept["doc_id"],
+                "left_semi",
+            )
+            m2 = dix.append_batch(
+                spark, index_dir, survivors, text_col=text_col, id_col=id_col
+            )
+            name = m2["batches"][-1]
+        m = dix.read_dedup_manifest(index_dir)
+        m.setdefault("stream_batches", {})[key] = name
+        dix._write_manifest(index_dir, m)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_stream_decisions(spark: SparkSession, index_dir: str):
+    """All per-microbatch decision tables written by
+    :func:`stream_ingest_dedup` (doc_id, kept, dup_of, jaccard)."""
+    import os
+
+    return spark.read.parquet(
+        os.path.join(index_dir, "stream_decisions", "*.parquet")
+    )
