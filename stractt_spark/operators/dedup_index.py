@@ -245,6 +245,54 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> dict:
     return manifest
 
 
+def merge_dedup_indexes(
+    spark: SparkSession, source_dirs: list[str], out_dir: str
+) -> dict:
+    """Merge dedup indexes into one compact single-batch index (the
+    dedup analogue of ``merge_sign_indexes`` / the text index's
+    `merge_indexes`): tombstones are reclaimed (only live rows ship),
+    and the output is row-equivalent to a fresh build over the union of
+    surviving docs — both tables are content-pure projections, so no
+    re-shingle happens.  Refuses mismatched MinHash/banding/analyzer
+    params (the same content would band to different buckets — future
+    batches would silently never collide with half the corpus) and
+    doc-id collisions across sources (dup_of would be ambiguous).
+    Returns the new manifest."""
+    manifests = [read_dedup_manifest(d) for d in source_dirs]
+    p0 = _check_params(manifests[0], source_dirs[0])
+    for d, m in zip(source_dirs[1:], manifests[1:]):
+        p = _check_params(m, d)
+        if p != p0:
+            raise ValueError(
+                f"dedup-index merge: {d} has params {p} but "
+                f"{source_dirs[0]} has {p0} — the same content bands to "
+                "different buckets; rebuild one side"
+            )
+    live_b = live_d = None
+    for d, m in zip(source_dirs, manifests):
+        buckets, docsets = _read_index_tables(spark, d, m)
+        b = _live(buckets, spark, d).drop("_batch")
+        ds = _live(docsets, spark, d).drop("_batch")
+        live_b = b if live_b is None else live_b.unionByName(b)
+        live_d = ds if live_d is None else live_d.unionByName(ds)
+    n_docs = live_d.count()
+    n_ids = live_d.select("doc_id").distinct().count()
+    if n_ids != n_docs:
+        raise ValueError(
+            f"dedup-index merge: {n_docs - n_ids} doc ids appear in more "
+            "than one source index"
+        )
+    _write_batch(out_dir, "batch_0", live_b, live_d)
+    manifest = {
+        "kind": "minhash_lsh_dedup",
+        "params": p0,
+        "batches": ["batch_0"],
+        "n_docs": n_docs,
+    }
+    _write_manifest(out_dir, manifest)
+    return manifest
+
+
 def build_dedup_index(
     spark: SparkSession,
     docs: DataFrame,

@@ -248,6 +248,64 @@ def test_compact_reclaims_tombstones(spark, tmp_path):
     assert before == after  # compaction is behavior-invariant
 
 
+def test_merge_equals_fresh_build(spark, tmp_path):
+    """Merging two half-corpus indexes (one carrying a tombstone) must
+    behave identically to a fresh build over the union of live docs."""
+    from stractt_spark.operators.dedup_index import merge_dedup_indexes
+
+    d1, d2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+    dm, df = str(tmp_path / "merged"), str(tmp_path / "fresh")
+    half1, half2 = CORPUS[:2], CORPUS[2:]
+    build_dedup_index(
+        spark, spark.createDataFrame(half1 + [(99, "doomed text row")],
+                                     "doc_id long, text string"),
+        d1, n=N, num_perm=64, bands=32,
+    )
+    delete_docs(spark, d1, [99])
+    build_dedup_index(
+        spark, spark.createDataFrame(half2, "doc_id long, text string"),
+        d2, n=N, num_perm=64, bands=32,
+    )
+    m = merge_dedup_indexes(spark, [d1, d2], dm)
+    assert m["n_docs"] == len(CORPUS)
+    build_dedup_index(
+        spark, spark.createDataFrame(CORPUS, "doc_id long, text string"),
+        df, n=N, num_perm=64, bands=32,
+    )
+    probe = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    got_m = _decs(check_batch(spark, dm, probe, threshold=0.3))
+    got_f = _decs(check_batch(spark, df, probe, threshold=0.3))
+    assert got_m == got_f
+    # the tombstoned doc did not survive the merge
+    assert check_batch(
+        spark, dm,
+        spark.createDataFrame([(100, "doomed text row indeed")],
+                              "doc_id long, text string"),
+        threshold=0.6,
+    ).count() == 0
+
+
+def test_merge_refuses_param_mismatch_and_id_collision(spark, tmp_path):
+    from stractt_spark.operators.dedup_index import merge_dedup_indexes
+
+    d1, d2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    build_dedup_index(spark, docs, d1, n=N, num_perm=64, bands=32)
+    build_dedup_index(spark, docs, d2, n=N, num_perm=64, bands=16)
+    with pytest.raises(ValueError, match="bands to different buckets"):
+        merge_dedup_indexes(spark, [d1, d2], str(tmp_path / "out1"))
+    d3 = str(tmp_path / "p3")
+    build_dedup_index(spark, docs, d3, n=N, num_perm=64, bands=32)
+    with pytest.raises(ValueError, match="more than one source"):
+        merge_dedup_indexes(spark, [d1, d3], str(tmp_path / "out2"))
+
+
+def _decs(df):
+    return sorted(
+        (r["doc_id"], r["dup_of"], r["jaccard"]) for r in df.collect()
+    )
+
+
 def test_max_bucket_size_guard_runs(spark, index_dir):
     batch = spark.createDataFrame(BATCH1, "doc_id long, text string")
     out = check_batch(
