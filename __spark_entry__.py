@@ -1808,6 +1808,11 @@ def _q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf[pdf["doc_id"] % 4 == 3].to_parquet(
             f"{base}/in/part2.parquet", index=False
         )
+        # FileStreamSource orders by mtime at ms granularity; two
+        # back-to-back writes can tie, making phase order — and the
+        # hash gate — nondeterministic.  Pin part2 strictly later.
+        t1 = os.path.getmtime(f"{base}/in/part1.parquet")
+        os.utime(f"{base}/in/part2.parquet", (t1 + 2, t1 + 2))
         stream_ingest_dedup(
             spark, f"{base}/in", f"{base}/idx", f"{base}/ckpt",
             threshold=0.8, max_files_per_trigger=1,

@@ -169,16 +169,24 @@ def _tombstone_path(index_dir: str) -> str:
     return os.path.join(index_dir, "tombstones.parquet")
 
 
-def _live(df: DataFrame, spark: SparkSession, index_dir: str) -> DataFrame:
+def _live(
+    df: DataFrame, spark: SparkSession, index_dir: str, manifest: dict
+) -> DataFrame:
     """Mask tombstoned rows out of an index table read (``df`` must
     carry the ``_batch`` ordinal from :func:`_read_index_tables`).
     Tombstones are BATCH-SCOPED — ``(doc_id, upto_batch)`` hides only
     rows in batches ≤ the mark, so a re-appended id's NEW rows (in a
     later batch) serve while the stale pre-delete rows stay masked
-    forever — the same contract as the ANN index's ``mask_deleted``."""
-    p = _tombstone_path(index_dir)
-    if not os.path.exists(p):
+    forever — the same contract as the ANN index's ``mask_deleted``.
+
+    The MANIFEST, not the filesystem, is the authority on whether
+    tombstones apply: compaction's atomic manifest swap clears the
+    ``tombstones`` key in the same instant it re-bases the batch
+    ordinals, so a crash before the stale tombstone file's physical
+    reclaim can never mask the freshly compacted (ordinal-0) rows."""
+    if not manifest.get("tombstones"):
         return df
+    p = _tombstone_path(index_dir)
     dead = spark.read.parquet(p)
     return df.join(
         dead,
@@ -196,7 +204,14 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     than the tombstone's ``upto_batch`` mark, so it serves while the
     old rows stay masked).  Returns the number of NEW tombstones
     written; ids not live in the index are ignored (deleting them is a
-    no-op, not an error — idempotent re-deletes)."""
+    no-op, not an error — idempotent re-deletes).
+
+    Crash note: tombstone rows are appended BEFORE the manifest commit
+    activates them (``tombstones`` key + n_docs decrement).  A crash in
+    between leaves inert rows that the NEXT successful delete
+    activates — masking stays correct (the crashed rows were asked-for
+    deletes); only the advisory ``n_docs`` can overcount by the
+    crashed rows."""
     manifest = read_dedup_manifest(index_dir)
     ids_df = spark.createDataFrame(
         [(int(i),) for i in doc_ids], "doc_id long"
@@ -204,44 +219,60 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     _, docsets = _read_index_tables(spark, index_dir, manifest)
     upto = len(manifest["batches"]) - 1
     live_hits = ids_df.join(
-        _live(docsets, spark, index_dir).select("doc_id"), "doc_id", "left_semi"
+        _live(docsets, spark, index_dir, manifest).select("doc_id"),
+        "doc_id",
+        "left_semi",
     ).select("doc_id", F.lit(upto).alias("upto_batch"))
     n_new = live_hits.count()
     if n_new == 0:
         return 0
     live_hits.write.mode("append").parquet(_tombstone_path(index_dir))
+    manifest["tombstones"] = "tombstones.parquet"
     manifest["n_docs"] = manifest["n_docs"] - n_new
     _write_manifest(index_dir, manifest)
     return n_new
 
 
 def compact_dedup_index(spark: SparkSession, index_dir: str) -> dict:
-    """Reclaim tombstoned rows: rewrite the ledger as a single
-    ``batch_0`` holding only live docs, drop the tombstone table and
-    the old batch dirs.  After compaction the index is row-equivalent
-    to a fresh build over the surviving docs' tables (same buckets,
-    same docsets — both are content-pure projections, so no re-shingle
-    is needed).  Returns the updated manifest."""
+    """Reclaim tombstoned rows: rewrite the ledger as a single batch
+    dir holding only live docs, drop the tombstone table and the old
+    batch dirs.  After compaction the index is row-equivalent to a
+    fresh build over the surviving docs' tables (same buckets, same
+    docsets — both are content-pure projections, so no re-shingle is
+    needed).  Returns the updated manifest.
+
+    Crash discipline (write-new → atomic manifest swap → delete-old,
+    the same order as every other lifecycle op here): the compacted
+    tables are written to a NEW generation dir while the old dirs still
+    exist, so a crash at ANY point leaves a readable index — before the
+    manifest swap the old ledger still serves; after it the new dir
+    serves and the stale dirs are unreferenced dead weight (reclaimed
+    by the next compaction, or by ``append_batch``'s orphan self-heal
+    if a future batch name lands on one)."""
     import shutil as _sh
 
     manifest = read_dedup_manifest(index_dir)
     _check_params(manifest, index_dir)
     buckets, docsets = _read_index_tables(spark, index_dir, manifest)
-    live_b = _live(buckets, spark, index_dir).drop("_batch").localCheckpoint(
-        eager=True
-    )
-    live_d = _live(docsets, spark, index_dir).drop("_batch").localCheckpoint(
-        eager=True
-    )
-    n_docs = live_d.count()
-    for b in manifest["batches"]:
-        _sh.rmtree(os.path.join(index_dir, b), ignore_errors=True)
-    tomb = _tombstone_path(index_dir)
-    _sh.rmtree(tomb, ignore_errors=True)
-    _write_batch(index_dir, "batch_0", live_b, live_d)
-    manifest["batches"] = ["batch_0"]
+    live_b = _live(buckets, spark, index_dir, manifest).drop("_batch")
+    live_d = _live(docsets, spark, index_dir, manifest).drop("_batch")
+    gen = 0
+    while os.path.exists(os.path.join(index_dir, f"batch_c{gen}")):
+        gen += 1
+    name = f"batch_c{gen}"
+    _write_batch(index_dir, name, live_b, live_d)
+    n_docs = spark.read.parquet(
+        os.path.join(index_dir, name, "docsets.parquet")
+    ).count()
+    old = list(manifest["batches"])
+    manifest["batches"] = [name]
     manifest["n_docs"] = n_docs
+    manifest.pop("tombstones", None)  # the swap deactivates them atomically
     _write_manifest(index_dir, manifest)
+    # past the commit point: everything below is reclaim, safe to lose
+    for b in old:
+        _sh.rmtree(os.path.join(index_dir, b), ignore_errors=True)
+    _sh.rmtree(_tombstone_path(index_dir), ignore_errors=True)
     return manifest
 
 
@@ -271,8 +302,8 @@ def merge_dedup_indexes(
     live_b = live_d = None
     for d, m in zip(source_dirs, manifests):
         buckets, docsets = _read_index_tables(spark, d, m)
-        b = _live(buckets, spark, d).drop("_batch")
-        ds = _live(docsets, spark, d).drop("_batch")
+        b = _live(buckets, spark, d, m).drop("_batch")
+        ds = _live(docsets, spark, d, m).drop("_batch")
         live_b = b if live_b is None else live_b.unionByName(b)
         live_d = ds if live_d is None else live_d.unionByName(ds)
     n_docs = live_d.count()
@@ -358,11 +389,29 @@ def check_batch(
     manifest = read_dedup_manifest(index_dir)
     p = _check_params(manifest, index_dir)
     idx_buckets, idx_docsets = _read_index_tables(spark, index_dir, manifest)
-    idx_buckets = _live(idx_buckets, spark, index_dir).drop("_batch")
-    idx_docsets = _live(idx_docsets, spark, index_dir).drop("_batch")
-    b_buckets, b_docsets = _batch_tables(spark, batch_docs, p, text_col, id_col)
+    idx_buckets = _live(idx_buckets, spark, index_dir, manifest).drop("_batch")
+    idx_docsets = _live(idx_docsets, spark, index_dir, manifest).drop("_batch")
+    # checkpoint the batch projections: they feed the candidate join,
+    # the verify sides, and (in ingest) the append — without this the
+    # tokenize+minhash pass over the batch replays once per action
+    b_buckets, b_docsets = (
+        t.localCheckpoint(eager=True)
+        for t in _batch_tables(spark, batch_docs, p, text_col, id_col)
+    )
+    # prune the CORPUS bucket table to the batch's bucket keys before
+    # anything else: batch keys are batch_docs × bands rows (tiny next
+    # to the corpus), so the broadcast semi-join filters the persisted
+    # table map-side and everything downstream — the skew-cap window
+    # and the candidate join — is collision-bounded, not corpus-bounded
+    idx_buckets = idx_buckets.join(
+        F.broadcast(b_buckets.select("band", "bucket").distinct()),
+        ["band", "bucket"],
+        "left_semi",
+    )
     if max_bucket_size is not None:
-        # cap on the INDEX side (the side that grows with the corpus)
+        # cap on the INDEX side (the side that grows with the corpus);
+        # per-bucket counts over the pruned table equal the unpruned
+        # ones for every bucket that can produce a candidate
         idx_buckets = (
             idx_buckets.withColumn(
                 "_bc", F.count("*").over(Window.partitionBy("band", "bucket"))
@@ -403,17 +452,22 @@ def check_batch(
         cands.select(F.col("i_doc").alias("doc_id")).distinct(), "doc_id", "left_semi"
     )
     if include_intra:
-        i_sets = i_sets.unionByName(
+        # a doc id can appear on both sides only when the batch reuses a
+        # live index id (append_batch refuses it; check alone allows it)
+        # — prefer the INDEX row deterministically, never an arbitrary
+        # dropDuplicates survivor
+        b_part = (
             b_docsets.join(
                 cands.select(F.col("i_doc").alias("doc_id")).distinct(),
                 "doc_id",
                 "left_semi",
             )
+            # anti vs the candidate-pruned index rows (tiny), not the
+            # corpus: a colliding id that is a candidate i_doc is
+            # necessarily present in i_sets already
+            .join(i_sets.select("doc_id"), "doc_id", "left_anti")
         )
-        # a doc id may appear on both sides' set tables only if the batch
-        # reuses an index id — append_batch refuses that, and check alone
-        # treats them as distinct rows of the same content; dedupe to be safe
-        i_sets = i_sets.dropDuplicates(["doc_id"])
+        i_sets = i_sets.unionByName(b_part)
     b_sets = b_docsets.join(
         cands.select(F.col("b_doc").alias("doc_id")).distinct(), "doc_id", "left_semi"
     )
@@ -470,16 +524,22 @@ def append_batch(
     manifest = read_dedup_manifest(index_dir)
     p = _check_params(manifest, index_dir)
     _, idx_docsets = _read_index_tables(spark, index_dir, manifest)
-    buckets, docsets = _batch_tables(spark, batch_docs, p, text_col, id_col)
+    # checkpoint: the tables feed the dup check plus two parquet writes,
+    # and each action would otherwise replay the tokenize+minhash pass
+    buckets, docsets = (
+        t.localCheckpoint(eager=True)
+        for t in _batch_tables(spark, batch_docs, p, text_col, id_col)
+    )
     # the dup check is against LIVE ids only: a tombstoned id is
     # legitimately re-appendable (the update flow), and because its
     # tombstone is scoped to batches ≤ its mark, the new rows — landing
-    # in a strictly later batch — serve without touching the tombstone
+    # in a strictly later batch — serve without touching the tombstone.
+    # Broadcast the (small) batch ids so the corpus id column is
+    # filtered map-side rather than shuffled.
     dup_ids = (
-        docsets.select("doc_id")
-        .join(
-            _live(idx_docsets, spark, index_dir).select("doc_id"), "doc_id"
-        )
+        _live(idx_docsets, spark, index_dir, manifest)
+        .select("doc_id")
+        .join(F.broadcast(docsets.select("doc_id")), "doc_id", "left_semi")
         .count()
     )
     if dup_ids:
@@ -533,6 +593,35 @@ def ingest_dedup(
     returned DataFrame does not re-run the check after the index has
     already absorbed the batch (which would re-match every kept doc
     against itself)."""
+    decisions, _ = decide_and_append(
+        spark,
+        index_dir,
+        batch_docs,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+    )
+    return decisions
+
+
+def decide_and_append(
+    spark: SparkSession,
+    index_dir: str,
+    batch_docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, str | None]:
+    """:func:`ingest_dedup`'s engine, shared with the streaming wrapper
+    (:func:`~stractt_spark.streaming.dedup.stream_ingest_dedup`) so the
+    decision shape can never drift between the batch and streamed
+    paths: → (materialized decisions, appended batch name or None when
+    every doc was a dup).  The streaming wrapper calls the two halves
+    (:func:`decisions_frame`, :func:`append_survivors`) separately, with
+    its decisions-parquet write in between."""
     matches = check_batch(
         spark,
         index_dir,
@@ -543,8 +632,22 @@ def ingest_dedup(
         include_intra=True,
         max_bucket_size=max_bucket_size,
     )
+    decisions = decisions_frame(batch_docs, matches, id_col)
+    name = append_survivors(
+        spark, index_dir, batch_docs, decisions,
+        text_col=text_col, id_col=id_col,
+    )
+    return decisions, name
+
+
+def decisions_frame(
+    batch_docs: DataFrame, matches: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialized per-doc decision table from a :func:`check_batch`
+    result: → (doc_id, kept, dup_of, jaccard) with kept rows carrying
+    the sentinels dup_of=-1 / jaccard=0.0."""
     ids = batch_docs.select(F.col(id_col).cast("long").alias("doc_id"))
-    decisions = (
+    return (
         ids.join(matches, "doc_id", "left")
         .select(
             "doc_id",
@@ -554,12 +657,26 @@ def ingest_dedup(
         )
         .localCheckpoint(eager=True)
     )
+
+
+def append_survivors(
+    spark: SparkSession,
+    index_dir: str,
+    batch_docs: DataFrame,
+    decisions: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str | None:
+    """Append the ``kept`` docs of a decision table; → the new batch
+    name, or None when every doc was a dup."""
     kept = decisions.filter("kept").select("doc_id")
     survivors = batch_docs.join(
         kept, batch_docs[id_col].cast("long") == kept["doc_id"], "left_semi"
     )
-    if survivors.limit(1).count():
-        append_batch(
-            spark, index_dir, survivors, text_col=text_col, id_col=id_col
-        )
-    return decisions
+    if not survivors.limit(1).count():
+        return None
+    m = append_batch(
+        spark, index_dir, survivors, text_col=text_col, id_col=id_col
+    )
+    return m["batches"][-1]

@@ -170,6 +170,10 @@ def stream_ingest_dedup(
                     m.setdefault("stream_batches", {})[key] = newest
                     dix._write_manifest(index_dir, m)
                     return
+        # the decision must be persisted BEFORE the append (it is the
+        # window-(b) source of truth above), so run the two halves of
+        # the shared engine separately: pure check → decisions write →
+        # survivor append
         matches = dix.check_batch(
             spark,
             index_dir,
@@ -180,30 +184,12 @@ def stream_ingest_dedup(
             include_intra=True,
             max_bucket_size=max_bucket_size,
         )
-        ids = batch_df.select(F.col(id_col).cast("long").alias("doc_id"))
-        decisions = (
-            ids.join(matches, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.col("dup_of").isNull().alias("kept"),
-                F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
-                F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        decisions = dix.decisions_frame(batch_df, matches, id_col)
         decisions.write.mode("overwrite").parquet(dec_path)
-        kept = decisions.filter("kept").select("doc_id")
-        name = None
-        if kept.limit(1).count():
-            survivors = batch_df.join(
-                kept,
-                batch_df[id_col].cast("long") == kept["doc_id"],
-                "left_semi",
-            )
-            m2 = dix.append_batch(
-                spark, index_dir, survivors, text_col=text_col, id_col=id_col
-            )
-            name = m2["batches"][-1]
+        name = dix.append_survivors(
+            spark, index_dir, batch_df, decisions,
+            text_col=text_col, id_col=id_col,
+        )
         m = dix.read_dedup_manifest(index_dir)
         m.setdefault("stream_batches", {})[key] = name
         dix._write_manifest(index_dir, m)

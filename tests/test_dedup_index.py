@@ -232,7 +232,7 @@ def test_compact_reclaims_tombstones(spark, tmp_path):
         ).collect()
     }
     m = compact_dedup_index(spark, d)
-    assert m["batches"] == ["batch_0"] and m["n_docs"] == len(CORPUS)
+    assert m["batches"] == ["batch_c0"] and m["n_docs"] == len(CORPUS)
     import os
 
     assert not os.path.exists(os.path.join(d, "tombstones.parquet"))

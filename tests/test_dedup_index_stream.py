@@ -55,8 +55,20 @@ def streamed(spark):
             spark, _df(spark, CORPUS), d, n=1, num_perm=64, bands=32
         )
     inp = f"{BASE}/in"
-    _df(spark, FILE1).coalesce(1).write.mode("append").parquet(inp)
-    _df(spark, FILE2).coalesce(1).write.mode("append").parquet(inp)
+    os.makedirs(inp)
+    import pandas as pd
+
+    pd.DataFrame(FILE1, columns=["doc_id", "text"]).to_parquet(
+        f"{inp}/part1.parquet", index=False
+    )
+    pd.DataFrame(FILE2, columns=["doc_id", "text"]).to_parquet(
+        f"{inp}/part2.parquet", index=False
+    )
+    # FileStreamSource orders by ms-granular mtime and back-to-back
+    # writes can tie — pin part2 strictly later so microbatch order
+    # (and the cross-microbatch assertions below) is deterministic
+    t1 = os.path.getmtime(f"{inp}/part1.parquet")
+    os.utime(f"{inp}/part2.parquet", (t1 + 2, t1 + 2))
     stream_ingest_dedup(
         spark, inp, idx, f"{BASE}/ckpt", threshold=THRESH,
         max_files_per_trigger=1,
