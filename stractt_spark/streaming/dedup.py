@@ -84,6 +84,7 @@ def stream_ingest_dedup(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
     """Streaming NEAR-dup ingest into a persisted incremental dedup
@@ -194,14 +195,14 @@ def stream_ingest_dedup(
         m.setdefault("stream_batches", {})[key] = name
         dix._write_manifest(index_dir, m)
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
     )
-    q.awaitTermination()
-    return q
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="10 seconds").start()
 
 
 def read_stream_decisions(spark: SparkSession, index_dir: str):

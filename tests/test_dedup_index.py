@@ -312,3 +312,63 @@ def test_max_bucket_size_guard_runs(spark, index_dir):
         spark, index_dir, batch, threshold=THRESH, max_bucket_size=100
     ).collect()
     assert {r["doc_id"] for r in out} >= {10}
+
+
+# ---------------------------------------------------- property testing
+
+
+def test_check_batch_equals_bruteforce_randomized(spark, tmp_path):
+    """Property: over randomized small corpora/batches, check_batch's
+    best-match table equals the brute-force all-pairs computation —
+    banding recall (32×2), hash-set verification, and the
+    argmax-tie-min rule all at once.  Deterministic seeds (no
+    hypothesis engine: one Spark index build per example is too slow
+    for shrinking; fixed examples keep the suite stable)."""
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa", "lam", "mu"]
+    for seed in (7, 23):
+        rng = random.Random(seed)
+
+        def doc():
+            k = rng.randint(4, 9)
+            return " ".join(rng.choice(vocab) for _ in range(k))
+
+        corpus = [(i, doc()) for i in range(12)]
+        # make some batch docs near-dups of corpus docs
+        batch = []
+        for j in range(6):
+            if j % 2 == 0:
+                src = rng.choice(corpus)[1]
+                batch.append((100 + j, src + " " + rng.choice(vocab)))
+            else:
+                batch.append((100 + j, doc()))
+        d = str(tmp_path / f"prop{seed}")
+        build_dedup_index(
+            spark,
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+            d, n=N, num_perm=64, bands=32,
+        )
+        thresh = 0.5
+        got = {
+            r["doc_id"]: (r["dup_of"], r["jaccard"])
+            for r in check_batch(
+                spark, d,
+                spark.createDataFrame(batch, "doc_id long, text string"),
+                threshold=thresh,
+            ).collect()
+        }
+        expected = {}
+        for bid, btext in batch:
+            best = None
+            for cid, ctext in corpus:
+                j = round(_jaccard(btext, ctext, N), 6)
+                if j >= thresh and (
+                    best is None or j > best[1]
+                    or (j == best[1] and cid < best[0])
+                ):
+                    best = (cid, j)
+            if best:
+                expected[bid] = best
+        assert got == expected, f"seed {seed}: {got} != {expected}"
