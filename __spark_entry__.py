@@ -1011,6 +1011,25 @@ def _goggle_index(spark: SparkSession, sf_dir: str):
     return _WAND_INDEX_CACHE[key]
 
 
+def _q_bm25_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACET COUNTS over the full match set (the search-sidebar
+    aggregation): per-source doc counts among every doc matching
+    ``merge AND sort``, computed index-side from the query terms'
+    postings intersected with the facet field's identity attr postings
+    (\\x01source:value rows — the site-filter machinery reused as an
+    aggregation input).  No doc collection, no full scan: the plan
+    reads only the query terms' + attr postings, so the cost is
+    posting-bytes-bounded at any corpus size.  Oracle: token-contains
+    match recomputed from raw text, GROUP BY source."""
+    from stractt_spark.operators.wand import wand_facet_counts
+
+    idx = _goggle_index(spark, sf_dir)
+    return wand_facet_counts(
+        idx.segments, "merge sort", "source", mode="must",
+        analyzer=idx.analyzer,
+    )
+
+
 def _q_goggles_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Goggle program LOWERED INTO THE INDEX QUERY TREE (reference
     lowering, src/ranking/goggles/mod.rs:150-312): adjacent-token pattern
@@ -3530,6 +3549,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "incremental_dedup": _q_incremental_dedup,
         "stream_near_dedup": _q_stream_near_dedup,
+        "bm25_facets": _q_bm25_facets,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -3994,6 +4014,16 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(b.j, 0.0) AS jaccard "
             "FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
             "ON b.b_doc = d.doc_id WHERE d.doc_id % 2 = 1"
+        ),
+        # facets: per-source counts over docs whose token list contains
+        # BOTH query terms (the kernel's must semantics on unique terms)
+        "bm25_facets": (
+            f"WITH {_TOKS_L_CTE}, "
+            "m AS (SELECT doc_id FROM toks "
+            "WHERE list_contains(l, 'merge') AND list_contains(l, 'sort')) "
+            "SELECT d.source AS facet_value, "
+            "CAST(count(*) AS BIGINT) AS match_count "
+            "FROM m JOIN documents d USING (doc_id) GROUP BY 1"
         ),
         # streamed two-phase near-dup ingest: phase 1 (doc_id%4==1)
         # matches even ∪ lower-id phase-1; phase 2 (%4==3) matches

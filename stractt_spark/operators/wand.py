@@ -54,7 +54,9 @@ from ..functions.bm25 import B, K1, weight
 from ..functions.fieldnorm import FIELD_NORMS_TABLE
 from ..functions.query_parse import ParsedQuery, parse_query
 from .segments import (
+    ATTR_PREFIX,
     DELETES_TERM,
+    attr_term,
     decode_block_subset,
     decode_subset_positions,
     decode_term_blocks,
@@ -1667,3 +1669,128 @@ def decode_doc_ids(blocks: DataFrame) -> DataFrame:
                 yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
 
     return blocks.mapInPandas(emit, "doc_id long").distinct()
+
+
+def wand_facet_counts(
+    segments: DataFrame,
+    query: str | ParsedQuery,
+    facet_field: str,
+    mode: str = "must",
+    analyzer: str = "ascii",
+) -> DataFrame:
+    """Facet counts over the FULL match set of a query — the
+    search-sidebar aggregation (per-``facet_field`` doc counts among
+    every doc matching the query, not just the top-k page): →
+    (facet_value, match_count), values with zero matches omitted.
+
+    Spark-first shape: the scan is pruned to the query terms' postings
+    plus the facet field's identity attr postings (``\\x01field:value``
+    rows, the same machinery ``site:`` filters ride —
+    `operators/segments.py:attr_term`); each segment kernel decodes the
+    query postings once, forms the match set (must=intersection /
+    should=union, minus negations, attr anti-filters and deletes), and
+    intersects it with each attr posting — one pruned scan, one
+    (value)-keyed partial-agg shuffle of ≤ values×segments tiny rows.
+    Phrase constraints are not applied here (facets count TERM matches;
+    a phrase-restricted facet would need the positions pass) — string
+    queries are parsed with ``phrase=True`` so a multi-token unit
+    raises rather than silently degrading to term matches.
+
+    Reference parity: the reference's sidebar/site aggregations
+    (SURVEY §2.7 region/subdomain counting) run as post-retrieval folds
+    over collected docs; here the count runs index-side over the exact
+    match set, which is the shape that survives 100 TB (no doc
+    collection, cost bounded by the query terms' + facet attrs'
+    posting bytes)."""
+    pq = (
+        parse_query(query, analyzer, phrase=True)
+        if isinstance(query, str)
+        else query
+    )
+    if pq.phrases:
+        raise ValueError(
+            "wand_facet_counts: phrase queries are not supported — the "
+            "match set here is term-based; run the phrase search and "
+            "aggregate its collected page instead"
+        )
+    if not pq.all_match_terms:
+        return segments.sparkSession.createDataFrame(
+            [], "facet_value string, match_count long"
+        )
+    prefix = ATTR_PREFIX + facet_field + ":"
+    filter_terms = sorted(
+        attr_term(f_, v) for f_, v in pq.filters.items()
+    )
+    neg = sorted(
+        set(pq.neg_terms)
+        | {attr_term(f_, v) for f_, v in pq.anti_filters.items()}
+    )
+    need = pq.all_match_terms + neg + filter_terms + [DELETES_TERM]
+    scan = segments.filter(
+        F.col("term").isin(need) | F.col("term").startswith(prefix)
+    ).select(
+        "segment_id", "term", "block_id", "first_doc_id", "num_docs",
+        "id_bytes", "tf_bytes",
+    )
+    match_terms = list(pq.uniq_terms)
+    drop_terms = list(dict.fromkeys(neg + [DELETES_TERM]))
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {t: g for t, g in pdf.groupby("term")}
+
+        def ids(t: str) -> np.ndarray:
+            g = by_term.get(t)
+            if g is None:
+                return np.empty(0, dtype=np.int64)
+            if t == DELETES_TERM:
+                # tombstone rows carry RAW int64 ids (operators/
+                # deletes.py), not varint delta blocks
+                return np.unique(np.concatenate([
+                    np.frombuffer(bytes(b), dtype=np.int64)
+                    for b in g["id_bytes"]
+                ]))
+            out, _ = decode_block_subset(g.sort_values("block_id"))
+            return out.astype(np.int64)
+
+        match: np.ndarray | None = None
+        if mode == "must":
+            for t in match_terms:
+                p = ids(t)
+                match = p if match is None else np.intersect1d(
+                    match, p, assume_unique=True
+                )
+                if match.size == 0:
+                    break
+        else:
+            parts = [ids(t) for t in match_terms]
+            match = np.unique(np.concatenate(parts)) if parts else (
+                np.empty(0, dtype=np.int64)
+            )
+        for ft in filter_terms:
+            if match.size == 0:
+                break
+            match = np.intersect1d(match, ids(ft), assume_unique=True)
+        for t in drop_terms:
+            if match.size == 0:
+                break
+            match = np.setdiff1d(match, ids(t), assume_unique=True)
+        vals, cnts = [], []
+        if match.size:
+            for t in by_term:
+                if not t.startswith(prefix):
+                    continue
+                c = np.intersect1d(match, ids(t), assume_unique=True).size
+                if c:
+                    vals.append(t[len(prefix):])
+                    cnts.append(c)
+        return pd.DataFrame(
+            {"facet_value": pd.Series(vals, dtype="object"),
+             "c": pd.Series(cnts, dtype="int64")}
+        )
+
+    per_seg = scan.groupBy("segment_id").applyInPandas(
+        run, "facet_value string, c long"
+    )
+    return per_seg.groupBy("facet_value").agg(
+        F.sum("c").cast("long").alias("match_count")
+    )

@@ -819,6 +819,28 @@ class SegmentIndex:
             self.stats["avgdl"], tdf, k=k, mode=mode, analyzer=self.analyzer,
         )
 
+    def facet_counts(
+        self, query: str, facet_field: str, mode: str = "must"
+    ):
+        """Per-``facet_field`` doc counts over the FULL match set (the
+        sidebar aggregation) — index-side, no doc collection; the field
+        must be one of the index's ``attr_cols`` (its values ride as
+        identity attr postings).  → DataFrame (facet_value,
+        match_count)."""
+        from ..operators.wand import wand_facet_counts
+
+        attrs = self.stats.get("attr_cols") or []
+        if facet_field not in attrs:
+            raise ValueError(
+                f"facet_counts: {facet_field!r} is not an attr column of "
+                f"this index (attr_cols={attrs}); rebuild with "
+                "attr_cols=[...] to facet on it"
+            )
+        return wand_facet_counts(
+            self.segments, query, facet_field, mode=mode,
+            analyzer=self.analyzer,
+        )
+
     def search_diverse(
         self,
         query: str,

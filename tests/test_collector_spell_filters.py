@@ -216,3 +216,88 @@ def test_search_split_compound(built):
     # an unknown, unsplittable term stays zero-result, no correction
     rows3, corr3 = idx.search_split("zzqqzzqq", k=5, mode="must")
     assert corr3 is None and rows3 == []
+
+
+# ------------------------------------------------------------- facets
+
+
+def _facet_expected(index, rows, terms, field, mode="must",
+                    exclude=(), filt=None):
+    from stractt_spark.functions.tokenizer import get_analyzer
+
+    tok = get_analyzer(index.analyzer)
+    out = {}
+    for i, r in enumerate(rows):
+        toks = set(tok(r["content"]))
+        ok = (all(t in toks for t in terms) if mode == "must"
+              else any(t in toks for t in terms))
+        if ok and not (set(exclude) & toks) and (
+            filt is None or r[filt[0]] == filt[1]
+        ):
+            out[r[field]] = out.get(r[field], 0) + 1
+    return out
+
+
+def test_facet_counts_must(built):
+    index, rows = built
+    got = {r["facet_value"]: r["match_count"]
+           for r in index.facet_counts("buffer stream", "lang").collect()}
+    assert got == _facet_expected(index, rows, ["buffer", "stream"], "lang")
+    assert got  # non-trivial on this corpus
+
+
+def test_facet_counts_should_and_neg(built):
+    index, rows = built
+    got = {r["facet_value"]: r["match_count"]
+           for r in index.facet_counts(
+               "buffer stream -parse", "repo", mode="should").collect()}
+    assert got == _facet_expected(
+        index, rows, ["buffer", "stream"], "repo", mode="should",
+        exclude=["parse"],
+    )
+
+
+def test_facet_counts_with_attr_filter(built):
+    index, rows = built
+    got = {r["facet_value"]: r["match_count"]
+           for r in index.facet_counts("lang:python buffer", "repo").collect()}
+    assert got == _facet_expected(
+        index, rows, ["buffer"], "repo", filt=("lang", "python")
+    )
+
+
+def test_facet_counts_respects_deletes(spark, built):
+    index, rows = built
+    from stractt_spark.operators.deletes import delete_docs as del_idx
+
+    base = {r["facet_value"]: r["match_count"]
+            for r in index.facet_counts("buffer", "lang").collect()}
+    from stractt_spark.functions.tokenizer import get_analyzer
+
+    tok = get_analyzer(index.analyzer)
+    victims = [i for i, r in enumerate(rows)
+               if "buffer" in set(tok(r["content"]))
+               and r["lang"] == "python"][:2]
+    assert victims
+    import shutil as _sh
+
+    d2 = IDX + "_facetdel"
+    _sh.rmtree(d2, ignore_errors=True)
+    _sh.copytree(IDX, d2)
+    del_idx(spark, d2, victims)
+    idx2 = SegmentIndex(spark, d2)
+    got = {r["facet_value"]: r["match_count"]
+           for r in idx2.facet_counts("buffer", "lang").collect()}
+    expect = dict(base)
+    expect["python"] -= len(victims)
+    if expect["python"] == 0:
+        del expect["python"]
+    assert got == expect
+
+
+def test_facet_counts_guards(built):
+    index, _ = built
+    with pytest.raises(ValueError, match="not an attr column"):
+        index.facet_counts("buffer", "nosuchfield")
+    with pytest.raises(ValueError, match="phrase"):
+        index.facet_counts("parse.buffer", "lang")
