@@ -936,6 +936,25 @@ class MultiFieldSegmentIndex:
             .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
         )
 
+    def facet_counts(self, query: str, facet_field: str, mode: str = "must"):
+        """Per-``facet_field`` doc counts over the FULL match set —
+        multi-field matching semantics (a doc matches a term when ANY
+        field contains it, the reference's Term → per-field Should);
+        the field must be one of the index's ``attr_cols``.
+        → DataFrame (facet_value, match_count)."""
+        from .wand import wand_facet_counts
+
+        attrs = self.stats.get("attr_cols") or []
+        if facet_field not in attrs:
+            raise ValueError(
+                f"facet_counts: {facet_field!r} is not an attr column of "
+                f"this index (attr_cols={attrs})"
+            )
+        return wand_facet_counts(
+            self.segments, query, facet_field, mode=mode,
+            analyzer=self.analyzer, fields=sorted(self.fields),
+        )
+
     def search_with_count(
         self, query: str, k: int = 10, mode: str = "must"
     ) -> tuple[list[tuple[int, float]], int]:

@@ -1677,6 +1677,7 @@ def wand_facet_counts(
     facet_field: str,
     mode: str = "must",
     analyzer: str = "ascii",
+    fields: list[str] | None = None,
 ) -> DataFrame:
     """Facet counts over the FULL match set of a query — the
     search-sidebar aggregation (per-``facet_field`` doc counts among
@@ -1725,7 +1726,25 @@ def wand_facet_counts(
         set(pq.neg_terms)
         | {attr_term(f_, v) for f_, v in pq.anti_filters.items()}
     )
-    need = pq.all_match_terms + neg + filter_terms + [DELETES_TERM]
+    if fields is None:
+        need = pq.all_match_terms + neg + filter_terms + [DELETES_TERM]
+        term_variants = {t: [t] for t in set(pq.all_match_terms) | set(neg)}
+    else:
+        # multi-field index: a doc matches a term when ANY field
+        # contains it (the reference's Term -> per-field Should), so a
+        # term's posting set is the union over its per-field namespaced
+        # postings \x02{field}\x00{token}
+        from .multifield import mf_term
+
+        term_variants = {
+            t: [mf_term(f_, t) for f_ in fields]
+            for t in set(pq.all_match_terms) | set(pq.neg_terms)
+        }
+        for at in {attr_term(f_, v) for f_, v in pq.anti_filters.items()}:
+            term_variants[at] = [at]
+        need = [v for vs in term_variants.values() for v in vs] + (
+            filter_terms + [DELETES_TERM]
+        )
     scan = segments.filter(
         F.col("term").isin(need) | F.col("term").startswith(prefix)
     ).select(
@@ -1738,7 +1757,7 @@ def wand_facet_counts(
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = {t: g for t, g in pdf.groupby("term")}
 
-        def ids(t: str) -> np.ndarray:
+        def raw_ids(t: str) -> np.ndarray:
             g = by_term.get(t)
             if g is None:
                 return np.empty(0, dtype=np.int64)
@@ -1751,6 +1770,14 @@ def wand_facet_counts(
                 ]))
             out, _ = decode_block_subset(g.sort_values("block_id"))
             return out.astype(np.int64)
+
+        def ids(t: str) -> np.ndarray:
+            vs = term_variants.get(t)
+            if not vs:
+                return raw_ids(t)
+            if len(vs) == 1:
+                return raw_ids(vs[0])
+            return np.unique(np.concatenate([raw_ids(v) for v in vs]))
 
         match: np.ndarray | None = None
         if mode == "must":

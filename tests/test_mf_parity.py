@@ -511,3 +511,34 @@ def test_mf_proximity_catches_overfetch_miss(spark):
     assert [r[0] for r in base].index(80) >= 40
     prox = idx.search_proximity("alpha beta", k=10, mode="must")
     assert prox[0][0] == 80
+
+
+def test_mf_facet_counts(mf):
+    """Facets over the MF match set: a doc matches a term when ANY
+    field contains it (Term → per-field Should) — brute-forced over
+    the raw (path, content) pairs."""
+    from stractt_spark.functions.tokenizer import get_analyzer
+
+    index, _oracle, data = mf
+    tok = get_analyzer(index.analyzer)
+    for terms, mode in ((["merge", "sort"], "must"), (["hash", "join"], "should")):
+        q = " ".join(terms)
+        got = {r["facet_value"]: r["match_count"]
+               for r in index.facet_counts(q, "site", mode=mode).collect()}
+        exp = {}
+        for i, p, c, s in data:
+            toks = set(tok(p)) | set(tok(c))
+            ok = (all(t in toks for t in terms) if mode == "must"
+                  else any(t in toks for t in terms))
+            if ok:
+                exp[s] = exp.get(s, 0) + 1
+        assert got == exp, (q, mode)
+        assert got  # non-trivial
+
+
+def test_mf_facet_counts_guard(mf):
+    index, _oracle, _data = mf
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not an attr column"):
+        index.facet_counts("merge", "nosuch")
