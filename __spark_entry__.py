@@ -2563,6 +2563,103 @@ def _materialize_expected_bpe(sf_dir: str) -> None:
     _expected_parquet(sf_dir, "bpe_encode", encode_build)
 
 
+def _dhash_gate_dims(i: int) -> tuple[int, int]:
+    """(w, h) of gate image i — dhash needs ≥ 9×8."""
+    return 9 + i % 8, 8 + i % 8
+
+
+def _materialize_expected_dhash(sf_dir: str) -> None:
+    """Expected dhash table via an INDEPENDENT scalar twin: pixels from
+    the same arithmetic rule (no PNG roundtrip — the Spark path's
+    encode→decode must be the identity for the hashes to agree, so the
+    gate proves codec + grayscale + box-mean + gradient-bits together),
+    all nested-loop Python ints, no numpy."""
+
+    def build(cols):
+        ids, hashes = [], []
+        for d in cols["doc_id"]:
+            i = int(d)
+            if i >= 64:
+                continue
+            w, h = _dhash_gate_dims(i)
+            # coefficients chosen to WRAP mod 256 within a row, so
+            # gradient signs vary and the hash is non-degenerate (a
+            # monotone ramp hashes every image to the constant -1)
+            gray = [
+                [
+                    (299 * ((x * 53 + y * 97 + i * 17) % 256)
+                     + 587 * ((x * 29 + y * 71 + 2 * i) % 256)
+                     + 114 * ((x * 131 + y * 41 + 3 * i) % 256)) // 1000
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ]
+            means = []
+            for r in range(8):
+                r0, r1 = r * h // 8, (r + 1) * h // 8
+                row = []
+                for c in range(9):
+                    c0, c1 = c * w // 9, (c + 1) * w // 9
+                    vals = [gray[y][x] for y in range(r0, r1)
+                            for x in range(c0, c1)]
+                    row.append(sum(vals) // len(vals))
+                means.append(row)
+            bits = 0
+            for r in range(8):
+                for c in range(8):
+                    if means[r][c] < means[r][c + 1]:
+                        bits |= 1 << (r * 8 + c)
+            if bits >= 1 << 63:
+                bits -= 1 << 64  # int64 view, matching the operator
+            ids.append(i)
+            hashes.append(bits)
+        return {"media_id": ids, "dhash": hashes}
+
+    _expected_parquet(sf_dir, "dhash", build)
+
+
+def _q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing under the gate: deterministic PNGs are
+    encoded executor-side by the from-scratch writer, then
+    decode→grayscale→8×9 integer box means→gradient bits through the
+    Arrow-batched dhash kernel.  The oracle is an independent scalar
+    twin computing the hash straight from the pixel FORMULA (no PNG,
+    no numpy) — a hash match proves the whole bytes→pixels→perceptual-
+    hash pipeline is exact."""
+    import numpy as np
+    import pandas as pd
+
+    from stractt_spark.operators.multimodal import dhash_images
+
+    _materialize_expected_dhash(sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).filter(F.col("doc_id") < 64)
+
+    def gen(batches):
+        from stractt_spark.functions.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = _dhash_gate_dims(i)
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                px = np.stack([
+                    (xx * 53 + yy * 97 + i * 17) % 256,
+                    (xx * 29 + yy * 71 + 2 * i) % 256,
+                    (xx * 131 + yy * 41 + 3 * i) % 256,
+                ], axis=2).astype(np.uint8)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return dhash_images(media, payload_col="payload", id_col="doc_id")
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING: after one corpus pass for
     word counts, every merge round runs on the vocab-bounded word table
@@ -3550,6 +3647,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "stream_near_dedup": _q_stream_near_dedup,
         "bm25_facets": _q_bm25_facets,
+        "multimodal_dhash": _q_multimodal_dhash,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -4069,6 +4167,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": (
             "SELECT doc_id, simhash "
             "FROM '/tmp/stractt_expected_simhash.parquet'"
+        ),
+        "multimodal_dhash": (
+            "SELECT media_id, dhash "
+            "FROM '/tmp/stractt_expected_dhash.parquet'"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, fingerprint "

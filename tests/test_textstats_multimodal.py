@@ -378,3 +378,73 @@ def test_gopher_repetition_zero_shuffle_plan(spark):
         df, "text", "doc_id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------ perceptual hash
+
+
+def test_dhash_perceptual_near_dup(spark):
+    """A lightly perturbed image lands at SMALL Hamming distance (the
+    gradient signs barely move) while an unrelated image lands far —
+    and the pairing reuses the text-SimHash banded Hamming join."""
+    import numpy as np
+    import pandas as pd
+
+    from stractt_spark.functions.png import encode_png
+    from stractt_spark.operators.dedup import simhash_near_pairs
+    from stractt_spark.operators.multimodal import (
+        dhash_from_pixels,
+        dhash_images,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    # +-1 noise on 2% of pixels: coarse box means barely move
+    near = base.astype(np.int16)
+    mask = rng.random((40, 60)) < 0.02
+    near[mask] += rng.integers(-1, 2, mask.sum()).reshape(-1, 1)
+    near = np.clip(near, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+
+    h_base = dhash_from_pixels(base)
+    h_near = dhash_from_pixels(near)
+    h_other = dhash_from_pixels(other)
+    d_near = bin((h_base ^ h_near) & (2**64 - 1)).count("1")
+    d_other = bin((h_base ^ h_other) & (2**64 - 1)).count("1")
+    assert d_near <= 3 < d_other
+
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": pd.Series([0, 1, 2], dtype="int64"),
+            "payload": pd.Series(
+                [encode_png(base), encode_png(near), encode_png(other)],
+                dtype=object,
+            ),
+        })
+    )
+    hashes = dhash_images(media)
+    got = {r["media_id"]: r["dhash"] for r in hashes.collect()}
+    assert got == {0: h_base, 1: h_near, 2: h_other}
+    pairs = simhash_near_pairs(
+        hashes.select(
+            hashes["media_id"].alias("doc_id"),
+            hashes["dhash"].alias("simhash"),
+        ),
+        max_hamming=3,
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_dhash_grayscale_and_guard():
+    import numpy as np
+    import pytest
+
+    from stractt_spark.operators.multimodal import dhash_from_pixels
+
+    g = np.arange(8 * 9, dtype=np.uint8).reshape(8, 9)
+    rgb = np.stack([g, g, g], axis=2)
+    assert dhash_from_pixels(g) == dhash_from_pixels(rgb)
+    # monotone-increasing rows → every gradient bit set
+    assert dhash_from_pixels(g) == -1  # int64 view of 0xFFFFFFFFFFFFFFFF
+    with pytest.raises(ValueError, match="at least 8x9"):
+        dhash_from_pixels(np.zeros((4, 4), dtype=np.uint8))
