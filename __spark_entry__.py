@@ -2660,6 +2660,81 @@ def _q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_images(media, payload_col="payload", id_col="doc_id")
 
 
+def _materialize_expected_afp(sf_dir: str) -> None:
+    """Expected audio-fingerprint table via an independent scalar twin
+    computing energies straight from the SAMPLE FORMULA — pure-Python
+    ints, no numpy, no WAV roundtrip (the Spark path's encode→raw-parse
+    must therefore be the identity for the hashes to agree)."""
+
+    def build(cols):
+        ids, fps = [], []
+        for d in cols["doc_id"]:
+            i = int(d)
+            if i >= 64:
+                continue
+            n = 100 + i % 50
+            samples = [
+                (((j * j) * (i + 3) + 7 * i) % 2048) - 1024
+                for j in range(n)
+            ]
+            bands = 65
+            energies = []
+            for k in range(bands):
+                a, b = k * n // bands, (k + 1) * n // bands
+                energies.append(sum(s * s for s in samples[a:b]))
+            bits = 0
+            for k in range(bands - 1):
+                if energies[k] < energies[k + 1]:
+                    bits |= 1 << k
+            if bits >= 1 << 63:
+                bits -= 1 << 64
+            ids.append(i)
+            fps.append(bits)
+        return {"media_id": ids, "afp": fps}
+
+    _expected_parquet(sf_dir, "afp", build)
+
+
+def _q_multimodal_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprinting under the gate: deterministic 16-bit PCM
+    clips (sample[j] = quadratic fn of (j, doc_id) — quadratic so the
+    65-band energy envelope is non-monotone and hashes vary) are
+    RIFF-encoded executor-side by the from-scratch writer, then
+    raw-parsed and energy-gradient-hashed through the Arrow-batched
+    fingerprint_audio kernel.  Oracle: an independent scalar twin from
+    the sample formula (no WAV, no numpy)."""
+    import numpy as np
+    import pandas as pd
+
+    from stractt_spark.operators.multimodal import fingerprint_audio
+
+    _materialize_expected_afp(sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).filter(F.col("doc_id") < 64)
+
+    def gen(batches):
+        from stractt_spark.functions.wav import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 100 + i % 50
+                j = np.arange(n, dtype=np.int64)
+                s = ((j * j * (i + 3) + 7 * i) % 2048) - 1024
+                payloads.append(
+                    encode_wav(s.astype(np.int16), 8000 + (i % 5) * 1000)
+                )
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            })
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return fingerprint_audio(media)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING: after one corpus pass for
     word counts, every merge round runs on the vocab-bounded word table
@@ -3648,6 +3723,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_near_dedup": _q_stream_near_dedup,
         "bm25_facets": _q_bm25_facets,
         "multimodal_dhash": _q_multimodal_dhash,
+        "multimodal_afp": _q_multimodal_afp,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -4171,6 +4247,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_dhash": (
             "SELECT media_id, dhash "
             "FROM '/tmp/stractt_expected_dhash.parquet'"
+        ),
+        "multimodal_afp": (
+            "SELECT media_id, afp "
+            "FROM '/tmp/stractt_expected_afp.parquet'"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, fingerprint "

@@ -161,6 +161,36 @@ class WavDecoder:
         return out
 
 
+def _parse_wav_raw(b: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """(rate, bits, n_channels, raw int samples — flat, interleaved):
+    the exact-integer view of a RIFF/PCM payload.  Two-pass over the
+    chunk list like decode_wav itself (RIFF does not order chunks; the
+    last data/fmt chunk wins, matching decode_wav)."""
+    import struct
+
+    from ..functions.wav import _DTYPES, WavError
+
+    bits = None
+    n_ch = None
+    rate = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        ct = b[pos:pos + 4]
+        (ln,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        if ct == b"fmt ":
+            (_afmt, n_ch, rate, _brate, _balign, bits) = struct.unpack(
+                "<HHIIHH", b[pos + 8:pos + 24]
+            )
+        elif ct == b"data":
+            data = b[pos + 8:pos + 8 + ln]  # last wins, like decode_wav
+        pos += 8 + ln + (ln & 1)
+    if bits is None or data is None:
+        raise WavError("missing fmt/data chunk")
+    raw = np.frombuffer(data, dtype=_DTYPES[bits])
+    return int(rate), int(bits), int(n_ch), raw
+
+
 def decode_audio(
     media: DataFrame,
     payload_col: str = "payload",
@@ -189,31 +219,10 @@ def decode_audio(
             for p in pdf["_p"]:
                 b = bytes(p)
                 rate, s = decode_wav(b)
-                # raw integer samples for the exact arithmetic check.
-                # Two-pass over the chunk list like decode_wav itself
-                # (ADVICE r4: RIFF does not order chunks — a payload
-                # with 'data' before 'fmt ' decodes in decode_wav but
-                # crashed the one-pass re-parse here).
-                bits = None
-                data = None
-                pos = 12
-                while pos + 8 <= len(b):
-                    ct = b[pos:pos + 4]
-                    (ln,) = struct.unpack("<I", b[pos + 4:pos + 8])
-                    if ct == b"fmt ":
-                        bits = struct.unpack(
-                            "<HHIIHH", b[pos + 8:pos + 24]
-                        )[5]
-                    elif ct == b"data":
-                        data = b[pos + 8:pos + 8 + ln]  # last wins, like decode_wav
-                    pos += 8 + ln + (ln & 1)
-                if bits is None or data is None:
-                    from ..functions.wav import WavError
-
-                    raise WavError(
-                        "decode_audio: missing fmt/data chunk"
-                    )
-                raw = np.frombuffer(data, dtype=_DTYPES[bits])
+                # raw integer samples for the exact arithmetic check
+                # (ADVICE r4: the re-parse is two-pass over the chunk
+                # list, like decode_wav — RIFF does not order chunks)
+                _rate, _bits, _nch, raw = _parse_wav_raw(b)
                 sums.append(int((raw.astype(np.int64) ** 2).sum()))
                 rates.append(rate)
                 frames.append(s.shape[0])
@@ -531,3 +540,74 @@ def dhash_images(
             )
 
     return src.mapInPandas(emit, "media_id long, dhash long")
+
+
+def afp_from_raw(raw: np.ndarray, n_channels: int, bands: int = 65) -> int:
+    """64-bit audio fingerprint from RAW integer PCM samples — the
+    audio analogue of :func:`dhash_from_pixels`, exact integer
+    arithmetic end to end:
+
+    1. mono: per-frame sum over channels (integers, no normalization),
+    2. ``bands`` equal time bands (band k = frames [k·n//bands,
+       (k+1)·n//bands)), each summarized by its exact integer energy
+       Σ mono²,
+    3. bit k set iff energy[k] < energy[k+1] (the energy-envelope
+       gradient signs — robust to gain changes of the whole clip up to
+       the comparison ties, and to small per-sample noise).
+
+    Near-dup clips pair through the same 16-bit-banded Hamming join as
+    text SimHash and image dHash (``simhash_near_pairs``)."""
+    if n_channels > 1:
+        raw = raw[: (raw.size // n_channels) * n_channels].reshape(
+            -1, n_channels
+        )
+        mono = raw.astype(np.int64).sum(axis=1)
+    else:
+        mono = raw.astype(np.int64)
+    n = mono.size
+    if n < bands:
+        raise ValueError(
+            f"audio fingerprint needs ≥ {bands} frames, got {n}"
+        )
+    sq = mono * mono
+    energies = [
+        int(sq[k * n // bands:(k + 1) * n // bands].sum())
+        for k in range(bands)
+    ]
+    bits = 0
+    for k in range(bands - 1):
+        if energies[k] < energies[k + 1]:
+            bits |= 1 << k
+    if bits >= 1 << 63:
+        bits -= 1 << 64  # int64 view, matching dhash
+    return bits
+
+
+def fingerprint_audio(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, payload binary<WAV>) → (media_id, afp long): decode
+    through the from-scratch RIFF/PCM reader's raw-integer view and
+    energy-gradient-hash the clip (:func:`afp_from_raw`); one
+    Arrow-batched pass, payloads never leave the executors."""
+    src = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("_p"),
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            fps = []
+            for p in pdf["_p"]:
+                _rate, _bits, n_ch, raw = _parse_wav_raw(bytes(p))
+                fps.append(afp_from_raw(raw, n_ch))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"),
+                 "afp": pd.Series(fps, dtype="int64")}
+            )
+
+    return src.mapInPandas(emit, "media_id long, afp long")

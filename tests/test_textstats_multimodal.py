@@ -448,3 +448,69 @@ def test_dhash_grayscale_and_guard():
     assert dhash_from_pixels(g) == -1  # int64 view of 0xFFFFFFFFFFFFFFFF
     with pytest.raises(ValueError, match="at least 8x9"):
         dhash_from_pixels(np.zeros((4, 4), dtype=np.uint8))
+
+
+def test_afp_perceptual_near_dup(spark):
+    """±1-sample noise barely moves band energies → small Hamming; an
+    unrelated clip lands far.  Pairing reuses the banded Hamming join."""
+    import numpy as np
+    import pandas as pd
+
+    from stractt_spark.functions.wav import encode_wav
+    from stractt_spark.operators.dedup import simhash_near_pairs
+    from stractt_spark.operators.multimodal import (
+        afp_from_raw,
+        fingerprint_audio,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(-8000, 8000, 4000).astype(np.int16)
+    near = base.astype(np.int32)
+    mask = rng.random(4000) < 0.02
+    near[mask] += rng.integers(-1, 2, mask.sum())
+    near = np.clip(near, -32768, 32767).astype(np.int16)
+    other = rng.integers(-8000, 8000, 4000).astype(np.int16)
+
+    h_base = afp_from_raw(base.astype(np.int64), 1)
+    h_near = afp_from_raw(near.astype(np.int64), 1)
+    h_other = afp_from_raw(other.astype(np.int64), 1)
+    d_near = bin((h_base ^ h_near) & (2**64 - 1)).count("1")
+    d_other = bin((h_base ^ h_other) & (2**64 - 1)).count("1")
+    assert d_near <= 3 < d_other
+
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": pd.Series([0, 1, 2], dtype="int64"),
+            "payload": pd.Series(
+                [encode_wav(base, 8000), encode_wav(near, 8000),
+                 encode_wav(other, 8000)],
+                dtype=object,
+            ),
+        })
+    )
+    hashes = fingerprint_audio(media)
+    got = {r["media_id"]: r["afp"] for r in hashes.collect()}
+    assert got == {0: h_base, 1: h_near, 2: h_other}
+    pairs = simhash_near_pairs(
+        hashes.select(
+            hashes["media_id"].alias("doc_id"),
+            hashes["afp"].alias("simhash"),
+        ),
+        max_hamming=3,
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_afp_stereo_and_guard():
+    import numpy as np
+    import pytest
+
+    from stractt_spark.operators.multimodal import afp_from_raw
+
+    mono = np.arange(200, dtype=np.int64) - 100
+    # stereo interleave of the same signal: mono fold = 2x samples,
+    # energies scale by 4 uniformly -> identical gradient signs
+    stereo = np.repeat(mono, 2)
+    assert afp_from_raw(mono, 1) == afp_from_raw(stereo, 2)
+    with pytest.raises(ValueError, match="frames"):
+        afp_from_raw(np.arange(10, dtype=np.int64), 1)
