@@ -2735,6 +2735,93 @@ def _q_multimodal_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_audio(media)
 
 
+def _materialize_expected_vfp(sf_dir: str) -> None:
+    """Expected video-fingerprint table: scalar twin summing the frame
+    FORMULA per pixel, then box means + gradient bits — pure-Python
+    ints, no Y4M, no numpy."""
+
+    def build(cols):
+        ids, fps = [], []
+        for d in cols["doc_id"]:
+            i = int(d)
+            if i >= 32:
+                continue
+            w, h = 9 + i % 8, 8 + i % 8
+            nf = 3 + i % 5
+            acc = [
+                [
+                    sum((x * 53 + y * 97 + f * 29 + i * 17) % 256
+                        for f in range(nf))
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ]
+            means = []
+            for r in range(8):
+                r0, r1 = r * h // 8, (r + 1) * h // 8
+                row = []
+                for c in range(9):
+                    c0, c1 = c * w // 9, (c + 1) * w // 9
+                    vals = [acc[y][x] for y in range(r0, r1)
+                            for x in range(c0, c1)]
+                    row.append(sum(vals) // len(vals))
+                means.append(row)
+            bits = 0
+            for r in range(8):
+                for c in range(8):
+                    if means[r][c] < means[r][c + 1]:
+                        bits |= 1 << (r * 8 + c)
+            if bits >= 1 << 63:
+                bits -= 1 << 64
+            ids.append(i)
+            fps.append(bits)
+        return {"media_id": ids, "vfp": fps}
+
+    _expected_parquet(sf_dir, "vfp", build)
+
+
+def _q_multimodal_vfp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video fingerprinting under the gate: deterministic Y4M clips
+    (luma[f][y][x] = wrapping arithmetic fn of (x, y, f, doc_id)) are
+    container-encoded executor-side by the from-scratch writer, decoded
+    back and difference-hashed over the temporal luma sum through the
+    Arrow-batched fingerprint_video kernel.  Oracle: independent scalar
+    twin from the frame formula."""
+    import numpy as np
+    import pandas as pd
+
+    from stractt_spark.operators.multimodal import fingerprint_video
+
+    _materialize_expected_vfp(sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).filter(F.col("doc_id") < 32)
+
+    def gen(batches):
+        from stractt_spark.functions.y4m import encode_y4m
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 9 + i % 8, 8 + i % 8
+                nf = 3 + i % 5
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                frames = [
+                    ((xx * 53 + yy * 97 + f * 29 + i * 17) % 256)
+                    .astype(np.uint8)
+                    for f in range(nf)
+                ]
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"].astype("int64"),
+                "payload": pd.Series(payloads, dtype="object"),
+            })
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return fingerprint_video(media)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING: after one corpus pass for
     word counts, every merge round runs on the vocab-bounded word table
@@ -3724,6 +3811,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_facets": _q_bm25_facets,
         "multimodal_dhash": _q_multimodal_dhash,
         "multimodal_afp": _q_multimodal_afp,
+        "multimodal_vfp": _q_multimodal_vfp,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -4251,6 +4339,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_afp": (
             "SELECT media_id, afp "
             "FROM '/tmp/stractt_expected_afp.parquet'"
+        ),
+        "multimodal_vfp": (
+            "SELECT media_id, vfp "
+            "FROM '/tmp/stractt_expected_vfp.parquet'"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, fingerprint "

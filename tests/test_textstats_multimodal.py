@@ -514,3 +514,66 @@ def test_afp_stereo_and_guard():
     assert afp_from_raw(mono, 1) == afp_from_raw(stereo, 2)
     with pytest.raises(ValueError, match="frames"):
         afp_from_raw(np.arange(10, dtype=np.int64), 1)
+
+
+def test_vfp_perceptual_near_dup(spark):
+    """Per-frame ±1 noise on a clip's lumas barely moves the temporal
+    sum → small Hamming; different content lands far."""
+    import numpy as np
+    import pandas as pd
+
+    from stractt_spark.functions.y4m import encode_y4m
+    from stractt_spark.operators.dedup import simhash_near_pairs
+    from stractt_spark.operators.multimodal import (
+        fingerprint_video,
+        vfp_from_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    base = [rng.integers(0, 256, (24, 36), dtype=np.uint8)
+            for _ in range(6)]
+    near = []
+    for fr in base:
+        f2 = fr.astype(np.int16)
+        mask = rng.random(fr.shape) < 0.02
+        f2[mask] += rng.integers(-1, 2, mask.sum())
+        near.append(np.clip(f2, 0, 255).astype(np.uint8))
+    other = [rng.integers(0, 256, (24, 36), dtype=np.uint8)
+             for _ in range(6)]
+
+    h_base, h_near, h_other = (
+        vfp_from_frames(base), vfp_from_frames(near), vfp_from_frames(other)
+    )
+    d_near = bin((h_base ^ h_near) & (2**64 - 1)).count("1")
+    d_other = bin((h_base ^ h_other) & (2**64 - 1)).count("1")
+    assert d_near <= 3 < d_other
+
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": pd.Series([0, 1, 2], dtype="int64"),
+            "payload": pd.Series(
+                [encode_y4m(base), encode_y4m(near), encode_y4m(other)],
+                dtype=object,
+            ),
+        })
+    )
+    hashes = fingerprint_video(media)
+    got = {r["media_id"]: r["vfp"] for r in hashes.collect()}
+    assert got == {0: h_base, 1: h_near, 2: h_other}
+    pairs = simhash_near_pairs(
+        hashes.select(
+            hashes["media_id"].alias("doc_id"),
+            hashes["vfp"].alias("simhash"),
+        ),
+        max_hamming=3,
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_vfp_guard():
+    import pytest
+
+    from stractt_spark.operators.multimodal import vfp_from_frames
+
+    with pytest.raises(ValueError, match="at least one frame"):
+        vfp_from_frames([])
