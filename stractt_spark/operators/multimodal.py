@@ -170,6 +170,8 @@ def _parse_wav_raw(b: bytes) -> tuple[int, int, int, "np.ndarray"]:
 
     from ..functions.wav import _DTYPES, WavError
 
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise WavError("not a RIFF/WAVE stream")
     bits = None
     n_ch = None
     rate = None
@@ -179,14 +181,23 @@ def _parse_wav_raw(b: bytes) -> tuple[int, int, int, "np.ndarray"]:
         ct = b[pos:pos + 4]
         (ln,) = struct.unpack("<I", b[pos + 4:pos + 8])
         if ct == b"fmt ":
-            (_afmt, n_ch, rate, _brate, _balign, bits) = struct.unpack(
+            (afmt, n_ch, rate, _brate, _balign, bits) = struct.unpack(
                 "<HHIIHH", b[pos + 8:pos + 24]
             )
+            if afmt != 1:
+                raise WavError(
+                    f"unsupported WAV format {afmt} (PCM=1 only)"
+                )
+            if bits not in _DTYPES:
+                raise WavError(f"unsupported bit depth {bits}")
         elif ct == b"data":
             data = b[pos + 8:pos + 8 + ln]  # last wins, like decode_wav
         pos += 8 + ln + (ln & 1)
     if bits is None or data is None:
         raise WavError("missing fmt/data chunk")
+    item = np.dtype(_DTYPES[bits]).itemsize
+    if len(data) % item:
+        raise WavError("data chunk is not a whole number of samples")
     raw = np.frombuffer(data, dtype=_DTYPES[bits])
     return int(rate), int(bits), int(n_ch), raw
 
@@ -202,7 +213,7 @@ def decode_audio(
     squared RAW samples, an arithmetic fact a generation-rule-aware
     oracle can verify without any audio library (the audio twin of
     decode_images' pixel sums)."""
-    from ..functions.wav import _DTYPES, decode_wav
+    from ..functions.wav import decode_wav
 
     src = media.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -210,8 +221,6 @@ def decode_audio(
     )
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -555,6 +564,12 @@ def afp_from_raw(raw: np.ndarray, n_channels: int, bands: int = 65) -> int:
        gradient signs — robust to gain changes of the whole clip up to
        the comparison ties, and to small per-sample noise).
 
+    ``raw`` must be SIGNED/zero-centered samples (callers with 8-bit
+    unsigned-offset PCM recenter by −128 first — ``fingerprint_audio``
+    does); band energies use an arbitrary-precision fallback when the
+    amplitude could overflow int64 sums (loud 32-bit multi-channel
+    clips), so the hash is exact at every supported bit depth.
+
     Near-dup clips pair through the same 16-bit-banded Hamming join as
     text SimHash and image dHash (``simhash_near_pairs``)."""
     if n_channels > 1:
@@ -569,11 +584,23 @@ def afp_from_raw(raw: np.ndarray, n_channels: int, bands: int = 65) -> int:
         raise ValueError(
             f"audio fingerprint needs ≥ {bands} frames, got {n}"
         )
-    sq = mono * mono
-    energies = [
-        int(sq[k * n // bands:(k + 1) * n // bands].sum())
-        for k in range(bands)
-    ]
+    m = int(np.abs(mono).max()) if n else 0
+    if m * m * (n // bands + 2) < (1 << 63):
+        # vectorized int64 path — provably no overflow at this amplitude
+        sq = mono * mono
+        energies = [
+            int(sq[k * n // bands:(k + 1) * n // bands].sum())
+            for k in range(bands)
+        ]
+    else:
+        # arbitrary-precision fallback (loud multi-channel 32-bit PCM
+        # can exceed int64 in mono² band sums) — exactness is the
+        # contract, so never wrap silently
+        py = [int(v) for v in mono]
+        energies = [
+            sum(v * v for v in py[k * n // bands:(k + 1) * n // bands])
+            for k in range(bands)
+        ]
     bits = 0
     for k in range(bands - 1):
         if energies[k] < energies[k + 1]:
@@ -603,7 +630,14 @@ def fingerprint_audio(
                 continue
             fps = []
             for p in pdf["_p"]:
-                _rate, _bits, n_ch, raw = _parse_wav_raw(bytes(p))
+                _rate, bits, n_ch, raw = _parse_wav_raw(bytes(p))
+                if bits == 8:
+                    # 8-bit PCM is unsigned-offset (midpoint 128, per
+                    # the spec and decode_wav): recenter so energies
+                    # measure the SIGNAL, not the DC offset — without
+                    # this the documented gain robustness fails (the
+                    # n_band·128² term dominates quiet clips)
+                    raw = raw.astype(np.int64) - 128
                 fps.append(afp_from_raw(raw, n_ch))
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"].astype("int64"),

@@ -85,6 +85,7 @@ def stream_ingest_dedup(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     available_now: bool = True,
+    processing_interval: str = "10 seconds",
     max_files_per_trigger: int | None = None,
 ):
     """Streaming NEAR-dup ingest into a persisted incremental dedup
@@ -202,7 +203,12 @@ def stream_ingest_dedup(
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         return q
-    return writer.trigger(processingTime="10 seconds").start()
+    # continuous mode: returns the LIVE query immediately — the caller
+    # owns its lifecycle (stop()/awaitTermination()) and must surface
+    # failures via q.exception(), since foreachBatch errors (including
+    # the loud window-(b) genuine-duplicate error) are not re-raised
+    # here; same contract as stream_ingest_ann's continuous branch
+    return writer.trigger(processingTime=processing_interval).start()
 
 
 def read_stream_decisions(spark: SparkSession, index_dir: str):

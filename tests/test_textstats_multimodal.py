@@ -577,3 +577,70 @@ def test_vfp_guard():
 
     with pytest.raises(ValueError, match="at least one frame"):
         vfp_from_frames([])
+
+
+def test_afp_32bit_loud_stereo_exact_no_overflow():
+    """Loud 32-bit stereo: band sums exceed int64 — the fallback must
+    produce the arbitrary-precision-exact hash, matching a pure-Python
+    scalar computation."""
+    import numpy as np
+
+    from stractt_spark.operators.multimodal import afp_from_raw
+
+    rng = np.random.default_rng(9)
+    raw = rng.integers(-2**31 + 1, 2**31 - 1, 400, dtype=np.int64)
+    got = afp_from_raw(raw, 2)
+    # independent scalar twin (big ints throughout)
+    mono = [int(raw[2 * j]) + int(raw[2 * j + 1]) for j in range(200)]
+    n, bands = 200, 65
+    es = [sum(v * v for v in mono[k * n // bands:(k + 1) * n // bands])
+          for k in range(bands)]
+    assert any(e >= 2**63 for e in es)  # the overflow case is real
+    bits = 0
+    for k in range(bands - 1):
+        if es[k] < es[k + 1]:
+            bits |= 1 << k
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    assert got == bits
+
+
+def test_afp_8bit_gain_invariance_and_parse_guards(spark):
+    """8-bit PCM recentred by −128: doubling the gain of the SIGNAL
+    leaves the fingerprint bit-identical (energies scale uniformly).
+    Unsupported depths / non-RIFF payloads fail with WavError."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from stractt_spark.functions.wav import WavError, encode_wav
+    from stractt_spark.operators.multimodal import (
+        _parse_wav_raw,
+        fingerprint_audio,
+    )
+
+    rng = np.random.default_rng(4)
+    sig = rng.integers(-50, 51, 500)
+    quiet = (128 + sig).astype(np.uint8)
+    loud = (128 + 2 * sig).astype(np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": pd.Series([0, 1], dtype="int64"),
+            "payload": pd.Series(
+                [encode_wav(quiet, 8000, bits=8), encode_wav(loud, 8000, bits=8)],
+                dtype=object,
+            ),
+        })
+    )
+    got = {r["media_id"]: r["afp"]
+           for r in fingerprint_audio(media).collect()}
+    assert got[0] == got[1]
+
+    with pytest.raises(WavError, match="RIFF"):
+        _parse_wav_raw(b"nope" * 10)
+    good = bytes(encode_wav(np.zeros(80, dtype=np.int16), 8000))
+    bad_bits = bytearray(good)
+    # fmt chunk: bits field at offset 12+8+14 = 34 (little-endian u16)
+    bad_bits[34:36] = (24).to_bytes(2, "little")
+    with pytest.raises(WavError, match="bit depth"):
+        _parse_wav_raw(bytes(bad_bits))
