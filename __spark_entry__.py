@@ -2660,6 +2660,136 @@ def _q_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_images(media, payload_col="payload", id_col="doc_id")
 
 
+def _dhash_scalar(i: int, flip_lsb: bool) -> int:
+    """Scalar-twin dhash of gate image i (optionally with every channel
+    value LSB-flipped — the planted ±1 perturbation)."""
+    w, h = _dhash_gate_dims(i)
+
+    def ch(v: int) -> int:
+        return v ^ 1 if flip_lsb else v
+
+    gray = [
+        [
+            (299 * ch((x * 53 + y * 97 + i * 17) % 256)
+             + 587 * ch((x * 29 + y * 71 + 2 * i) % 256)
+             + 114 * ch((x * 131 + y * 41 + 3 * i) % 256)) // 1000
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    means = []
+    for r in range(8):
+        r0, r1 = r * h // 8, (r + 1) * h // 8
+        row = []
+        for c in range(9):
+            c0, c1 = c * w // 9, (c + 1) * w // 9
+            vals = [gray[y][x] for y in range(r0, r1)
+                    for x in range(c0, c1)]
+            row.append(sum(vals) // len(vals))
+        means.append(row)
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            if means[r][c] < means[r][c + 1]:
+                bits |= 1 << (r * 8 + c)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def _materialize_expected_imgdedup(sf_dir: str) -> None:
+    """Expected hash table for the composed image-dedup gate: scalar
+    twin over base images 0..63 PLUS planted near-dups (ids 1000+i for
+    i%4==0, every channel LSB-flipped — box means move ≤1, so the
+    perturbed hash sits at small Hamming from its source)."""
+
+    def build(cols):
+        ids, hashes = [], []
+        for d in cols["doc_id"]:
+            i = int(d)
+            if i >= 64:
+                continue
+            ids.append(i)
+            hashes.append(_dhash_scalar(i, False))
+            if i % 4 == 0:
+                ids.append(1000 + i)
+                hashes.append(_dhash_scalar(i, True))
+        return {"media_id": ids, "dhash": hashes}
+
+    _expected_parquet(sf_dir, "imgdedup", build)
+
+
+def _q_image_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED image dedup from bytes to keep-set: deterministic PNGs
+    + planted LSB-flip near-dups → from-scratch decode → dHash →
+    16-bit-banded Hamming-≤3 pairs → large-star/small-star connected
+    components → smallest-id keep per cluster.  The oracle recomputes
+    pairs (bit_count(xor) over the scalar-twin hash table) and the
+    transitive closure with a recursive CTE — so the gate fails if any
+    stage (codec, hash, banding recall, clustering, keep rule)
+    deviates."""
+    import numpy as np
+    import pandas as pd
+
+    from stractt_spark.operators.dedup import (
+        connected_components_star,
+        simhash_near_pairs,
+    )
+    from stractt_spark.operators.multimodal import dhash_images
+
+    _materialize_expected_imgdedup(sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).filter(F.col("doc_id") < 64)
+
+    def gen(batches):
+        from stractt_spark.functions.png import encode_png
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = _dhash_gate_dims(i)
+                xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+                px = np.stack([
+                    (xx * 53 + yy * 97 + i * 17) % 256,
+                    (xx * 29 + yy * 71 + 2 * i) % 256,
+                    (xx * 131 + yy * 41 + 3 * i) % 256,
+                ], axis=2).astype(np.uint8)
+                ids.append(i)
+                payloads.append(encode_png(px))
+                if i % 4 == 0:
+                    ids.append(1000 + i)
+                    payloads.append(encode_png(px ^ 1))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    hashes = dhash_images(media)
+    pairs = simhash_near_pairs(
+        hashes.select(
+            F.col("media_id").alias("doc_id"),
+            F.col("dhash").alias("simhash"),
+        ),
+        max_hamming=3,
+    )
+    comps = connected_components_star(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    ids = hashes.select(F.col("media_id").alias("doc_id"))
+    return (
+        ids.join(comps, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+            (F.col("doc_id")
+             == F.coalesce("component_id", "doc_id")).alias("keep"),
+        )
+    )
+
+
 def _materialize_expected_afp(sf_dir: str) -> None:
     """Expected audio-fingerprint table via an independent scalar twin
     computing energies straight from the SAMPLE FORMULA — pure-Python
@@ -3812,6 +3942,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dhash": _q_multimodal_dhash,
         "multimodal_afp": _q_multimodal_afp,
         "multimodal_vfp": _q_multimodal_vfp,
+        "image_dedup_keep": _q_image_dedup_keep,
         # -- inverted index / BM25 core (r4 hash-green)
         "postings_tf": _q_postings_tf,
         "doc_stats": _q_doc_stats,
@@ -4343,6 +4474,26 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_vfp": (
             "SELECT media_id, vfp "
             "FROM '/tmp/stractt_expected_vfp.parquet'"
+        ),
+        # composed image dedup: Hamming-<=3 pairs over the scalar-twin
+        # hash table + recursive-CTE transitive closure + min-id keep
+        "image_dedup_keep": (
+            "WITH RECURSIVE "
+            "h AS (SELECT media_id, dhash "
+            "FROM '/tmp/stractt_expected_imgdedup.parquet'), "
+            "sym AS (SELECT a.media_id AS a, b.media_id AS b "
+            "FROM h a JOIN h b ON a.media_id <> b.media_id "
+            "AND bit_count(xor(a.dhash, b.dhash)) <= 3), "
+            "reach(node, label) AS ("
+            "SELECT a AS node, a AS label FROM sym "
+            "UNION "
+            "SELECT s.a, r.label FROM sym s JOIN reach r ON r.node = s.b), "
+            "comp AS (SELECT node, min(label) AS component_id FROM reach "
+            "GROUP BY node) "
+            "SELECT hh.media_id, "
+            "coalesce(c.component_id, hh.media_id) AS component_id, "
+            "hh.media_id = coalesce(c.component_id, hh.media_id) AS keep "
+            "FROM h hh LEFT JOIN comp c ON c.node = hh.media_id"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, fingerprint "
