@@ -598,6 +598,8 @@ class MultiFieldSegmentIndex:
             F.col("tf_bytes").alias("meta_bytes"),
         )
         self.term_stats = spark.read.parquet(self.paths.term_stats)
+        self._tdf_memo: dict[str, int] = {}
+        self._plan_memo: dict[tuple, object] = {}
         self.presorted = bool(self.stats.get("presorted"))
         self.docmap = None
         if self.presorted:
@@ -614,16 +616,44 @@ class MultiFieldSegmentIndex:
             )
 
     def cache(self) -> "MultiFieldSegmentIndex":
-        self.segments = self.segments.cache()
-        self.norms = self.norms.cache()
+        # co-partition + co-sort on segment_id so every query's cogroup
+        # elides its Exchange+Sort pair — same layout contract as
+        # SegmentIndex.cache (see plans/build.py)
+        n_seg = max(
+            1,
+            -(-int(self.stats["num_docs"])
+              // max(1, int(self.stats.get("docs_per_segment", 1)))),
+        )
+        par = self.spark.sparkContext.defaultParallelism
+        n_part = max(1, min(2 * n_seg, 4 * par))
+        self.segments = (
+            self.segments.repartition(n_part, "segment_id")
+            .sortWithinPartitions("segment_id")
+            .cache()
+        )
+        self.norms = (
+            self.norms.repartition(n_part, "segment_id")
+            .sortWithinPartitions("segment_id")
+            .cache()
+        )
         self.segments.count(), self.norms.count()
         return self
 
     def term_df(self, phys_terms: list[str]) -> dict[str, int]:
+        # driver-side pyarrow lookup + per-handle memo (no Spark job per
+        # search) — see plans.build._local_term_df
         if not phys_terms:
             return {}
-        rows = self.term_stats.filter(F.col("term").isin(phys_terms)).collect()
-        return {r["term"]: r["df"] for r in rows}
+        from ..plans.build import _local_term_df
+
+        missing = [t for t in phys_terms if t not in self._tdf_memo]
+        if missing:
+            found = _local_term_df(
+                self.spark, self.term_stats, self.paths.term_stats, missing
+            )
+            for t in missing:
+                self._tdf_memo[t] = int(found.get(t, 0))
+        return {t: self._tdf_memo[t] for t in phys_terms if self._tdf_memo[t]}
 
     def _spec(self, query, mode: str = "must", phrase: bool = False,
               extra_neg: list[str] | None = None,
@@ -780,6 +810,24 @@ class MultiFieldSegmentIndex:
             if with_metrics:
                 return [], {"blocks_decoded": 0, "blocks_total": 0}
             return self._empty_df()
+        # plan memo for the public search surface (goggle/ladder lowering
+        # passes private params and is excluded): identical query → same
+        # DataFrame object; execution still happens per collect().  See
+        # SegmentIndex.search for rationale (~120 ms of py4j per build).
+        memo_key = None
+        if (
+            not with_metrics and _const_clauses is None
+            and not _has_empty_discard and _score_coeff is None
+            and _extra_neg is None and _ladder is None
+        ):
+            memo_key = (
+                query, k, mode, phrase, offset, max_docs_per_segment,
+                with_pre_score, orig_ids,
+                tuple(must_fields) if must_fields else None,
+            )
+            cached_plan = self._plan_memo.get(memo_key)
+            if cached_plan is not None:
+                return cached_plan
         spec = self._spec(query, mode, phrase, extra_neg=_extra_neg,
                           must_fields=must_fields)
         if spec is None:
@@ -850,6 +898,10 @@ class MultiFieldSegmentIndex:
                 .orderBy(F.desc("score"), F.desc("_pre"), F.asc("doc_id"))
                 .drop("_pre")
             )
+        if memo_key is not None:
+            if len(self._plan_memo) >= 256:
+                self._plan_memo.clear()
+            self._plan_memo[memo_key] = top
         return top
 
     def search_list(self, query: str, k: int = 10, mode: str = "must",

@@ -73,6 +73,17 @@ def assign_doc_ids(
     part = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).sortWithinPartitions(
         *order_cols
     )
+    return assign_ids_on_sorted(part, n)
+
+
+def assign_ids_on_sorted(part: DataFrame, n: int) -> DataFrame:
+    """Second half of :func:`assign_doc_ids`: ``part`` must already be
+    range-partitioned into ``n`` partitions and sorted within each by the
+    order key.  Exposed so a caller can ``persist()`` the sorted
+    intermediate and pay the range-sample + shuffle + sort ONCE instead of
+    twice (the counts pass and the id-assignment pass both execute
+    ``part``'s subtree otherwise) — and ``unpersist()`` it the moment the
+    assigned ids are materialized."""
     counts = (
         part.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")

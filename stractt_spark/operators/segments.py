@@ -436,7 +436,23 @@ def build_segments_fused(
         return encode_segment(int(key[0]), pdf)
 
     if not aligned_input:
-        return src.groupBy("segment_id").applyInPandas(encode, SEGMENTS_SCHEMA)
+        # Explicit hash repartition on the group key BEFORE the cogroup-free
+        # groupBy: AQE's post-shuffle coalescing targets
+        # advisoryPartitionSizeInBytes of SHUFFLE bytes, but the reduce-side
+        # cost here is the Arrow→Python encode kernel, which AQE cannot see
+        # — measured locally it folded a 4-segment corpus into 3 tasks (two
+        # segments serialized on one core).  A user-specified repartition is
+        # exempt from AQE coalescing, so the kernel keeps
+        # spark.sql.shuffle.partitions-way parallelism (cluster-configured;
+        # segments per task still bounded below by the segment layout).
+        n_shuffle = int(
+            src.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        return (
+            src.repartition(n_shuffle, "segment_id")
+            .groupBy("segment_id")
+            .applyInPandas(encode, SEGMENTS_SCHEMA)
+        )
 
     # ZERO-SHUFFLE path: the caller guarantees every input partition holds
     # only WHOLE segments (range-partitioned by id with segment-aligned

