@@ -432,6 +432,7 @@ def _should_topk_blockmax(
     score_order: list[str] | None = None,
     pre: np.ndarray | None = None,
     base: int = 0,
+    extra_ub: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Multi-term OR top-k with block-max pruning (exact).
 
@@ -528,7 +529,7 @@ def _should_topk_blockmax(
                         avgdl_for(t),
                     )
                     ub_sum += float(t_ub.max()) if t_ub.size else 0.0
-                bound = pre[(rest - base).astype(np.int64)] + ub_sum
+                bound = pre[(rest - base).astype(np.int64)] + ub_sum + extra_ub
                 rest = rest[bound >= kth]
             bank(rest)
         else:
@@ -581,8 +582,11 @@ def _should_topk_blockmax(
         for c0 in range(0, order.size, CHUNK):
             chunk = order[c0:c0 + CHUNK]
             # strict <: an equal-bound block can still hold an equal-score
-            # doc winning the doc_id tie-break
-            if n_banked >= k and bound_arr[chunk[0]] < kth:
+            # doc winning the doc_id tie-break; extra_ub extends the
+            # envelope by the query-constant max additive bonus (ladder
+            # rungs / positive const clauses) so the skip stays sound with
+            # those passes pending
+            if n_banked >= k and bound_arr[chunk[0]] + extra_ub < kth:
                 break
             new_parts = []
             for j in chunk:
@@ -847,14 +851,39 @@ def _segment_topk_kernel(
     # for equal text), matching the oracle and the exhaustive path
     ph_order = sorted(range(len(phrases)), key=lambda i: " ".join(phrases[i]))
 
+    # Envelope extension for the post-retrieval ADDITIVE passes (proximity
+    # ladder rungs, positive goggle const bonuses): their maximum possible
+    # contribution per doc is a query-level constant —
+    # Σ_rungs boost·ladder_w·sup(tf_comp) + Σ positive const bonuses, with
+    # sup(tf_comp) < 1 — so block-max pruning stays SOUND with these
+    # features on by adding ``extra_ub`` to every skip comparison: a
+    # skipped block's best doc satisfies base_bound + extra_ub < banked
+    # k-th (base scores only) ≤ final k-th (bonuses only raise scores), so
+    # it provably cannot reach the top-k.  The argument needs every later
+    # pass to be monotone non-decreasing on the banked set: any REMOVAL
+    # (discard clauses, bare $discard) or shrink (negative bonus/rung,
+    # @bm25 coeff rescale) invalidates the banked threshold, and those
+    # query shapes keep the exhaustive path.  Reference: the in-query
+    # ladder/const clauses enjoy the same per-clause max-weight bound
+    # inside tantivy's block-max union (src/query/mod.rs:45-93).
+    extra_ub = 0.0
+    extras_additive = not has_empty_discard and score_coeff is None
+    if ladder is not None:
+        if any(b < 0 for b, _s in ladder):
+            extras_additive = False
+        extra_ub += ladder_w * sum(max(float(b), 0.0) for b, _s in ladder)
+    for cl in const_clauses or []:
+        if cl["action"] == "discard" or float(cl["bonus"]) < 0.0:
+            extras_additive = False
+        else:
+            extra_ub += float(cl["bonus"])
+    ladder_applied = False
+
     if mode == "must" and (
         pre is not None
         and max_docs is None
         and not with_count
-        and not const_clauses
-        and not has_empty_discard
-        and score_coeff is None
-        and ladder is None
+        and extras_additive
     ):
         # PRESORTED early-terminating AND: doc ids ascend ⇔ pre DESCENDS
         # (production flavor — the reference's score-sorted segments,
@@ -885,7 +914,7 @@ def _segment_topk_kernel(
         CHUNK = 8
         for c0 in range(0, len(g_first), CHUNK):
             if n_banked >= k and (
-                pre[int(firsts_arr[c0] - base)] + ub_query < kth
+                pre[int(firsts_arr[c0] - base)] + ub_query + extra_ub < kth
             ):
                 break  # every remaining doc's score is below the k-th
             sub = g_first.iloc[c0:c0 + CHUNK]
@@ -932,6 +961,22 @@ def _segment_topk_kernel(
                 sc += pweights[i] * _tf_comp(
                     pfs_c[i].astype(np.float64), dls_c, avgdl
                 )
+            if ladder is not None:
+                # rung bonuses land IN-BRANCH, before pre is folded, so the
+                # fp association matches the exhaustive path exactly:
+                # ((bm25 + Σ rungs) + pre) — in must mode every banked doc
+                # matches all terms, so every chunk doc is a ladder
+                # candidate
+                slops_c = [s_ for _, s_ in ladder]
+                freqs_c = _ladder_freqs(
+                    by_term, list(terms), ids_c, slops_c
+                )
+                bonus_c = np.zeros(ids_c.size, dtype=np.float64)
+                for si, (b_, _slop) in enumerate(ladder):
+                    bonus_c += b_ * ladder_w * _tf_comp(
+                        freqs_c[:, si].astype(np.float64), dls_c, avgdl
+                    )
+                sc = sc + bonus_c
             sc = sc + pre[(ids_c - base).astype(np.int64)]
             bids.append(ids_c)
             bscs.append(sc)
@@ -945,6 +990,7 @@ def _segment_topk_kernel(
         score = np.concatenate(bscs) if bscs else np.zeros(0)
         excluded = None  # applied during banking
         pre = None       # folded into the banked scores
+        ladder_applied = ladder is not None  # rungs scored in-branch
     elif mode == "must":
         required = list(dict.fromkeys(
             present + [t for ph in phrases for t in ph] + filter_terms
@@ -982,7 +1028,7 @@ def _segment_topk_kernel(
         and max_docs is None
         and pre is None
         and not with_count
-        and not const_clauses
+        and extras_additive
     ):
         # single-term block-max pruning (exact): per-block upper bound
         # ub = w · tf_comp(max_tf, dl(min_norm_id)) dominates every doc in
@@ -1008,7 +1054,7 @@ def _segment_topk_kernel(
             chunk = order_b[c0:c0 + CHUNK]
             # strict <: a block with ub == kth can still contain an
             # equal-score doc that wins the doc_id tie-break
-            if n_collected >= k and ub[chunk[0]] < kth:
+            if n_collected >= k and ub[chunk[0]] + extra_ub < kth:
                 break  # no remaining block can beat the k-th best
             sub = g.iloc[np.sort(chunk)]
             if kmetrics is not None:
@@ -1028,6 +1074,11 @@ def _segment_topk_kernel(
                 )
         ids = np.concatenate(ids_parts) if ids_parts else np.zeros(0, dtype=np.int64)
         score = np.concatenate(score_parts) if score_parts else np.zeros(0)
+        if const_clauses and ids.size:
+            # ub-ordered chunk decode leaves ids unsorted; the const-clause
+            # pass (and every other post-pass) works on ascending ids
+            o_ = np.argsort(ids)
+            ids, score = ids[o_], score[o_]
     elif (
         # ≥2 terms, or a single term on a PRESORTED index: the combined
         # pre+bm25 envelope gives real skip even for one common term
@@ -1038,8 +1089,12 @@ def _segment_topk_kernel(
         and not filter_terms
         and max_docs is None
         and not with_count
-        and not const_clauses
-        and ladder is None
+        and extras_additive
+        # presorted+ladder SHOULD keeps the exhaustive path: the union
+        # banks pre into scores before the rung bonuses could land, which
+        # would change the fp association vs the oracle's
+        # ((bm25+rungs)+pre) order
+        and (ladder is None or pre is None)
         and not (
             # dense-union fallback: when EVERY term is above the cheap
             # limit (no high-idf seed to bank a threshold from) and the
@@ -1066,10 +1121,16 @@ def _segment_topk_kernel(
         ids, score = _should_topk_blockmax(
             by_term, present, qweights, avgdl, k, dl_of, dl_table,
             norms.size, excluded=excluded, pre=pre, base=base,
-            metrics=kmetrics,
+            metrics=kmetrics, extra_ub=extra_ub,
         )
         excluded = None  # already applied
         pre = None       # already folded into the banked scores
+        if (ladder is not None or const_clauses) and ids.size:
+            # banked chunks arrive in bound-descending order; the ladder /
+            # const passes below address candidates by searchsorted over
+            # ascending ids — restore doc-id order first
+            o_ = np.argsort(ids)
+            ids, score = ids[o_], score[o_]
     else:
         # exact TAAT: dense accumulator over the segment's doc range
         n = norms.size
@@ -1121,7 +1182,8 @@ def _segment_topk_kernel(
             kmetrics["blocks_decoded"] = kmetrics["blocks_total"]
 
     if (
-        ladder is not None and len(terms) >= 2 and ids.size
+        ladder is not None and not ladder_applied
+        and len(terms) >= 2 and ids.size
         and all(t in by_term for t in terms)
     ):
         # in-retrieval proximity ladder: Should-phrases over the FULL
@@ -1138,7 +1200,18 @@ def _segment_topk_kernel(
                                     count_metrics=False)
             if res_l is not None:
                 cand = res_l[0]
-                sel = np.searchsorted(ids, cand)
+                # the pruned union may have (soundly) skipped an AND-set
+                # doc whose base + max-bonus envelope was below the banked
+                # threshold — drop candidates absent from ids instead of
+                # mis-addressing their neighbors
+                pos_l = np.searchsorted(ids, cand)
+                pos_lc = np.minimum(pos_l, max(ids.size - 1, 0))
+                m_l = ids.size > 0
+                m_l = (ids[pos_lc] == cand) if m_l else np.zeros(
+                    cand.size, dtype=bool
+                )
+                cand = cand[m_l]
+                sel = pos_lc[m_l]
             else:
                 cand = np.zeros(0, dtype=np.int64)
                 sel = cand
