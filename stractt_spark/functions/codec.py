@@ -29,7 +29,14 @@ def varint_encode(
 
     With ``return_lengths=True`` also returns the per-value byte count —
     lets a caller encode one long concatenated stream and slice it at
-    arbitrary value boundaries (the segment encoder slices per block)."""
+    arbitrary value boundaries (the segment encoder slices per block).
+
+    Construction is a dense (n × max_bytes) byte matrix + boolean mask
+    compress, with a zero-copy fast path when every value fits one byte
+    (the common case for doc-id deltas and tfs).  The former
+    repeat/arange construction allocated four total-bytes-sized
+    intermediates and was the single hottest piece of the segment encode
+    kernel (profiled: ~1.3 s of a 4.2 s 16k-doc segment)."""
     arr = np.ascontiguousarray(values, dtype=np.uint64)
     if arr.size == 0:
         return (b"", np.zeros(0, dtype=np.int64)) if return_lengths else b""
@@ -38,15 +45,20 @@ def varint_encode(
     while v.any():
         nbytes += (v > 0).astype(np.int64)
         v >>= _SEVEN
-    ends = np.cumsum(nbytes)
-    total = int(ends[-1])
-    starts = ends - nbytes
-    # per-output-byte: which value, and which 7-bit group of it
-    group = np.arange(total, dtype=np.int64) - np.repeat(starts, nbytes)
-    vals = np.repeat(arr, nbytes)
-    payload = (vals >> (group.astype(np.uint64) * _SEVEN)) & _MASK
-    is_last = group == np.repeat(nbytes - 1, nbytes)
-    out = np.where(is_last, payload, payload | _CONT).astype(np.uint8)
+    width = int(nbytes.max())
+    if width == 1:
+        # every value < 128: the stream IS the values
+        out_b = arr.astype(np.uint8).tobytes()
+        return (out_b, nbytes) if return_lengths else out_b
+    # byte j of value i = (v >> 7j) & 0x7F, continuation bit set for
+    # j < nbytes_i - 1; row-major boolean compress preserves the
+    # little-endian byte order of each value
+    shifts = (np.arange(width, dtype=np.uint64) * _SEVEN)[None, :]
+    mat = ((arr[:, None] >> shifts) & _MASK).astype(np.uint8)
+    col = np.arange(width, dtype=np.int64)[None, :]
+    keep = col < nbytes[:, None]
+    mat[col < (nbytes - 1)[:, None]] |= np.uint8(0x80)
+    out = mat[keep]
     return (out.tobytes(), nbytes) if return_lengths else out.tobytes()
 
 
