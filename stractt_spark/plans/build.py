@@ -704,7 +704,12 @@ class SegmentIndex:
             .sortWithinPartitions("segment_id")
             .cache()
         )
-        self.segments.count(), self.norms.count()
+        # ONE materialization job for both caches: counting a union of
+        # 1-literals scans (and therefore builds) both InMemoryRelations
+        # in a single action instead of two back-to-back jobs
+        self.segments.select(F.lit(1).alias("_o")).unionAll(
+            self.norms.select(F.lit(1).alias("_o"))
+        ).count()
         return self
 
     def term_df(self, terms: list[str]) -> dict[str, int]:
