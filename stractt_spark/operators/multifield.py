@@ -597,23 +597,41 @@ class MultiFieldSegmentIndex:
             # anchor goggle patterns read the pattern field's exact dls
             F.col("tf_bytes").alias("meta_bytes"),
         )
-        self.term_stats = spark.read.parquet(self.paths.term_stats)
+        self._term_stats_df = None
+        self._docmap_df = None
+        self._root = root
         self._tdf_memo: dict[str, int] = {}
         self._plan_memo: dict[tuple, object] = {}
         self.presorted = bool(self.stats.get("presorted"))
-        self.docmap = None
-        if self.presorted:
+
+    @property
+    def term_stats(self):
+        # lazy: the default search path reads term stats via pyarrow
+        # (term_df); the listing+schema cost only pays when the spell /
+        # fallback paths actually need the DataFrame
+        if self._term_stats_df is None:
+            self._term_stats_df = self.spark.read.parquet(
+                self.paths.term_stats
+            )
+        return self._term_stats_df
+
+    @property
+    def docmap(self):
+        if not self.presorted:
+            return None
+        if self._docmap_df is None:
             import os
 
             from ..streaming.ingest import batch_docmap_dir
 
             dm_dirs = [self.paths.docmap] + [
-                batch_docmap_dir(root, b)
+                batch_docmap_dir(self._root, b)
                 for b in self.stats.get("stream_batches", [])
             ]
-            self.docmap = spark.read.parquet(
+            self._docmap_df = self.spark.read.parquet(
                 *[d for d in dm_dirs if os.path.isdir(d)]
             )
+        return self._docmap_df
 
     def cache(self) -> "MultiFieldSegmentIndex":
         # co-partition + co-sort on segment_id so every query's cogroup

@@ -653,23 +653,41 @@ class SegmentIndex:
         else:
             self.segments = spark.read.parquet(self.paths.segments)
             self.norms = spark.read.parquet(self.paths.norms)
-        self.term_stats = spark.read.parquet(self.paths.term_stats)
+        self._term_stats_df: DataFrame | None = None
+        self._docmap_df: DataFrame | None = None
+        self._root = root
         self._tdf_memo: dict[str, int] = {}
         self._plan_memo: dict[tuple, DataFrame] = {}
         self.analyzer = self.stats["analyzer"]
         _check_analyzer_fp(self.stats)
         self.presorted = bool(self.stats.get("presorted"))
-        self.docmap = None
-        if self.presorted:
+
+    @property
+    def term_stats(self) -> DataFrame:
+        # opened lazily: each spark.read.parquet pays a driver-side file
+        # listing + schema read (~0.1 s); the default search path reads
+        # term stats via pyarrow (term_df) and never needs this DataFrame
+        if self._term_stats_df is None:
+            self._term_stats_df = self.spark.read.parquet(
+                self.paths.term_stats
+            )
+        return self._term_stats_df
+
+    @property
+    def docmap(self) -> DataFrame | None:
+        if not self.presorted:
+            return None
+        if self._docmap_df is None:
             # docmap = the batch build's map ∪ every LEDGERED streamed
             # batch's map (same visibility rule as the segment dirs)
             dm_dirs = [self.paths.docmap] + [
-                os.path.join(root, "batches", f"b{b}_docmap.parquet")
+                os.path.join(self._root, "batches", f"b{b}_docmap.parquet")
                 for b in self.stats.get("stream_batches", [])
             ]
-            self.docmap = spark.read.parquet(
+            self._docmap_df = self.spark.read.parquet(
                 *[d for d in dm_dirs if os.path.isdir(d)]
             )
+        return self._docmap_df
 
     def cache(self) -> "SegmentIndex":
         """Cache segments + norms CO-PARTITIONED AND CO-SORTED on
